@@ -1,0 +1,242 @@
+"""Spectral-density J(omega) kernels — pure XLA, fully batched.
+
+TPU-native replacement for the reference's C numpy-ufunc ``npufunc.Jomega``
+(Jomega/Jomega.c) and the J-combination functions in
+``spectral_densities.py:1863-2174``.  The x/(x^2+y^2) ufunc disappears into
+a fused elementwise expression inside a single einsum-style contraction;
+everything is batched over residues and vector samples so one jit handles
+all sites at once (replacing the per-residue Python loops in
+``calculate-relaxations-from-Ct.py:125-191``).
+
+Shapes convention
+-----------------
+omega      : (nOm,)
+vecs       : (..., 3)          -- any batch of unit vectors in the PAF
+S2, zeta   : (...,) broadcastable against the vec batch
+C, tau     : (..., K) transient components, masked by ``comp_mask``
+comp_mask  : (..., K) 1.0 where a component is real, 0.0 where padding.
+
+All returns have J with a trailing nOm axis.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# D / A coefficients
+# ---------------------------------------------------------------------------
+
+def d_coefficients_symmtop(dpar, dperp):
+    """3 axisymmetric D-coefficients (spectral_densities.py:1874-1884)."""
+    dpar = jnp.asarray(dpar)
+    dperp = jnp.asarray(dperp)
+    return jnp.stack(
+        [5.0 * dperp + dpar, 2.0 * dperp + 4.0 * dpar, 6.0 * dperp], axis=-1
+    )
+
+
+def a_coefficients_symmtop(v, prolate=True):
+    """3 axisymmetric A-coefficients from unit vectors (..., 3)
+    (spectral_densities.py:1886-1906).  ``prolate`` selects the unique axis:
+    z when Daniso>1, x when Daniso<1 (Dx<=Dy<=Dz convention)."""
+    v = jnp.asarray(v)
+    z2 = jnp.where(prolate, v[..., 2], v[..., 0]) ** 2
+    onemz2 = 1.0 - z2
+    A0 = 3.0 * z2 * onemz2
+    A1 = 0.75 * onemz2**2
+    A2 = 0.25 * (3.0 * z2 - 1.0) ** 2
+    return jnp.stack([A0, A1, A2], axis=-1)
+
+
+def d_coefficients_ellipsoid(D):
+    """5 fully-anisotropic D-coefficients + delta for A-coefficients
+    (spectral_densities.py:1914-1932).  D = (Dx, Dy, Dz), Dx<=Dy<=Dz."""
+    D = jnp.asarray(D)
+    Diso = jnp.mean(D, axis=-1)
+    D2 = (D[..., 0] * D[..., 1] + D[..., 0] * D[..., 2] + D[..., 1] * D[..., 2]) / 3.0
+    fact1 = jnp.sqrt(jnp.maximum(Diso**2 - D2**2, 0.0))
+    D_J = jnp.stack(
+        [
+            4 * D[..., 0] + D[..., 1] + D[..., 2],
+            D[..., 0] + 4 * D[..., 1] + D[..., 2],
+            D[..., 0] + D[..., 1] + 4 * D[..., 2],
+            6 * Diso + 6 * fact1,
+            6 * Diso - 6 * fact1,
+        ],
+        axis=-1,
+    )
+    safe = jnp.where(fact1 > 0, fact1, 1.0)
+    delta = (D - Diso[..., None]) / safe[..., None]
+    return D_J, delta
+
+
+def a_coefficients_ellipsoid(v, delta):
+    """5 fully-anisotropic A-coefficients (spectral_densities.py:1934-1959).
+
+    v : (..., 3) unit vectors, delta : (..., 3) from
+    :func:`d_coefficients_ellipsoid` (broadcastable)."""
+    v = jnp.asarray(v)
+    v2 = v**2
+    v4 = v2**2
+    fact2 = 0.25 * (3.0 * jnp.sum(v4, axis=-1) - 1.0)
+    fact3 = (1.0 / 12.0) * (
+        delta[..., 0] * (3 * v4[..., 0] + 6 * v2[..., 1] * v2[..., 2] - 1)
+        + delta[..., 1] * (3 * v4[..., 1] + 6 * v2[..., 0] * v2[..., 2] - 1)
+        + delta[..., 2] * (3 * v4[..., 2] + 6 * v2[..., 0] * v2[..., 1] - 1)
+    )
+    return jnp.stack(
+        [
+            3 * v2[..., 1] * v2[..., 2],
+            3 * v2[..., 0] * v2[..., 2],
+            3 * v2[..., 0] * v2[..., 1],
+            fact2 - fact3,
+            fact2 + fact3,
+        ],
+        axis=-1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# The fused J-sum kernel (replaces npufunc.Jomega + einsum,
+# spectral_densities.py:1961-1972)
+# ---------------------------------------------------------------------------
+
+def jsum(omega, A_J, D_J):
+    """J_k = sum_j A_j * D_j / (D_j^2 + om_k^2).
+
+    omega : (nOm,), A_J : (..., J), D_J : (..., J) broadcastable to A_J.
+    Returns (..., nOm).  The Lorentzian D/(D^2+w^2) fuses with the
+    contraction under XLA — no custom ufunc needed.
+    """
+    omega = jnp.asarray(omega)
+    A_J = jnp.asarray(A_J)
+    D_J = jnp.broadcast_to(jnp.asarray(D_J), A_J.shape)
+    lor = D_J[..., None] / (D_J[..., None] ** 2 + omega**2)  # (..., J, nOm)
+    return jnp.sum(A_J[..., None] * lor, axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# Rigid-body J models (spectral_densities.py:1977-2000)
+# ---------------------------------------------------------------------------
+
+def j_rigid_sphere_D(omega, Diso):
+    return 6.0 * Diso / ((6.0 * Diso) ** 2 + omega**2)
+
+
+def j_rigid_sphere_tau(omega, tau_c):
+    return tau_c / (1.0 + (omega * tau_c) ** 2)
+
+
+def j_rigid_symmtop(omega, v, dpar, dperp):
+    D_J = d_coefficients_symmtop(dpar, dperp)
+    A_J = a_coefficients_symmtop(v, prolate=dpar > dperp)
+    return jsum(omega, A_J, D_J)
+
+
+def j_rigid_ellipsoid(omega, v, D):
+    D_J, delta = d_coefficients_ellipsoid(D)
+    A_J = a_coefficients_ellipsoid(v, delta)
+    return jsum(omega, A_J, D_J)
+
+
+def j_lipari_szabo(omega, tau_glob, S2, tau_int):
+    """Classic isotropic Lipari-Szabo (spectral_densities.py:2004-2007)."""
+    tau_eff = tau_int * tau_glob / (tau_int + tau_glob)
+    return S2 * tau_glob / (1 + (omega * tau_glob) ** 2) + (1 - S2) * tau_eff / (
+        1 + (omega * tau_eff) ** 2
+    )
+
+
+def j_direct_transform(omega, C, tau, comp_mask=None):
+    """J = sum_i C_i tau_i / (1 + (tau_i w)^2): no global tumbling
+    (spectral_densities.py:2024-2033).  C, tau: (..., K)."""
+    C = jnp.asarray(C)
+    tau = jnp.asarray(tau)
+    term = C[..., None] * tau[..., None] / (1.0 + (tau[..., None] * omega) ** 2)
+    if comp_mask is not None:
+        term = term * comp_mask[..., None]
+    return jnp.sum(term, axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# The two workhorses: global tumbling (x) local multi-exponential C(t)
+# (spectral_densities.py:2038-2105)
+# ---------------------------------------------------------------------------
+
+def j_combine_isotropic(omega, tau_iso, S2, C, tau, comp_mask=None, zeta=1.0):
+    """Isotropic global tumbling combined with a local multi-exponential:
+    J = zeta*[ S2 * tau_g/(1+(w tau_g)^2) + sum_i C_i k_i/(k_i^2+w^2) ],
+    k_i = 1/tau_g + 1/tau_i  (spectral_densities.py:2038-2050).
+
+    Shapes: S2 (...,), C/tau (..., K); returns (..., nOm).
+    """
+    omega = jnp.asarray(omega)
+    S2 = jnp.asarray(S2)
+    C = jnp.asarray(C)
+    tau = jnp.asarray(tau)
+    safe_tau = jnp.where(tau > 0, tau, 1.0)
+    k = 1.0 / tau_iso + 1.0 / safe_tau  # (..., K)
+    J = S2[..., None] * tau_iso / (1.0 + (omega * tau_iso) ** 2)
+    term = C[..., None] * k[..., None] / (k[..., None] ** 2 + omega**2)
+    if comp_mask is not None:
+        term = term * comp_mask[..., None]
+    J = J + jnp.sum(term, axis=-2)
+    return zeta * J
+
+
+def j_combine_symmtop(omega, v, dpar, dperp, S2, C, tau, comp_mask=None, zeta=1.0):
+    """Axisymmetric tumbling combined with local multi-exponential C(t)
+    (spectral_densities.py:2057-2077).
+
+    v must be in the diffusion PAF. Shapes:
+    v (..., 3), S2 (...,), C/tau (..., K); returns (..., nOm).
+    """
+    omega = jnp.asarray(omega)
+    D_J = d_coefficients_symmtop(dpar, dperp)  # (3,)
+    A_J = a_coefficients_symmtop(v, prolate=dpar > dperp)  # (..., 3)
+    S2 = jnp.asarray(S2)
+    C = jnp.asarray(C)
+    tau = jnp.asarray(tau)
+    safe_tau = jnp.where(tau > 0, tau, 1.0)
+
+    J = jsum(omega, S2[..., None] * A_J, D_J)
+    # Transient components: D_J + 1/tau_i, fully batched over K.
+    # A_k (..., 1, 3) ; D (..., K, 3) ; C (..., K)
+    Dk = D_J + 1.0 / safe_tau[..., None]  # (..., K, 3)
+    Ak = C[..., None] * A_J[..., None, :]  # (..., K, 3)
+    lor = Dk[..., None] / (Dk[..., None] ** 2 + omega**2)  # (..., K, 3, nOm)
+    term = jnp.sum(Ak[..., None] * lor, axis=-2)  # (..., K, nOm)
+    if comp_mask is not None:
+        term = term * comp_mask[..., None]
+    J = J + jnp.sum(term, axis=-2)
+    return zeta * J
+
+
+def j_combine_ellipsoid(omega, v, D, S2, C, tau, comp_mask=None, zeta=1.0):
+    """Fully-anisotropic tumbling + local C(t)
+    (spectral_densities.py:2094-2105).  D = (Dx, Dy, Dz), Dx<=Dy<=Dz."""
+    omega = jnp.asarray(omega)
+    D_J, delta = d_coefficients_ellipsoid(D)  # (5,), (3,)
+    A_J = a_coefficients_ellipsoid(v, delta)  # (..., 5)
+    S2 = jnp.asarray(S2)
+    C = jnp.asarray(C)
+    tau = jnp.asarray(tau)
+    safe_tau = jnp.where(tau > 0, tau, 1.0)
+
+    J = jsum(omega, S2[..., None] * A_J, D_J)
+    Dk = D_J + 1.0 / safe_tau[..., None]  # (..., K, 5)
+    Ak = C[..., None] * A_J[..., None, :]  # (..., K, 5)
+    lor = Dk[..., None] / (Dk[..., None] ** 2 + omega**2)
+    term = jnp.sum(Ak[..., None] * lor, axis=-2)
+    if comp_mask is not None:
+        term = term * comp_mask[..., None]
+    J = J + jnp.sum(term, axis=-2)
+    return zeta * J
+
+
+def symmtop_from_diso_aniso(diso, aniso):
+    """(Diso, Daniso) -> (Dpar, Dperp) (spectral_densities.py:535-540)."""
+    dperp = 3.0 * diso / (2.0 + aniso)
+    return aniso * dperp, dperp

@@ -1,0 +1,35 @@
+"""Test configuration: 8 virtual CPU devices + float64.
+
+This container boots with an ``axon`` TPU PJRT plugin registered from
+``sitecustomize`` which force-selects the (single, exclusively-locked) TPU
+backend.  Tests must run on the host CPU — both for speed on this 1-core
+box and so sharding tests can fake an 8-device mesh via
+``xla_force_host_platform_device_count`` (the standard trick for testing
+sharded JAX code without hardware; SURVEY §4).
+
+``sitecustomize`` has already imported jax by the time this file runs, so
+the platform must be switched via ``jax.config.update`` (env vars alone
+are overridden by the axon register hook).  XLA_FLAGS is still unread at
+this point because no backend has been initialised yet.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402  (already imported by sitecustomize; harmless)
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(20260816)
