@@ -26,11 +26,14 @@ import functools
 import jax
 import jax.numpy as jnp
 
-# Index pairs of the 6 unique outer-product components and their weights
-# (off-diagonals count twice in sum_ab).
+# Index pairs of the 6 unique outer-product components and their weights.
+# Off-diagonals count twice in sum_ab; the weight enters the *component*
+# (which is auto-correlated with itself), so it must be sqrt(2) to
+# contribute a factor 2 in the correlation product.
 _PAIR_I = (0, 1, 2, 0, 0, 1)
 _PAIR_J = (0, 1, 2, 1, 2, 2)
-_PAIR_W = (1.0, 1.0, 1.0, 2.0, 2.0, 2.0)
+_SQRT2 = 2.0**0.5
+_PAIR_W = (1.0, 1.0, 1.0, _SQRT2, _SQRT2, _SQRT2)
 
 
 def _fft_len(n: int) -> int:

@@ -1,0 +1,137 @@
+"""End-to-end observable prediction: C(t) params + D tensor -> R1/R2/NOE/rho.
+
+One batched, jittable forward model replaces the reference's per-residue
+loops (``calculate-relaxations-from-Ct.py:125-191`` legacy path and the
+``spinRelaxation*`` class evaluations, ``spectral_densities.py:607-907``).
+
+Two averaging semantics exist in the reference and both are provided:
+
+- legacy (:func:`predict_rates`): every observable, including NOE, is
+  computed per vector-sample and then ensemble-averaged
+  (get_relax_from_J_simd, spectral_densities.py:1710-1737).
+- new API (:func:`predict_rates_newapi`): R1 is ensemble-averaged *first*
+  and the averaged R1 enters the NOE formula
+  (spinRelaxationNOE.eval, spectral_densities.py:877-907).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from ..constants import NucleusPair
+from ..core.stats import weighted_mean_std
+from ..models.ctmodel import CtModelSet
+from ..models.diffusion import Diffusion
+from . import relaxation as rx
+
+
+class RatesWithErrors(NamedTuple):
+    R1: jnp.ndarray
+    R2: jnp.ndarray
+    NOE: jnp.ndarray
+    rho: jnp.ndarray
+    dR1: Optional[jnp.ndarray] = None
+    dR2: Optional[jnp.ndarray] = None
+    dNOE: Optional[jnp.ndarray] = None
+    drho: Optional[jnp.ndarray] = None
+
+
+def compute_j(pair: NucleusPair, diffusion: Diffusion, cts: CtModelSet, vecs=None):
+    """J at the pair's five frequencies: (nRes, [nSamp,] 5)."""
+    omega = jnp.asarray(pair.omega5())
+    return diffusion.j_combined(
+        omega, cts.S2, cts.C, cts.tau, mask=cts.mask, vecs=vecs, zeta=cts.zeta
+    )
+
+
+def predict_rates(
+    pair: NucleusPair,
+    diffusion: Diffusion,
+    cts: CtModelSet,
+    vecs=None,
+    weights=None,
+    csa=None,
+) -> RatesWithErrors:
+    """Legacy-path prediction (per-sample NOE) with optional weighted
+    ensemble averaging over the sample axis.
+
+    vecs    : (nRes, nSamp, 3) or (nRes, 3) PAF vectors (anisotropic only).
+    weights : (nRes, nSamp) ensemble weights or None.
+    csa     : None, scalar, or (nRes,) residue-specific CSA.
+    """
+    J = compute_j(pair, diffusion, cts, vecs)
+    ensemble = J.ndim == 3  # (nRes, nSamp, 5)
+    if csa is not None:
+        csa = jnp.asarray(csa)
+        if csa.ndim == 1 and ensemble:
+            csa_b = csa[:, None]
+        else:
+            csa_b = csa
+    else:
+        csa_b = None
+    rates = rx.relaxation_from_j(J, pair, csa=csa_b)
+    if not ensemble:
+        return RatesWithErrors(rates.R1, rates.R2, rates.NOE, rates.rho)
+    R1, dR1 = weighted_mean_std(rates.R1, weights, axis=-1)
+    R2, dR2 = weighted_mean_std(rates.R2, weights, axis=-1)
+    NOE, dNOE = weighted_mean_std(rates.NOE, weights, axis=-1)
+    rho, drho = weighted_mean_std(rates.rho, weights, axis=-1)
+    return RatesWithErrors(R1, R2, NOE, rho, dR1, dR2, dNOE, drho)
+
+
+def predict_rates_newapi(
+    pair: NucleusPair,
+    diffusion: Diffusion,
+    cts: CtModelSet,
+    vecs=None,
+    weights=None,
+    csa=None,
+) -> RatesWithErrors:
+    """New-API prediction matching spinRelaxation{R1,R2,NOE}.eval():
+    NOE uses the ensemble-averaged R1 (spectral_densities.py:894-907)."""
+    J = compute_j(pair, diffusion, cts, vecs)
+    ensemble = J.ndim == 3
+    f_dd = pair.factor_dd()
+    csa_v = None if csa is None else jnp.asarray(csa)
+    if csa_v is not None and csa_v.ndim == 1 and ensemble:
+        csa_b = csa_v[:, None]
+    else:
+        csa_b = csa_v
+    f_csa = pair.factor_csa(csa_b)
+    tf = pair.time_fact
+
+    r1_s = rx.r1_from_j(J, f_dd, f_csa, tf)
+    r2_s = rx.r2_from_j(J, f_dd, f_csa, tf)
+    rho_s = rx.rho_from_j(J)
+    if not ensemble:
+        noe = rx.noe_from_j(J, f_dd, tf, pair.gamma_b / pair.gamma_a, r1_s)
+        return RatesWithErrors(r1_s, r2_s, noe, rho_s)
+
+    R1, dR1 = weighted_mean_std(r1_s, weights, axis=-1)
+    R2, dR2 = weighted_mean_std(r2_s, weights, axis=-1)
+    rho, drho = weighted_mean_std(rho_s, weights, axis=-1)
+    noe_s = rx.noe_from_j(J, f_dd, tf, pair.gamma_b / pair.gamma_a, R1[:, None])
+    NOE, dNOE = weighted_mean_std(noe_s, weights, axis=-1)
+    return RatesWithErrors(R1, R2, NOE, rho, dR1, dR2, dNOE, drho)
+
+
+def predict_jomega(
+    pair: NucleusPair,
+    diffusion: Diffusion,
+    cts: CtModelSet,
+    vecs=None,
+    weights=None,
+):
+    """J(omega) with ensemble averaging, mirroring _obtain_Jomega
+    (calculate-relaxations-from-Ct.py:82-122).
+    Returns (J_mean, J_std) with shape (nRes, 5); J_std is None without an
+    ensemble axis."""
+    J = compute_j(pair, diffusion, cts, vecs)
+    if J.ndim == 2:
+        return J, None
+    mean, std = weighted_mean_std(
+        jnp.moveaxis(J, -1, 0), None if weights is None else weights, axis=-1
+    )
+    return jnp.moveaxis(mean, 0, -1), jnp.moveaxis(std, 0, -1)
