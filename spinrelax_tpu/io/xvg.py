@@ -1,0 +1,201 @@
+"""xmgrace/xvg-family text I/O.
+
+Host-side readers/writers for the reference's inter-stage wire formats
+(``general_scripts.py:47-381``).  Formats are preserved byte-compatibly
+where downstream reference tooling parses them (e.g. ``%g`` float
+rendering, ``&`` set terminators, ``@s%d legend`` lines).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+_COMMENT = ("#", "@")
+
+
+def _data_lines(fn: str):
+    with open(fn) as fp:
+        for line in fp:
+            if not line.strip():
+                continue
+            yield line
+
+
+def load_matrix(fn: str) -> np.ndarray:
+    """Whitespace table -> 2D array, skipping #/@/& lines
+    (general_scripts.py:29-45)."""
+    rows = []
+    for line in _data_lines(fn):
+        if line[0] in _COMMENT or line[0] == "&":
+            continue
+        rows.append([float(x) for x in line.split()])
+    return np.array(rows)
+
+
+def load_xy(fn: str) -> Tuple[np.ndarray, np.ndarray]:
+    """(general_scripts.py:47-56)."""
+    m = load_matrix(fn)
+    return m[:, 0], m[:, 1]
+
+
+def load_xys(fn: str) -> Tuple[np.ndarray, np.ndarray]:
+    """x plus remaining columns (general_scripts.py:58-67)."""
+    m = load_matrix(fn)
+    return m[:, 0], m[:, 1:]
+
+
+def load_xydy(fn: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    m = load_matrix(fn)
+    if m.shape[1] < 3:
+        raise ValueError(f"{fn}: expected a third dy column")
+    return m[:, 0], m[:, 1], m[:, 2]
+
+
+def load_sxydylist(fn: str, key: str = "legend"):
+    """Multi-set xmgrace file keyed by legend strings
+    (general_scripts.py:182-213).  Returns
+    (legends, x(nSets,nPts), y(nSets,nPts), dy(nSets,nPts) or [])."""
+    legs: List[str] = []
+    xlist, ylist, dylist = [], [], []
+    x, y, dy = [], [], []
+    for line in _data_lines(fn):
+        parts = line.split()
+        if line[0] in _COMMENT:
+            if key in line:
+                legs.append(parts[-1].strip('"'))
+            continue
+        if line[0] == "&":
+            if x:
+                xlist.append(x)
+                ylist.append(y)
+                if dy:
+                    dylist.append(dy)
+            x, y, dy = [], [], []
+            continue
+        x.append(float(parts[0]))
+        y.append(float(parts[1]))
+        if len(parts) > 2:
+            dy.append(float(parts[2]))
+    if x:
+        xlist.append(x)
+        ylist.append(y)
+        if dy:
+            dylist.append(dy)
+    if dylist:
+        return legs, np.array(xlist), np.array(ylist), np.array(dylist)
+    return legs, np.array(xlist), np.array(ylist), []
+
+
+def print_xy(fn: str, x, y, dy=None, header: str = ""):
+    """(general_scripts.py:231-241); python str() rendering to match."""
+    with open(fn, "w") as fp:
+        if header:
+            print(header, file=fp)
+        if dy is None:
+            for xi, yi in zip(x, y):
+                print(xi, yi, file=fp)
+        else:
+            for xi, yi, di in zip(x, y, dy):
+                print(xi, yi, di, file=fp)
+
+
+def print_xydy(fn: str, x, y, dy, header: str = ""):
+    print_xy(fn, x, y, dy, header)
+
+
+def print_xylist(fn: str, x, ylist, cols: bool = False, header: str = ""):
+    """(general_scripts.py:246-273)."""
+    ylist = np.asarray(ylist)
+    with open(fn, "w") as fp:
+        if header:
+            print(header, file=fp)
+        if ylist.ndim == 1:
+            for xi, yi in zip(x, ylist):
+                print(xi, yi, file=fp)
+            print("&", file=fp)
+        else:
+            if cols:
+                for j in range(ylist.shape[1]):
+                    s = "%g " % x[j] + " ".join("%g" % ylist[i][j] for i in range(ylist.shape[0]))
+                    print(s, file=fp)
+                print("&", file=fp)
+            else:
+                for i in range(ylist.shape[0]):
+                    for j in range(len(x)):
+                        print(x[j], ylist[i][j], file=fp)
+                    print("&", file=fp)
+
+
+def print_sxylist(fn: str, legend, x, ylist, header: Sequence[str] = ()):
+    """Legend-keyed multi-set output (general_scripts.py:275-290).
+    ylist may be (nSets, nPts) or (nSets, nPts, nCols)."""
+    ylist = np.asarray(ylist)
+    with open(fn, "w") as fp:
+        for line in header:
+            print(line, file=fp)
+        for i in range(ylist.shape[0]):
+            print('@s%d legend "%s"' % (i, legend[i]), file=fp)
+            for j in range(len(x)):
+                if ylist.ndim == 3:
+                    print(x[j], " ".join(str(v) for v in ylist[i, j]), file=fp)
+                else:
+                    print(x[j], ylist[i, j], file=fp)
+            print("&", file=fp)
+
+
+def print_gplot_hist(fn: str, hist, edges, header: str = "", sphere: bool = False):
+    """Gnuplot-style histogram dump with optional spherical completion
+    (general_scripts.py:327-381)."""
+    hist = np.asarray(hist)
+    nbins = hist.shape
+    dim = len(nbins)
+    with open(fn, "w") as fp:
+        if header:
+            print(header, file=fp)
+        print("# DIMENSIONS: %i" % dim, file=fp)
+        print(
+            "# BINWIDTH: "
+            + " ".join("%g" % ((edges[i][-1] - edges[i][0]) / nbins[i]) for i in range(dim)),
+            file=fp,
+        )
+        print("# NBINS: " + " ".join("%g" % nbins[i] for i in range(dim)), file=fp)
+        if sphere:
+            if dim != 2:
+                raise ValueError("spherical histogram output requires 2D data")
+            xmin = 0.5 * (edges[0][0] + edges[0][1])
+            ymin, ymax = edges[1][0], edges[1][-1]
+            for ex in range(nbins[0]):
+                xavg = 0.5 * (edges[0][ex] + edges[0][ex + 1])
+                print("%g %g %g" % (xavg, ymin, hist[ex][0]), file=fp)
+                for ey in range(nbins[1]):
+                    yavg = 0.5 * (edges[1][ey] + edges[1][ey + 1])
+                    print("%g %g %g" % (xavg, yavg, hist[ex][ey]), file=fp)
+                print("%g %g %g" % (xavg, ymax, hist[ex][-1]), file=fp)
+                print("", file=fp)
+            print("%g %g %g" % (xmin + 2 * np.pi, ymin, hist[0][0]), file=fp)
+            for ey in range(nbins[1]):
+                yavg = 0.5 * (edges[1][ey] + edges[1][ey + 1])
+                print("%g %g %g" % (xmin + 2 * np.pi, yavg, hist[0][ey]), file=fp)
+            print("%g %g %g" % (xmin + 2 * np.pi, ymax, hist[0][-1]), file=fp)
+            print("", file=fp)
+        else:
+            for index, val in np.ndenumerate(hist):
+                s = " ".join(
+                    "%g" % (0.5 * (edges[i][index[i]] + edges[i][index[i] + 1]))
+                    for i in range(dim)
+                )
+                print(s + " %g" % val, file=fp)
+                if index[-1] == nbins[-1] - 1:
+                    print("", file=fp)
+
+
+def format_header_legend(legends, s_init: int = 0, step: int = 1) -> str:
+    out = ""
+    s = s_init
+    for leg in legends:
+        out += '@s%i legend "%s"\n' % (s, leg)
+        s += step
+    return out

@@ -1,0 +1,215 @@
+"""I/O round-trips + cross-parity with the reference's readers/writers."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from spinrelax_tpu.io import colvar, dx, experiments, fittedct, vectors, xvg
+from spinrelax_tpu.models import CtModelSet
+
+REF = "/root/reference"
+SHIM = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools", "refshim")
+
+
+@pytest.fixture(scope="module")
+def refmod():
+    sys.path.insert(0, SHIM)
+    sys.path.insert(0, REF)
+    import fitting_Ct_functions as fitCt
+    import general_scripts as gs
+    import plumedcolvario as pl
+
+    yield dict(fitCt=fitCt, gs=gs, pl=pl)
+    sys.path.remove(SHIM)
+    sys.path.remove(REF)
+
+
+def test_xy_roundtrip(tmp_path):
+    fn = str(tmp_path / "a.dat")
+    x = np.arange(5.0)
+    y = np.linspace(0, 1, 5)
+    xvg.print_xy(fn, x, y)
+    x2, y2 = xvg.load_xy(fn)
+    np.testing.assert_allclose(x2, x)
+    np.testing.assert_allclose(y2, y)
+
+
+def test_sxylist_roundtrip_with_dy(tmp_path):
+    fn = str(tmp_path / "ct.dat")
+    legs = ["2", "3", "7"]
+    x = np.arange(1.0, 11.0)
+    y = np.random.default_rng(0).random((3, 10, 2))
+    xvg.print_sxylist(fn, legs, x, y)
+    legs2, x2, y2, dy2 = xvg.load_sxydylist(fn, "legend")
+    assert legs2 == legs
+    np.testing.assert_allclose(np.asarray(x2)[0], x)
+    np.testing.assert_allclose(np.asarray(y2), y[..., 0])
+    np.testing.assert_allclose(np.asarray(dy2), y[..., 1])
+
+
+def test_sxylist_readable_by_reference(tmp_path, refmod):
+    fn = str(tmp_path / "ct.dat")
+    legs = ["2", "3"]
+    x = np.arange(1.0, 6.0)
+    y = np.random.default_rng(1).random((2, 5, 2))
+    xvg.print_sxylist(fn, legs, x, y)
+    legs2, x2, y2, dy2 = refmod["gs"].load_sxydylist(fn, "legend")
+    assert legs2 == legs
+    np.testing.assert_allclose(np.asarray(y2), y[..., 0])
+
+
+def test_fittedct_roundtrip(tmp_path):
+    cts = CtModelSet.from_lists(
+        names=["2", "5", "9"],
+        S2=[0.8, 0.7, 0.6],
+        C_list=[[0.1], [0.05, 0.15], [0.1, 0.05, 0.02]],
+        tau_list=[[50.0], [10.0, 500.0], [5.0, 80.0, 900.0]],
+        s2fast=[True, False, True],
+        chisq=[1e-5, 2e-5, 3e-5],
+        dS2=[0.01, 0.0, 0.02],
+        dC_list=[[0.001], [0.002, 0.003], [0.001, 0.001, 0.001]],
+        dtau_list=[[1.0], [0.5, 20.0], [0.1, 2.0, 30.0]],
+    )
+    fn = str(tmp_path / "out_fittedCt.dat")
+    dt = np.arange(1.0, 40.0)
+    fittedct.write_fittedct(fn, cts, dt=dt, targets=np.asarray(cts.eval(dt)))
+    back = fittedct.read_fittedct(fn)
+    assert back.names == cts.names
+    np.testing.assert_allclose(np.asarray(back.S2), np.asarray(cts.S2), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(back.C) * np.asarray(back.mask),
+        np.asarray(cts.C) * np.asarray(cts.mask),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(back.tau) * np.asarray(back.mask),
+        np.asarray(cts.tau) * np.asarray(cts.mask),
+        rtol=1e-5,
+    )
+    np.testing.assert_array_equal(np.asarray(back.s2fast), np.asarray(cts.s2fast))
+
+
+def test_fittedct_readable_by_reference(tmp_path, refmod):
+    cts = CtModelSet.from_lists(
+        names=["4", "6"],
+        S2=[0.82, 0.75],
+        C_list=[[0.07, 0.05], [0.1]],
+        tau_list=[[11.6, 195.0], [40.0]],
+        s2fast=[True, True],
+        chisq=[1e-5, 1e-5],
+    )
+    fn = str(tmp_path / "ref_fittedCt.dat")
+    dt = np.arange(1.0, 10.0)
+    fittedct.write_fittedct(fn, cts, dt=dt, targets=np.asarray(cts.eval(dt)))
+    obj = refmod["fitCt"].read_fittedCt_parameters(fn)
+    assert obj.nModels == 2
+    m = obj.model["4"]
+    np.testing.assert_allclose(m.S2, 0.82, rtol=1e-6)
+    np.testing.assert_allclose(np.sort(m.tau), [11.6, 195.0], rtol=1e-6)
+
+
+def test_reference_fittedct_readable_by_us(tmp_path, refmod):
+    # Write with the *reference* writer, read with ours.
+    fitCt = refmod["fitCt"]
+    ac = fitCt.autoCorrelations()
+    ac.add_model("3", listC=[0.2, 0.1], listTau=[20.0, 300.0], S2=0.65, bS2Fast=True)
+    ac.add_model("4", listC=[0.15], listTau=[90.0], S2=None, bS2Fast=False)
+    fn = str(tmp_path / "theirs_fittedCt.dat")
+    with open(fn, "w") as fp:
+        for m in ac.model.values():
+            m.report(style="xmgrace", fp=fp)
+            print("", file=fp)
+    back = fittedct.read_fittedct(fn)
+    assert back.names == ["3", "4"]
+    np.testing.assert_allclose(np.asarray(back.S2), [0.65, 1.0 - 0.15], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(back.s2fast), [1.0, 0.0])
+
+
+def test_experiment_roundtrip(tmp_path):
+    expt = experiments.ExperimentData(
+        expt_type="NOE",
+        nuclei_a="15N",
+        nuclei_b="1H",
+        frequency=600.133,
+        freq_unit="MHz",
+        names=np.array(["2", "3", "4"]),
+        values=np.array([0.5, 0.9, 0.7]),
+        errors=np.array([0.05, 0.03, 0.04]),
+    )
+    fn = str(tmp_path / "expt.dat")
+    experiments.write_experiment(fn, expt)
+    back = experiments.read_experiment(fn)
+    assert back.expt_type == "NOE"
+    assert back.nuclei_a == "15N"
+    np.testing.assert_allclose(back.values, expt.values)
+    np.testing.assert_allclose(back.errors, expt.errors)
+
+
+def test_colvar_roundtrip_and_reference_parity(tmp_path, refmod):
+    rng = np.random.default_rng(2)
+    data = rng.random((5, 30)).astype(np.float32)
+    names = ["time", "q.w", "q.x", "q.y", "q.z"]
+    fn = str(tmp_path / "colvar")
+    colvar.write_colvar(fn, names, data)
+    n2, d2 = colvar.read_colvar(fn)
+    assert n2 == names
+    np.testing.assert_allclose(d2, data, atol=1e-6)
+    n3, d3 = refmod["pl"].read_from_plumedprint(fn)
+    np.testing.assert_allclose(np.asarray(d3), d2, atol=1e-6)
+
+
+def test_colvar_multi(tmp_path):
+    rng = np.random.default_rng(3)
+    names = ["time", "q.w", "q.x", "q.y", "q.z"]
+    fn = str(tmp_path / "colvar-agg")
+    with open(fn, "w") as fp:
+        for _ in range(3):
+            fp.write("#! FIELDS " + " ".join(names) + "\n")
+            for i in range(4):
+                fp.write(" ".join("%8f" % v for v in rng.random(5)) + "\n")
+    fnames, data = colvar.read_colvar_multi(fn)
+    assert len(fnames) == 3
+    assert data.shape == (3, 4, 5)
+
+
+def test_dx_roundtrip(tmp_path):
+    rng = np.random.default_rng(4)
+    data = rng.random((4, 5, 6))
+    dims = (4, 5, 6)
+    orig = np.array([-1.0, -1.0, -1.0])
+    abc = np.diag([0.5, 0.4, 0.3])
+    fn = str(tmp_path / "hist.dx")
+    dx.write_dx(fn, data, dims, orig, abc, units="A")
+    data2, dims2, orig2, abc2 = dx.read_dx(fn, units="A")
+    np.testing.assert_allclose(data2, data, rtol=1e-5)
+    np.testing.assert_allclose(orig2, orig, atol=1e-12)
+    np.testing.assert_allclose(abc2, abc, atol=1e-12)
+
+
+def test_vector_npz_phitheta_roundtrip(tmp_path):
+    rng = np.random.default_rng(5)
+    pts = np.stack(
+        [rng.uniform(-np.pi, np.pi, (4, 10)), rng.uniform(0, np.pi, (4, 10))], axis=-1
+    )
+    fn = str(tmp_path / "v.npz")
+    vectors.save_phitheta(fn, [2, 3, 4, 5], pts)
+    names, vecs, weights = vectors.load_vector_distribution(fn)
+    assert weights is None
+    assert vecs.shape == (4, 10, 3)
+    np.testing.assert_allclose(np.linalg.norm(vecs, axis=-1), 1.0, atol=1e-12)
+
+
+def test_vector_npz_histogram_roundtrip(tmp_path):
+    from spinrelax_tpu.core.geometry import lambert_histogram
+
+    rng = np.random.default_rng(6)
+    v = rng.normal(size=(3, 200, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    hist, ep, ec = lambert_histogram(v, 36, 18)
+    fn = str(tmp_path / "h.npz")
+    vectors.save_histogram(fn, [2, 3, 4], np.asarray(hist), np.asarray(ep), np.asarray(ec))
+    names, vecs, weights = vectors.load_vector_distribution(fn)
+    assert vecs.shape == (3, 36 * 18, 3)
+    np.testing.assert_allclose(weights.sum(axis=-1), 200.0)
