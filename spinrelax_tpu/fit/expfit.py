@@ -1,0 +1,133 @@
+"""Multi-exponential C(t) fitting with the reference's DoF-ladder model
+selection — vectorised.
+
+The reference fits each residue sequentially through increasing degrees of
+freedom [2,3,5,7,9] (or [2,4,6,8] without S2_fast), stopping when quality
+checks fail or chi-square stops improving by >2x
+(fitting_Ct_functions.py:278-304).  Here every rung of the ladder is fit
+for ALL residues as one batched LM call; the sequential selection rules
+are then applied per-residue on the host (fixed shapes under jit, ragged
+decisions outside).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..models.ctmodel import CtModelSet
+from .lm import fit_multiexp
+
+LADDER_WITH_FAST = (2, 3, 5, 7, 9)
+LADDER_NO_FAST = (2, 4, 6, 8)
+
+
+def _rung_spec(n_params: int):
+    """nParams -> (K, s2_free) following set_nParams
+    (fitting_Ct_functions.py:376-382)."""
+    return n_params // 2, (n_params % 2 == 1)
+
+
+def fit_ct_ladder(
+    names: Sequence[str],
+    dt: np.ndarray,
+    decays: np.ndarray,
+    ddecays: Optional[np.ndarray] = None,
+    use_s2fast: bool = True,
+    chisq_threshold: float = 0.5,
+    n_components: Optional[int] = None,
+    zeta: float = 1.0,
+    verbose: bool = False,
+) -> CtModelSet:
+    """Fit all residues' C(t) and select per-residue model complexity.
+
+    Parameters
+    ----------
+    dt      : (T,) lag times.
+    decays  : (B, T) decay curves.
+    ddecays : (B, T) uncertainties or None.
+    n_components : fix the number of transient components (bypasses the
+        ladder), mirroring ``calculate-fitted-Ct.py --nc``.
+
+    Returns a CtModelSet padded to the largest selected K.
+    """
+    decays = np.asarray(decays, dtype=float)
+    B = decays.shape[0]
+    sigma = (
+        np.ones_like(decays) if ddecays is None else np.asarray(ddecays, dtype=float)
+    )
+    sigma = np.where(sigma <= 0, 1.0, sigma)
+
+    if n_components is not None:
+        ladder = [2 * n_components + 1 if use_s2fast else 2 * n_components]
+    else:
+        ladder = list(LADDER_WITH_FAST if use_s2fast else LADDER_NO_FAST)
+
+    rungs = []
+    for n_par in ladder:
+        K, s2_free = _rung_spec(n_par)
+        fit = fit_multiexp(dt, decays, sigma, K=K, s2_free=s2_free)
+        rungs.append((n_par, K, s2_free, jax_to_np(fit)))
+        if verbose:
+            print(
+                f"    ...ladder rung nParams={n_par}: median chisq "
+                f"{np.median(np.asarray(fit.chisq)):.3g}"
+            )
+
+    # Per-residue sequential selection (fitting_Ct_functions.py:283-304).
+    sel = np.full(B, -1, dtype=int)
+    for b in range(B):
+        prev_idx = -1
+        prev_chi = np.inf
+        for idx, (n_par, K, s2_free, fit) in enumerate(rungs):
+            ok = fit["ok_fit"][b] and fit["ok_err"][b] and fit["ok_sum"][b]
+            chi = fit["chisq"][b]
+            if prev_idx < 0:
+                if ok:
+                    prev_idx, prev_chi = idx, chi
+                continue
+            if not ok:
+                break
+            if chi >= prev_chi * chisq_threshold:
+                break
+            prev_idx, prev_chi = idx, chi
+        if prev_idx < 0:
+            # No rung passed all checks: keep the best-chisq rung anyway
+            # (the reference errors out; we degrade gracefully and flag
+            # via chisq=inf semantics upstream).
+            prev_idx = int(np.argmin([r[3]["chisq"][b] for r in rungs]))
+        sel[b] = prev_idx
+
+    Kmax = max(rungs[i][1] for i in sel)
+    C_list, tau_list, dC_list, dtau_list = [], [], [], []
+    S2s, dS2s, s2fasts, chis = [], [], [], []
+    for b in range(B):
+        n_par, K, s2_free, fit = rungs[sel[b]]
+        C_list.append(fit["C"][b, :K])
+        tau_list.append(fit["tau"][b, :K])
+        dC_list.append(fit["dC"][b, :K])
+        dtau_list.append(fit["dtau"][b, :K])
+        S2s.append(fit["S2"][b])
+        dS2s.append(fit["dS2"][b])
+        s2fasts.append(s2_free)
+        chis.append(fit["chisq"][b])
+
+    return CtModelSet.from_lists(
+        names=names,
+        S2=S2s,
+        C_list=C_list,
+        tau_list=tau_list,
+        s2fast=s2fasts,
+        zeta=zeta,
+        max_comps=Kmax,
+        dS2=dS2s,
+        dC_list=dC_list,
+        dtau_list=dtau_list,
+        chisq=chis,
+        sort=False,  # already sorted inside fit_multiexp
+    )
+
+
+def jax_to_np(fit):
+    return {k: np.asarray(v) for k, v in fit._asdict().items()}

@@ -1,0 +1,202 @@
+"""Batched bounded Levenberg-Marquardt in pure JAX.
+
+Replaces the reference's sequential per-residue ``scipy.optimize.curve_fit``
+calls (fitting_Ct_functions.py:306-345) with one vmapped trust-region LM:
+all residues (and all ladder rungs) fit in parallel on the accelerator.
+
+Box constraints are enforced with a smooth sigmoid reparameterisation;
+parameter uncertainties are evaluated in the *original* parameter space at
+the solution (cov = inv(J^T J) * reduced-chi-square, matching
+``curve_fit(..., absolute_sigma=False)`` semantics used by the reference).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LMResult(NamedTuple):
+    params: jnp.ndarray  # (P,) best-fit parameters (original space)
+    perr: jnp.ndarray  # (P,) 1-sigma uncertainties
+    cost: jnp.ndarray  # () final 0.5*sum(r^2)
+    n_iter: jnp.ndarray  # () iterations used
+    converged: jnp.ndarray  # () bool
+
+
+def _to_unconstrained(p, lo, hi):
+    """Inverse sigmoid map into R (clipped slightly inside the box)."""
+    span = hi - lo
+    f = jnp.clip((p - lo) / span, 1e-6, 1.0 - 1e-6)
+    return jnp.log(f / (1.0 - f))
+
+
+def _to_constrained(t, lo, hi):
+    return lo + (hi - lo) * jax.nn.sigmoid(t)
+
+
+def lm_solve(
+    residual_fn: Callable,
+    p0: jnp.ndarray,
+    lo: jnp.ndarray,
+    hi: jnp.ndarray,
+    max_iter: int = 60,
+    lam0: float = 1e-3,
+    xtol: float = 1e-10,
+) -> LMResult:
+    """Minimise 0.5*||residual_fn(p)||^2 subject to lo <= p <= hi.
+
+    ``residual_fn`` maps (P,) -> (N,).  Designed to be vmapped over a batch
+    of independent problems (each with its own p0/lo/hi closure data).
+    """
+    t0 = _to_unconstrained(p0, lo, hi)
+
+    def r_of_t(t):
+        return residual_fn(_to_constrained(t, lo, hi))
+
+    def cost_of_t(t):
+        r = r_of_t(t)
+        return 0.5 * jnp.sum(r * r)
+
+    n_par = p0.shape[0]
+
+    def body(state):
+        t, lam, it, done, _ = state
+        r = r_of_t(t)
+        J = jax.jacfwd(r_of_t)(t)  # (N, P)
+        g = J.T @ r
+        H = J.T @ J
+        A = H + lam * jnp.eye(n_par, dtype=t.dtype) * jnp.maximum(jnp.diag(H), 1e-12)
+        step = -jnp.linalg.solve(A, g)
+        t_new = t + step
+        c_old = 0.5 * jnp.sum(r * r)
+        c_new = cost_of_t(t_new)
+        improved = (c_new < c_old) & jnp.isfinite(c_new)
+        t_next = jnp.where(improved, t_new, t)
+        lam_next = jnp.where(improved, jnp.maximum(lam * 0.33, 1e-12), jnp.minimum(lam * 3.0, 1e10))
+        small = jnp.max(jnp.abs(step)) < xtol
+        done_next = done | (improved & small)
+        return (t_next, lam_next, it + 1, done_next, c_new)
+
+    def cond(state):
+        _, _, it, done, _ = state
+        return (it < max_iter) & (~done)
+
+    t_fin, _, it_fin, done_fin, _ = jax.lax.while_loop(
+        cond, body, (t0, jnp.asarray(lam0, t0.dtype), jnp.asarray(0), jnp.asarray(False), jnp.asarray(0.0, t0.dtype))
+    )
+    p_fin = _to_constrained(t_fin, lo, hi)
+    r_fin = residual_fn(p_fin)
+    cost = 0.5 * jnp.sum(r_fin * r_fin)
+
+    # Uncertainties in original space (curve_fit absolute_sigma=False).
+    Jp = jax.jacfwd(residual_fn)(p_fin)  # (N, P)
+    H = Jp.T @ Jp
+    n_data = r_fin.shape[0]
+    dof = jnp.maximum(n_data - n_par, 1)
+    red_chisq = jnp.sum(r_fin * r_fin) / dof
+    cov = jnp.linalg.pinv(H) * red_chisq
+    perr = jnp.sqrt(jnp.clip(jnp.diag(cov), 0.0))
+    return LMResult(p_fin, perr, cost, it_fin, done_fin)
+
+
+# ---------------------------------------------------------------------------
+# Multi-exponential C(t) model fitting
+# ---------------------------------------------------------------------------
+
+
+def _multiexp_residual(p, dt, decay, sigma, K: int, s2_free: bool):
+    """Residuals of C(t) = S2 + sum C_i exp(-t/tau_i); when S2 is not free
+    it is the closure 1 - sum(C) (fitting_Ct_functions.py:419-427)."""
+    C = p[:K]
+    tau = p[K : 2 * K]
+    S2 = p[-1] if s2_free else 1.0 - jnp.sum(C)
+    model = S2 + jnp.sum(C[:, None] * jnp.exp(-dt[None, :] / tau[:, None]), axis=0)
+    return (model - decay) / sigma
+
+
+class MultiExpFit(NamedTuple):
+    C: jnp.ndarray  # (B, K)
+    tau: jnp.ndarray  # (B, K)
+    S2: jnp.ndarray  # (B,)
+    dC: jnp.ndarray
+    dtau: jnp.ndarray
+    dS2: jnp.ndarray
+    chisq: jnp.ndarray  # (B,) reference-style selection chi-square
+    ok_fit: jnp.ndarray  # (B,) fit produced finite params
+    ok_err: jnp.ndarray  # (B,) no dParam > param (overfitting flag)
+    ok_sum: jnp.ndarray  # (B,) S2 + sum(C) <= 1
+
+
+def _init_multiexp(dt, decay, K: int, s2_free: bool, n_sample: int = 10):
+    """Initial guesses following initialise_for_fit_advanced
+    (fitting_Ct_functions.py:359-374): log-spaced taus, equal C."""
+    step = jnp.mean(dt[1:] - dt[:-1])
+    taus = jnp.logspace(jnp.log10(step), jnp.log10(dt[-1] * 2.0), K + 2)[1:-1]
+    avg_beg = jnp.mean(decay[:n_sample])
+    avg_end = jnp.mean(decay[-n_sample:])
+    Cs = jnp.full((K,), jnp.abs(avg_beg - avg_end) / K)
+    S2 = avg_end if s2_free else 1.0 - jnp.mean(Cs)
+    return Cs, taus, S2
+
+
+@partial(jax.jit, static_argnames=("K", "s2_free"))
+def fit_multiexp(dt, decay, sigma, K: int, s2_free: bool) -> MultiExpFit:
+    """Fit a batch of decay curves with K transient components.
+
+    dt    : (T,) shared lag times.
+    decay : (B, T) target decays.
+    sigma : (B, T) uncertainties (use ones for unweighted).
+    Bounds follow the reference: C, S2 in [0, 1]; tau in [0, 10*t_max]
+    (fitting_Ct_functions.py:412-416).
+    """
+    dt = jnp.asarray(dt)
+    decay = jnp.asarray(decay)
+    sigma = jnp.asarray(sigma)
+    tau_max = dt[-1] * 10.0
+    n_par = 2 * K + (1 if s2_free else 0)
+
+    def fit_one(y, sg):
+        C0, tau0, S20 = _init_multiexp(dt, y, K, s2_free)
+        if s2_free:
+            p0 = jnp.concatenate([C0, tau0, jnp.asarray(S20)[None]])
+            lo = jnp.concatenate([jnp.zeros(K), jnp.full(K, 1e-8), jnp.zeros(1)])
+            hi = jnp.concatenate([jnp.ones(K), jnp.full(K, tau_max), jnp.ones(1)])
+        else:
+            p0 = jnp.concatenate([C0, tau0])
+            lo = jnp.concatenate([jnp.zeros(K), jnp.full(K, 1e-8)])
+            hi = jnp.concatenate([jnp.ones(K), jnp.full(K, tau_max)])
+        res = lm_solve(
+            lambda p: _multiexp_residual(p, dt, y, sg, K, s2_free), p0, lo, hi
+        )
+        C = res.params[:K]
+        tau = res.params[K : 2 * K]
+        S2 = res.params[-1] if s2_free else 1.0 - jnp.sum(C)
+        dC = res.perr[:K]
+        dtau = res.perr[K : 2 * K]
+        dS2 = res.perr[-1] if s2_free else jnp.asarray(0.0, C.dtype)
+        # Sort fast-to-slow (fitting_Ct_functions.py:203-209).
+        order = jnp.argsort(tau)
+        C, tau, dC, dtau = C[order], tau[order], dC[order], dtau[order]
+
+        # Reference-style selection chi-square (fitting_Ct_functions.py:272-276):
+        # mean(sq) unweighted or mean(sq / dDecay)  [sic: sigma not squared].
+        model = S2 + jnp.sum(C[:, None] * jnp.exp(-dt[None, :] / tau[:, None]), axis=0)
+        sq = (model - y) ** 2
+        weighted = jnp.mean(sq / sg)
+        unweighted = jnp.mean(sq)
+        uniform = jnp.all(sg == 1.0)
+        chisq = jnp.where(uniform, unweighted, weighted)
+
+        params_vec = jnp.concatenate([C, tau, jnp.atleast_1d(S2) if s2_free else jnp.zeros(0)])
+        perr_vec = jnp.concatenate([dC, dtau, jnp.atleast_1d(dS2) if s2_free else jnp.zeros(0)])
+        ok_fit = jnp.all(jnp.isfinite(params_vec)) & res.converged | jnp.all(jnp.isfinite(params_vec))
+        ok_err = ~jnp.any(perr_vec > params_vec)
+        ok_sum = (S2 + jnp.sum(C)) <= 1.0 + 1e-12
+        return C, tau, S2, dC, dtau, dS2, chisq, ok_fit, ok_err, ok_sum
+
+    out = jax.vmap(fit_one)(decay, sigma)
+    return MultiExpFit(*out)

@@ -1,0 +1,109 @@
+"""Batched multi-exponential fitting: synthetic parameter recovery and
+agreement with the reference's scipy.curve_fit results."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from spinrelax_tpu.fit.expfit import fit_ct_ladder
+from spinrelax_tpu.fit.lm import fit_multiexp
+from spinrelax_tpu.models import CtModelSet
+
+REF = "/root/reference"
+SHIM = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools", "refshim"
+)
+
+
+def synth_curves(rng, B=6, T=400, noise=2e-4):
+    dt = np.arange(1, T + 1) * 2.0
+    S2 = rng.uniform(0.55, 0.9, B)
+    C1 = rng.uniform(0.03, 0.12, B)
+    C2 = rng.uniform(0.03, 0.12, B)
+    t1 = rng.uniform(5, 20, B)
+    t2 = rng.uniform(100, 400, B)
+    y = (
+        S2[:, None]
+        + C1[:, None] * np.exp(-dt[None] / t1[:, None])
+        + C2[:, None] * np.exp(-dt[None] / t2[:, None])
+    )
+    y = y + rng.normal(scale=noise, size=y.shape)
+    return dt, y, dict(S2=S2, C1=C1, C2=C2, t1=t1, t2=t2)
+
+
+def test_fixed_k_recovery(rng):
+    dt, y, truth = synth_curves(rng)
+    fit = fit_multiexp(dt, y, np.ones_like(y), K=2, s2_free=True)
+    S2 = np.asarray(fit.S2)
+    C = np.asarray(fit.C)
+    tau = np.asarray(fit.tau)
+    np.testing.assert_allclose(S2, truth["S2"], atol=5e-3)
+    np.testing.assert_allclose(C[:, 0], truth["C1"], atol=2e-2)
+    np.testing.assert_allclose(C[:, 1], truth["C2"], atol=1e-2)
+    np.testing.assert_allclose(tau[:, 1], truth["t2"], rtol=0.1)
+
+
+def test_closure_mode_s2_not_free(rng):
+    dt = np.arange(1, 301) * 1.0
+    # Construct a curve with exact closure: C(0) = 1.
+    S2, C1, t1 = 0.8, 0.2, 50.0
+    y = (S2 + C1 * np.exp(-dt / t1))[None, :]
+    fit = fit_multiexp(dt, y, np.ones_like(y), K=1, s2_free=False)
+    np.testing.assert_allclose(float(fit.S2[0]), S2, atol=1e-5)
+    np.testing.assert_allclose(float(fit.C[0, 0]), C1, atol=1e-5)
+    np.testing.assert_allclose(float(fit.tau[0, 0]), t1, rtol=1e-3)
+
+
+def test_ladder_selects_reasonable_complexity(rng):
+    dt, y, truth = synth_curves(rng, noise=1e-3)
+    cts = fit_ct_ladder(
+        names=[str(i) for i in range(y.shape[0])],
+        dt=dt,
+        decays=y,
+        ddecays=None,
+        use_s2fast=True,
+    )
+    # Should recover S2 well regardless of chosen K.
+    np.testing.assert_allclose(np.asarray(cts.S2), truth["S2"], atol=2e-2)
+    # Ladder must not go over 4 components.
+    assert cts.max_comps <= 4
+    curves = np.asarray(cts.eval(dt))
+    rms = np.sqrt(np.mean((curves - y) ** 2))
+    assert rms < 5e-3
+
+
+def test_against_reference_curvefit(rng):
+    """The reference's scipy path and our LM should land in the same
+    minimum on clean data."""
+    sys.path.insert(0, SHIM)
+    sys.path.insert(0, REF)
+    try:
+        import fitting_Ct_functions as fitCt
+
+        dt, y, truth = synth_curves(rng, B=3, noise=1e-4)
+        for b in range(3):
+            m = fitCt.autoCorrelationModel(name=str(b))
+            m.set_nParams(5)  # K=2 with free S2
+            chi_ref, quality = m.conduct_curve_fitting(dt, y[b], None, bReInitialise=True)
+            fit = fit_multiexp(dt, y[b : b + 1], np.ones((1, len(dt))), K=2, s2_free=True)
+            np.testing.assert_allclose(float(fit.S2[0]), m.S2, atol=2e-3)
+            np.testing.assert_allclose(
+                np.sort(np.asarray(fit.tau[0])), np.sort(m.tau), rtol=5e-2
+            )
+            np.testing.assert_allclose(
+                float(fit.chisq[0]), m.chiSq, rtol=0.2, atol=1e-8
+            )
+    finally:
+        sys.path.remove(SHIM)
+        sys.path.remove(REF)
+
+
+def test_weighted_fit(rng):
+    dt = np.arange(1, 201) * 1.0
+    y = (0.7 + 0.3 * np.exp(-dt / 40.0))[None, :]
+    sigma = np.full_like(y, 0.01)
+    fit = fit_multiexp(dt, y, sigma, K=1, s2_free=True)
+    np.testing.assert_allclose(float(fit.S2[0]), 0.7, atol=1e-4)
+    np.testing.assert_allclose(float(fit.tau[0, 0]), 40.0, rtol=1e-3)
