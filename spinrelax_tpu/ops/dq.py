@@ -1,0 +1,313 @@
+"""Delta-q rotational-diffusion statistics: q(t) -> D tensor + PAF.
+
+TPU-native replacement for ``calculate-dq-distribution.py``'s main loop
+(:554-650), which computes, for each lag delta on a grid:
+
+    dq(t) = reduce( q^-1(t) * q(t+delta) )          [vectorised quat ops]
+    iso(delta)  = < 1 - 2|dq_v|^2 >                 [= <cos theta>]
+    M(delta)    = < dq_v (x) dq_v >                 [3x3 'MoI' tensor]
+
+then eigendecomposes M, locks the principal-axis frame (PAF) quaternion at
+the FIRST lag, and fits single exponentials per axis to obtain D.
+
+Key idiomatic shifts vs the reference:
+- all lags are evaluated in one jitted, lag-vmapped pass with masking
+  (no Python loop over ~100 lags);
+- the 'rotated' tensor is obtained algebraically as R M R^T instead of
+  re-averaging rotated vectors (a second pass over all data in the
+  reference, :565-607);
+- the scalar Powell exponential fit (:152-207, a per-point Python loop)
+  becomes a vectorised Gauss-Newton on all (axis, chunk) series at once.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import quaternion as qt
+
+
+class DqStats(NamedTuple):
+    lag_frames: jnp.ndarray  # (L,) integer lags in frames
+    iso: jnp.ndarray  # (L,) <1 - 2|v|^2>
+    M: jnp.ndarray  # (L, 3, 3) <v (x) v>
+    iso_chunks: jnp.ndarray  # (L, nChunk) or empty
+    M_chunks: jnp.ndarray  # (L, nChunk, 3, 3) or empty
+
+
+def _dq_vectors(q, delta, n_data):
+    """v-part of reduce(q^-1(t) q(t+delta)) for all t, masked beyond
+    n_data - delta.  q: (N, 4); returns (N, 3), mask (N,)."""
+    n = q.shape[0]
+    q_inv = qt.qconj(q)
+    q_shift = jnp.roll(q, -delta, axis=0)
+    dq = qt.qreduce(qt.qmult(q_inv, q_shift))
+    idx = jnp.arange(n)
+    mask = (idx < (n_data - delta)).astype(q.dtype)
+    return dq[..., 1:4] * mask[:, None], mask
+
+
+@partial(jax.jit, static_argnames=("n_chunks",))
+def dq_statistics(q, lag_frames, n_chunks: int = 0) -> DqStats:
+    """Compute iso decay and anisotropy tensors for all lags at once.
+
+    q          : (N, 4) orientation quaternions (unit).
+    lag_frames : (L,) int32 lags (frames).
+    n_chunks   : if >0, also return per-subchunk statistics for
+                 uncertainty estimation
+                 (calculate-dq-distribution.py:128-144,613-630).
+    """
+    q = jnp.asarray(q)
+    n = q.shape[0]
+    lag_frames = jnp.asarray(lag_frames)
+
+    def per_lag(delta):
+        v, mask = _dq_vectors(q, delta, n)
+        cnt = jnp.sum(mask)
+        v2 = jnp.sum(v * v, axis=-1)
+        iso = jnp.sum((1.0 - 2.0 * v2) * mask) / cnt
+        M = jnp.einsum("ij,ik->jk", v, v) / cnt
+        if n_chunks > 0:
+            # Reference chunking: nblock = ceil(ndat/nchunk) over the
+            # *valid* length ndat = n - delta (:128-144).  With masking we
+            # approximate by chunking the fixed-length array; parity is
+            # maintained by computing per-chunk counts from the mask.
+            ndat = n - delta
+            nblock = jnp.ceil(ndat / n_chunks).astype(jnp.int32)
+            idx = jnp.arange(n)
+            chunk_id = jnp.clip(idx // jnp.maximum(nblock, 1), 0, n_chunks - 1)
+            one_hot = (chunk_id[:, None] == jnp.arange(n_chunks)[None, :]).astype(q.dtype)
+            w = one_hot * mask[:, None]  # (N, nChunk)
+            cnts = jnp.sum(w, axis=0)
+            iso_c = jnp.sum((1.0 - 2.0 * v2)[:, None] * w, axis=0) / cnts
+            M_c = jnp.einsum("ij,ik,ic->cjk", v, v, w) / cnts[:, None, None]
+            return iso, M, iso_c, M_c
+        zero_i = jnp.zeros((0,), q.dtype)
+        zero_m = jnp.zeros((0, 3, 3), q.dtype)
+        return iso, M, zero_i, zero_m
+
+    iso, M, iso_c, M_c = jax.vmap(per_lag)(lag_frames)
+    return DqStats(lag_frames, iso, M, iso_c, M_c)
+
+
+class DqFrame(NamedTuple):
+    q_frame: jnp.ndarray  # (4,) PAF quaternion (locked at first lag)
+    eigvals: jnp.ndarray  # (L, 3) eigenvalues per lag
+    aniso_decay: jnp.ndarray  # (L, 3): 1 - 2 * diag(R M R^T) per lag
+    aniso_chunks: jnp.ndarray  # (L, nChunk, 3) or empty
+    q_per_lag: jnp.ndarray  # (L, 4) per-lag PAF quaternions
+    axes_per_lag: jnp.ndarray  # (L, 3, 3) eigenvector rows per lag
+
+
+def principal_frame(stats: DqStats) -> DqFrame:
+    """Diagonalise M per lag, lock the PAF at the first lag, and project
+    every lag's tensor into that frame algebraically
+    (calculate-dq-distribution.py:575-611)."""
+    eigvals, eigvecs = jnp.linalg.eigh(stats.M)  # vecs columns
+    axes = jnp.swapaxes(eigvecs, -1, -2)  # rows = axes
+    q_all = qt.frame_transform_min(axes)  # (L, 4)
+    q_frame = q_all[0]
+    R = qt.quat_to_mat(q_frame)  # rotation applied to vectors
+    # <(Rv)(Rv)^T> = R M R^T
+    MR = jnp.einsum("ab,lbc,dc->lad", R, stats.M, R)
+    aniso = 1.0 - 2.0 * jnp.stack([MR[:, 0, 0], MR[:, 1, 1], MR[:, 2, 2]], axis=-1)
+    if stats.M_chunks.size:
+        MRc = jnp.einsum("ab,lcbe,de->lcad", R, stats.M_chunks, R)
+        aniso_c = 1.0 - 2.0 * jnp.stack(
+            [MRc[..., 0, 0], MRc[..., 1, 1], MRc[..., 2, 2]], axis=-1
+        )
+    else:
+        aniso_c = jnp.zeros((stats.M.shape[0], 0, 3), stats.M.dtype)
+    return DqFrame(q_frame, eigvals, aniso, aniso_c, q_all, axes)
+
+
+# ---------------------------------------------------------------------------
+# Exponential decay fits: y = C0 exp(-x/A) + C1, solve for A > 0
+# (replaces conduct_exponential_fit + powell_expdecay,
+# calculate-dq-distribution.py:152-207)
+# ---------------------------------------------------------------------------
+
+
+def _expdecay_guess(x, y, c1):
+    """Two-point initial guess (calculate-dq-distribution.py:195-196)."""
+    ratio = (y[1] - c1) / (y[0] - c1)
+    safe = jnp.where(ratio > 0, ratio, 0.5)
+    return (x[0] - x[1]) / jnp.log(safe)
+
+
+@jax.jit
+def fit_exp_decay(x, y, c0, c1, n_iter: int = 60):
+    """Vectorised 1-parameter exponential fit by damped Newton on the
+    chi-square gradient.  x: (T,); y: (..., T).  Returns tau (...,)."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+
+    def chi2(logA, yv):
+        A = jnp.exp(logA)
+        model = c0 * jnp.exp(-x / A) + c1
+        return jnp.mean((model - yv) ** 2)
+
+    dchi = jax.grad(chi2)
+    d2chi = jax.grad(lambda la, yv: dchi(la, yv))
+
+    def fit_one(yv):
+        la0 = jnp.log(jnp.clip(_expdecay_guess(x, yv, c1), x[0] * 1e-3, x[-1] * 1e3))
+
+        def body(i, la):
+            g = dchi(la, yv)
+            h = d2chi(la, yv)
+            step = jnp.where(jnp.abs(h) > 1e-30, g / h, 0.0)
+            # Damped Newton with fallback to gradient descent direction.
+            step = jnp.where((h > 0) & jnp.isfinite(step), step, jnp.sign(g) * 0.1)
+            step = jnp.clip(step, -0.5, 0.5)
+            la_new = la - step
+            better = chi2(la_new, yv) <= chi2(la, yv)
+            return jnp.where(better, la_new, la - 0.1 * jnp.clip(g, -1, 1))
+
+        la = jax.lax.fori_loop(0, n_iter, body, la0)
+        return jnp.exp(la)
+
+    flat = y.reshape(-1, y.shape[-1])
+    taus = jax.vmap(fit_one)(flat)
+    return taus.reshape(y.shape[:-1])
+
+
+def isotropic_decay(x, tau):
+    """1.5 exp(-x/tau) - 0.5 (calculate-dq-distribution.py:146-147)."""
+    return 1.5 * jnp.exp(-x / tau) - 0.5
+
+
+def anisotropic_decay(x, tau):
+    """0.5 exp(-x/tau) + 0.5 (calculate-dq-distribution.py:149-150)."""
+    return 0.5 * jnp.exp(-x / tau) + 0.5
+
+
+def tau_to_D(tau_ps):
+    """D [s^-1] = 0.5e12 / tau[ps] (calculate-dq-distribution.py:230)."""
+    return 0.5e12 / tau_ps
+
+
+# ---------------------------------------------------------------------------
+# Anisotropy conversions (calculate-dq-distribution.py:30-91)
+# ---------------------------------------------------------------------------
+
+
+def aniso_of(D):
+    return 2 * D[..., 2] / (D[..., 1] + D[..., 0])
+
+
+def rhomb_of(D):
+    return 3 * (D[..., 1] - D[..., 0]) / (2 * D[..., 2] - D[..., 1] - D[..., 0])
+
+
+def calculate_anisotropies(D):
+    """(Diso, aniL, rhomL, aniS, rhomS) from sorted Dx<=Dy<=Dz."""
+    D = jnp.asarray(D)
+    Drev = D[..., ::-1]
+    return (
+        jnp.mean(D, axis=-1),
+        aniso_of(D),
+        rhomb_of(D),
+        aniso_of(Drev),
+        rhomb_of(Drev),
+    )
+
+
+# ---------------------------------------------------------------------------
+# High-level driver
+# ---------------------------------------------------------------------------
+
+
+class DqResult(NamedTuple):
+    lag_times: np.ndarray
+    iso: np.ndarray
+    iso_tau: float
+    iso_tau_chunks: np.ndarray
+    aniso: np.ndarray  # (3, L)
+    aniso_taus: np.ndarray  # (3,)
+    aniso_tau_chunks: np.ndarray  # (nChunk, 3)
+    aniso_chunks: np.ndarray  # (nChunk, 3, L)
+    iso_chunks: np.ndarray  # (nChunk, L)
+    q_frame: np.ndarray
+    q_per_lag: np.ndarray
+    axes_per_lag: np.ndarray
+    D_iso: float
+    D_axes: np.ndarray  # (3,) in s^-1
+    anisotropies: tuple  # (Diso, aniL, rhomL, aniS, rhomS) of D_axes
+
+
+def analyse_dq(
+    q_traj: np.ndarray,
+    delta_t: float,
+    min_dt: float,
+    max_dt: float,
+    skip_dt: float,
+    n_chunks: int = 0,
+) -> DqResult:
+    """Full Delta-q analysis of one quaternion trajectory.
+
+    Mirrors the lag-grid construction of the reference (:509-523): lags
+    from max(skip, min) to max in steps of skip (in frames).
+    """
+    q_traj = np.asarray(q_traj)
+    n = q_traj.shape[0]
+    skip_int = max(1, int(skip_dt / delta_t))
+    min_int = max(skip_int, int(min_dt / delta_t))
+    max_int = int(max_dt / delta_t)
+    if max_int * delta_t > (n - 1) * delta_t / 2.0:
+        raise ValueError(
+            f"max_dt ({max_dt}) exceeds half the trajectory length "
+            f"({(n - 1) * delta_t / 2.0})"
+        )
+    lags = np.arange(min_int, max_int + 1, skip_int, dtype=np.int32)
+    stats = dq_statistics(jnp.asarray(q_traj), jnp.asarray(lags), n_chunks=n_chunks)
+    frame = principal_frame(stats)
+    x = lags.astype(float) * delta_t
+
+    iso = np.asarray(stats.iso)
+    tau_iso = float(np.asarray(fit_exp_decay(x, jnp.asarray(iso), 1.5, -0.5)))
+    aniso = np.asarray(frame.aniso_decay).T  # (3, L)
+    taus_aniso = np.asarray(fit_exp_decay(jnp.asarray(x), jnp.asarray(aniso), 0.5, 0.5))
+
+    if n_chunks > 0:
+        iso_chunks = np.asarray(stats.iso_chunks).T  # (nChunk, L)
+        tau_iso_chunks = np.asarray(
+            fit_exp_decay(jnp.asarray(x), jnp.asarray(iso_chunks), 1.5, -0.5)
+        )
+        aniso_chunks = np.moveaxis(np.asarray(frame.aniso_chunks), 0, -1)  # (nChunk, 3, L)
+        tau_aniso_chunks = np.asarray(
+            fit_exp_decay(jnp.asarray(x), jnp.asarray(aniso_chunks), 0.5, 0.5)
+        )
+    else:
+        iso_chunks = np.zeros((0, len(lags)))
+        tau_iso_chunks = np.zeros(0)
+        aniso_chunks = np.zeros((0, 3, len(lags)))
+        tau_aniso_chunks = np.zeros((0, 3))
+
+    D_axes = tau_to_D(taus_aniso)
+    order = np.argsort(D_axes)
+    anis = tuple(
+        float(np.asarray(v)) for v in calculate_anisotropies(jnp.asarray(np.sort(D_axes)))
+    )
+    return DqResult(
+        lag_times=x,
+        iso=iso,
+        iso_tau=tau_iso,
+        iso_tau_chunks=tau_iso_chunks,
+        aniso=aniso,
+        aniso_taus=taus_aniso,
+        aniso_tau_chunks=tau_aniso_chunks,
+        aniso_chunks=aniso_chunks,
+        iso_chunks=iso_chunks,
+        q_frame=np.asarray(frame.q_frame),
+        q_per_lag=np.asarray(frame.q_per_lag),
+        axes_per_lag=np.asarray(frame.axes_per_lag),
+        D_iso=float(tau_to_D(tau_iso)),
+        D_axes=np.asarray(D_axes),
+        anisotropies=anis,
+    )

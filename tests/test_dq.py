@@ -1,0 +1,196 @@
+"""Delta-q rotational diffusion: numpy transliteration parity + synthetic
+D-tensor recovery + full-script parity against the reference
+calculate-dq-distribution.py (run via subprocess with dependency shims)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from spinrelax_tpu.core import quaternion as qt
+from spinrelax_tpu.ops import dq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+SHIM = os.path.join(REPO, "tools", "refshim")
+
+
+def np_qmult(a, b):
+    w1, x1, y1, z1 = np.moveaxis(a, -1, 0)
+    w2, x2, y2, z2 = np.moveaxis(b, -1, 0)
+    return np.stack(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 + y1 * w2 + z1 * x2 - x1 * z2,
+            w1 * z2 + z1 * w2 + x1 * y2 - y1 * x2,
+        ],
+        axis=-1,
+    )
+
+
+def simulate_diffusion_quats(rng, n_frames, D_body, dt):
+    """Rotational Brownian motion with body-frame diffusion tensor
+    diag(D_body): per-step rotation angles ~ N(0, 2 D_i dt)."""
+    sig = np.sqrt(2.0 * np.asarray(D_body) * dt)
+    q = np.zeros((n_frames, 4))
+    q[0] = [1.0, 0, 0, 0]
+    for t in range(1, n_frames):
+        w = rng.normal(scale=sig)
+        th = np.linalg.norm(w)
+        ax = w / th if th > 0 else np.array([1.0, 0, 0])
+        dqq = np.concatenate([[np.cos(th / 2)], ax * np.sin(th / 2)])
+        q[t] = np_qmult(q[t - 1], dqq)
+        q[t] /= np.linalg.norm(q[t])
+    return q
+
+
+def np_dq_stats(q, lags):
+    """Literal transliteration of obtain_self_dq + averages
+    (calculate-dq-distribution.py:102-126)."""
+    isos, Ms = [], []
+    for delta in lags:
+        a = q[:-delta] * np.array([1.0, -1, -1, -1])
+        dqs = np_qmult(a, q[delta:])
+        sgn = np.where(dqs[:, 0] >= 0, 1.0, -1.0)
+        v = dqs[:, 1:] * sgn[:, None]
+        isos.append(np.mean(1.0 - 2.0 * np.sum(v**2, axis=-1)))
+        Ms.append(np.einsum("ij,ik->jk", v, v) / len(v))
+    return np.array(isos), np.array(Ms)
+
+
+@pytest.fixture(scope="module")
+def qtraj():
+    rng = np.random.default_rng(7)
+    # Axisymmetric-ish tensor in ps^-1 (tau ~ few hundred ps).
+    D_body = np.array([8e-4, 8e-4, 2.4e-3])
+    return simulate_diffusion_quats(rng, 24000, D_body, dt=1.0), D_body
+
+
+def test_dq_statistics_matches_numpy(qtraj):
+    q, _ = qtraj
+    lags = np.array([1, 5, 10, 20], dtype=np.int32)
+    stats = dq.dq_statistics(jnp.asarray(q), jnp.asarray(lags))
+    want_iso, want_M = np_dq_stats(q, lags)
+    np.testing.assert_allclose(np.asarray(stats.iso), want_iso, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(stats.M), want_M, atol=1e-10)
+
+
+def test_chunked_statistics_match_reference_chunking(qtraj):
+    q, _ = qtraj
+    lags = np.array([3, 7], dtype=np.int32)
+    n_chunks = 4
+    stats = dq.dq_statistics(jnp.asarray(q), jnp.asarray(lags), n_chunks=n_chunks)
+    for li, delta in enumerate(lags):
+        a = q[:-delta] * np.array([1.0, -1, -1, -1])
+        dqs = np_qmult(a, q[delta:])
+        sgn = np.where(dqs[:, 0] >= 0, 1.0, -1.0)
+        v = dqs[:, 1:] * sgn[:, None]
+        ndat = len(v)
+        nblock = int(np.ceil(ndat / n_chunks))
+        for c in range(n_chunks):
+            seg = v[nblock * c : min(ndat, nblock * (c + 1))]
+            want = np.mean(1.0 - 2.0 * np.sum(seg**2, axis=-1))
+            np.testing.assert_allclose(
+                float(stats.iso_chunks[li, c]), want, atol=1e-10
+            )
+
+
+def test_exp_fit_recovers_tau():
+    x = np.arange(1.0, 200.0, 2.0)
+    tau_true = 77.0
+    y = 1.5 * np.exp(-x / tau_true) - 0.5
+    tau = float(np.asarray(dq.fit_exp_decay(jnp.asarray(x), jnp.asarray(y), 1.5, -0.5)))
+    np.testing.assert_allclose(tau, tau_true, rtol=1e-6)
+    # batched, other form
+    y2 = 0.5 * np.exp(-x[None, :] / np.array([[30.0], [120.0]])) + 0.5
+    taus = np.asarray(dq.fit_exp_decay(jnp.asarray(x), jnp.asarray(y2), 0.5, 0.5))
+    np.testing.assert_allclose(taus, [30.0, 120.0], rtol=1e-6)
+
+
+def test_synthetic_D_recovery(qtraj):
+    q, D_body = qtraj
+    res = dq.analyse_dq(q, delta_t=1.0, min_dt=5.0, max_dt=500.0, skip_dt=5.0, n_chunks=4)
+    D_sorted = np.sort(res.D_axes) * 1e-12  # s^-1 -> ps^-1
+    # The delta-q vector component i measures rotation about body axis i:
+    # Var(theta_i) = 2 D_i t, so each axis decay recovers D_i itself.
+    want = np.sort(D_body)
+    np.testing.assert_allclose(D_sorted, want, rtol=0.25)
+    # The degenerate pair should average to D_perp reasonably well.
+    np.testing.assert_allclose(np.mean(D_sorted[:2]), D_body[0], rtol=0.15)
+    # The unique axis recovered at the first lag must align with lab z
+    # (the x/y plane is degenerate so the in-plane axes are arbitrary).
+    assert abs(res.axes_per_lag[0, 2, 2]) > 0.99
+
+
+@pytest.mark.slow
+def test_full_script_parity_vs_reference(tmp_path, qtraj):
+    """Write a synthetic colvar, run the reference script end-to-end, and
+    compare its fitted taus/PAF against analyse_dq."""
+    q, _ = qtraj
+    n = q.shape[0]
+    colvar = tmp_path / "colvar-qorient"
+    with open(colvar, "w") as fp:
+        fp.write("#! FIELDS time q.w q.x q.y q.z\n")
+        for t in range(n):
+            fp.write(
+                " %f %f %f %f %f\n" % (t * 1.0, q[t, 0], q[t, 1], q[t, 2], q[t, 3])
+            )
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = SHIM + ":" + REF
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REF, "calculate-dq-distribution.py"),
+            "--iso",
+            "--aniso",
+            "-f",
+            str(colvar),
+            "-o",
+            str(tmp_path / "ref"),
+            "--mindt",
+            "5",
+            "--skip",
+            "5",
+            "--maxdt",
+            "500",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    # Parse reference outputs.
+    ref_iso = {}
+    with open(tmp_path / "ref-iso.dat") as fp:
+        for line in fp:
+            if line.startswith("# model fit"):
+                ref_tau_iso = float(line.split("=")[1].split("[")[0])
+    ref_taus = []
+    with open(tmp_path / "ref-aniso2.dat") as fp:
+        for line in fp:
+            if "tau =" in line:
+                ref_taus.append(float(line.split("=")[1].split("[")[0]))
+            if line.startswith("# Quaternion"):
+                ref_q = np.array([float(x) for x in line.split(":")[1].split()])
+
+    res = dq.analyse_dq(q, delta_t=1.0, min_dt=5.0, max_dt=500.0, skip_dt=5.0)
+    if 0 < ref_tau_iso < 1e6:
+        # The reference's unbounded scalar Powell occasionally diverges on
+        # the iso fit (observed: tau=-2.9e15 on clean synthetic data);
+        # only compare when it returned something physical.
+        np.testing.assert_allclose(res.iso_tau, ref_tau_iso, rtol=1e-3)
+    else:
+        assert 0 < res.iso_tau < 1e6  # ours must stay physical regardless
+    np.testing.assert_allclose(res.aniso_taus, ref_taus, rtol=1e-3)
+    # Same PAF quaternion up to sign.
+    dot = abs(float(np.dot(res.q_frame, ref_q)))
+    assert dot > 0.9999, (res.q_frame, ref_q)
