@@ -1,0 +1,119 @@
+"""Trajectory orientation: batched Horn quaternion superposition.
+
+TPU-native replacement for the reference's *external* orientation
+toolchain — the PLUMED2 QUATERNION colvar (computes the per-frame
+rigid-body orientation quaternion vs a reference structure;
+plumed-quat-template.dat + run-all.bash:359) and mdtraj's
+``center_coordinates``/``superpose`` least-squares fit
+(calculate-Ct-from-traj.py:433,466-467).
+
+Horn's closed-form solution: the optimal rotation mapping reference
+coordinates onto a frame is the leading eigenvector of the 4x4 key
+matrix K built from the coordinate correlation matrix.  All frames are
+solved in one vmapped `eigh` — no external processes, no per-frame loops.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core import quaternion as qt
+
+
+def _horn_K(S):
+    """Horn's 4x4 key matrix from a 3x3 correlation S = sum w x_ref x_frm^T."""
+    Sxx, Sxy, Sxz = S[..., 0, 0], S[..., 0, 1], S[..., 0, 2]
+    Syx, Syy, Syz = S[..., 1, 0], S[..., 1, 1], S[..., 1, 2]
+    Szx, Szy, Szz = S[..., 2, 0], S[..., 2, 1], S[..., 2, 2]
+    row0 = jnp.stack([Sxx + Syy + Szz, Syz - Szy, Szx - Sxz, Sxy - Syx], -1)
+    row1 = jnp.stack([Syz - Szy, Sxx - Syy - Szz, Sxy + Syx, Szx + Sxz], -1)
+    row2 = jnp.stack([Szx - Sxz, Sxy + Syx, Syy - Sxx - Szz, Syz + Szy], -1)
+    row3 = jnp.stack([Sxy - Syx, Szx + Sxz, Syz + Szy, Szz - Sxx - Syy], -1)
+    return jnp.stack([row0, row1, row2, row3], -2)
+
+
+@jax.jit
+def orientation_quats(frames, reference, weights=None):
+    """Per-frame rigid-body orientation quaternions vs a reference.
+
+    frames    : (nFrames, nAtoms, 3) trajectory coordinates.
+    reference : (nAtoms, 3) reference coordinates.
+    weights   : (nAtoms,) fit weights (e.g. occupancies/masses) or None.
+
+    Returns q (nFrames, 4) such that rotating the *reference* by q gives
+    the best fit to each frame (the same convention as the PLUMED
+    QUATERNION colvar: the orientation of the frame relative to the
+    reference).  Quaternions are double-cover reduced and sign-continuous
+    along the trajectory.
+    """
+    frames = jnp.asarray(frames)
+    reference = jnp.asarray(reference)
+    if weights is None:
+        weights = jnp.ones(reference.shape[0], dtype=frames.dtype)
+    weights = weights / jnp.sum(weights)
+
+    ref_c = reference - jnp.sum(weights[:, None] * reference, axis=0)
+    frm_c = frames - jnp.sum(weights[None, :, None] * frames, axis=1, keepdims=True)
+
+    # S_f = sum_a w_a ref_a (x) frm_fa : (nFrames, 3, 3)
+    S = jnp.einsum("a,ai,faj->fij", weights, ref_c, frm_c)
+    K = _horn_K(S)
+    vals, vecs = jnp.linalg.eigh(K)  # ascending; take last column
+    q = vecs[..., :, -1]
+    q = qt.qreduce(q)
+    # Sign continuity along the trajectory: flip q_t if q_t . q_{t-1} < 0.
+    def body(prev, qi):
+        s = jnp.where(jnp.sum(prev * qi) >= 0, 1.0, -1.0)
+        cur = qi * s
+        return cur, cur
+    _, q_cont = jax.lax.scan(body, q[0], q)
+    return q_cont
+
+
+@jax.jit
+def superpose(frames, reference, fit_weights=None):
+    """Least-squares superpose all frames onto the reference (the
+    mdtraj ``center_coordinates`` + ``superpose`` step,
+    calculate-Ct-from-traj.py:433,466-467).
+
+    Returns the rotated+centred coordinates (nFrames, nAtoms, 3): each
+    frame is centred on its fit-weight centroid and rotated so the fit
+    atoms best match the centred reference.
+    """
+    frames = jnp.asarray(frames)
+    reference = jnp.asarray(reference)
+    q = orientation_quats(frames, reference, fit_weights)
+    if fit_weights is None:
+        w = jnp.ones(reference.shape[0], dtype=frames.dtype)
+    else:
+        w = jnp.asarray(fit_weights)
+    w = w / jnp.sum(w)
+    frm_c = frames - jnp.sum(w[None, :, None] * frames, axis=1, keepdims=True)
+    # q rotates the reference onto the frame; to bring the frame onto the
+    # reference, apply the conjugate.
+    return qt.rotate_vector(frm_c, qt.qconj(q)[:, None, :])
+
+
+class BondVectors(NamedTuple):
+    raw: jnp.ndarray  # (nFrames, nBonds, 3) lab-frame unit vectors
+    fitted: jnp.ndarray  # (nFrames, nBonds, 3) after superposition
+
+
+@partial(jax.jit, static_argnames=())
+def bond_vectors(frames, reference, idx_h, idx_x, fit_weights=None):
+    """Extract normalised X-H bond vectors pre- and post-fit
+    (obtain_XHvecs, calculate-Ct-from-traj.py:64-86).
+
+    idx_h / idx_x : (nBonds,) atom indices of H and X partners.
+    """
+    frames = jnp.asarray(frames)
+    raw = frames[:, idx_h, :] - frames[:, idx_x, :]
+    raw = qt.vecnorm(raw)
+    fitted_frames = superpose(frames, reference, fit_weights)
+    fitted = fitted_frames[:, idx_h, :] - fitted_frames[:, idx_x, :]
+    fitted = qt.vecnorm(fitted)
+    return BondVectors(raw, fitted)
