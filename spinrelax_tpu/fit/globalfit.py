@@ -1,0 +1,315 @@
+"""Global parameter optimisation against multi-field experiments.
+
+Replaces the reference's optimisation machinery in
+``spinRelaxationExperiments`` (spectral_densities.py:1217-1447): a
+registry of optimisable globals {Diso, Daniso, zeta, CSA} plus the
+residue-specific CSA (rsCSA) local stage, alternated until convergence.
+
+TPU-first design: the full multi-experiment chi-square is ONE jitted,
+differentiable function of the parameter vector — every experiment, every
+residue, every vector sample evaluated in a single fused graph.  Two
+optimisers drive it:
+
+- 'powell'  : scipy fmin_powell on the jitted objective with the
+  reference's diagonal step-size direction matrix (parity mode,
+  spectral_densities.py:1387-1397).
+- 'gradient': L-BFGS-B with exact JAX gradients (the forward model is
+  fully differentiable — the reference could never do this).
+
+The rsCSA local stage is a *batched* golden-section over all residues at
+once (the chi-square separates per residue), replacing nResidues
+sequential scalar Powell runs (spectral_densities.py:1371-1382).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.diffusion import Diffusion
+from ..models.experiments import ExperimentSet
+from ..ops import observables as obs
+from .scalar import golden_vec
+
+ALLOWED_VARIABLES = ("Diso", "Daniso", "CSA", "zeta", "rsCSA")
+# Powell step sizes (spectral_densities.py:1219)
+STEP_SIZES = {"Diso": 1e-5, "Daniso": 0.1, "zeta": 0.1, "CSA": 1e-5, "rsCSA": 1e-5}
+EXPORT_SCALING = {"Diso": 1.0, "Daniso": 1.0, "zeta": 1.0, "CSA": 1e6, "rsCSA": 1e6}
+EXPORT_UNITS = {"Diso": "ps^-1", "Daniso": "a.u.", "zeta": "a.u.", "CSA": "ppm", "rsCSA": "ppm"}
+
+
+@dataclasses.dataclass
+class FitState:
+    diso: float
+    aniso: float
+    zeta: float
+    csa: np.ndarray  # (nRes,) residue-specific (may be uniform)
+    chisq: float = np.nan
+
+
+def _eval_all(es: ExperimentSet, diso, aniso, zeta, csa):
+    """Predicted (value, error) for every experiment, batched.
+
+    Returns list of (v (nRes,), e (nRes,) or None)."""
+    if es.diffusion.kind == "isotropic":
+        diffusion = Diffusion.isotropic(diso=diso)
+    elif es.diffusion.kind == "axisymmetric":
+        diffusion = Diffusion.axisymmetric(diso=diso, aniso=aniso)
+    else:
+        raise ValueError(f"optimisation unsupported for kind {es.diffusion.kind}")
+    cts = dataclasses.replace(es.cts, zeta=zeta)
+    out = []
+    vecs = None if es.vecs is None else jnp.asarray(es.vecs)
+    weights = None if es.weights is None else jnp.asarray(es.weights)
+    for e in es.experiments:
+        rates = obs.predict_rates_newapi(
+            e.pair, diffusion, cts, vecs=vecs, weights=weights, csa=csa
+        )
+        if e.expt_type == "R1":
+            v, dv = rates.R1, rates.dR1
+        elif e.expt_type == "R2":
+            v, dv = rates.R2, rates.dR2
+        elif e.expt_type == "NOE":
+            v, dv = rates.NOE, rates.dNOE
+        else:
+            raise ValueError(f"unknown experiment type {e.expt_type!r}")
+        out.append((v, dv))
+    return out
+
+
+def chisq_total(es: ExperimentSet, diso, aniso, zeta, csa):
+    """Reference chi-square: per-experiment masked mean of
+    (v-t)^2 / (dTarget^2 + dSim^2), summed over experiments / nExpt
+    (spectral_densities.py:803-818, 1409-1413)."""
+    preds = _eval_all(es, diso, aniso, zeta, csa)
+    total = 0.0
+    for e, (v, dv) in zip(es.experiments, preds):
+        m = jnp.asarray(e.mask)
+        t = jnp.asarray(e.target)
+        sq = (v - t) ** 2
+        if e.error is not None and dv is not None:
+            w = jnp.asarray(e.error) ** 2 + dv**2
+        elif dv is None and e.error is not None:
+            w = jnp.asarray(e.error) ** 2
+        elif e.error is None and dv is not None:
+            w = dv**2
+        else:
+            w = jnp.ones_like(sq)
+        w = jnp.where(w > 0, w, 1.0)
+        total = total + jnp.sum(m * sq / w) / jnp.maximum(jnp.sum(m), 1.0)
+    return total / len(es.experiments)
+
+
+def chisq_per_residue(es: ExperimentSet, diso, aniso, zeta, csa):
+    """Per-residue chi-square for the rsCSA local stage
+    (optimisation_loop_rsCSA_inner_function,
+    spectral_densities.py:1430-1447): mean over covering experiments of
+    (v-t)^2 / (dv^2 + dt^2), with weight 1 when both vanish."""
+    preds = _eval_all(es, diso, aniso, zeta, csa)
+    num = 0.0
+    cnt = 0.0
+    for e, (v, dv) in zip(es.experiments, preds):
+        m = jnp.asarray(e.mask)
+        t = jnp.asarray(e.target)
+        dv2 = 0.0 if dv is None else dv**2
+        dt2 = 0.0 if e.error is None else jnp.asarray(e.error) ** 2
+        w = dv2 + dt2
+        w = jnp.where(w > 0, w, 1.0)
+        num = num + m * (v - t) ** 2 / w
+        cnt = cnt + m
+    return num / jnp.maximum(cnt, 1.0)
+
+
+class GlobalFitter:
+    """Drives the global/local optimisation loops
+    (perform_optimisation, spectral_densities.py:1302-1382)."""
+
+    def __init__(self, es: ExperimentSet, opt_vars: Sequence[str]):
+        for v in opt_vars:
+            if v not in ALLOWED_VARIABLES:
+                raise ValueError(
+                    f"unknown optimisation variable {v!r}; allowed: {ALLOWED_VARIABLES}"
+                )
+        if "CSA" in opt_vars and "rsCSA" in opt_vars:
+            raise ValueError("cannot optimise both global CSA and rsCSA")
+        self.es = es
+        self.global_vars = [v for v in opt_vars if v != "rsCSA"]
+        self.do_local = "rsCSA" in opt_vars
+        n_res = es.n_residues
+        csa0 = es.csa
+        if csa0 is None:
+            csa0 = np.full(n_res, es.experiments[0].pair.csa_value)
+        self.state = FitState(
+            diso=float(np.asarray(es.diffusion.diso)),
+            aniso=float(np.asarray(es.diffusion.aniso)),
+            zeta=float(np.asarray(es.cts.zeta)),
+            csa=np.asarray(csa0, dtype=float).copy(),
+        )
+
+        # One jitted chi-square over the full packed parameter vector.
+        es_ref = self.es
+
+        @jax.jit
+        def _chisq_packed(diso, aniso, zeta, csa):
+            return chisq_total(es_ref, diso, aniso, zeta, csa)
+
+        @jax.jit
+        def _chisq_res(diso, aniso, zeta, csa):
+            return chisq_per_residue(es_ref, diso, aniso, zeta, csa)
+
+        self._chisq = _chisq_packed
+        self._chisq_res = _chisq_res
+        self._grad = jax.jit(jax.grad(_chisq_packed, argnums=(0, 1, 2)))
+
+    # -- parameter packing ---------------------------------------------
+    def _get_globals(self) -> np.ndarray:
+        vals = []
+        for v in self.global_vars:
+            if v == "Diso":
+                vals.append(self.state.diso)
+            elif v == "Daniso":
+                vals.append(self.state.aniso)
+            elif v == "zeta":
+                vals.append(self.state.zeta)
+            elif v == "CSA":
+                vals.append(float(np.mean(self.state.csa)))
+        return np.array(vals)
+
+    def _set_globals(self, x: np.ndarray):
+        for v, val in zip(self.global_vars, x):
+            if v == "Diso":
+                self.state.diso = float(val)
+            elif v == "Daniso":
+                self.state.aniso = float(val)
+            elif v == "zeta":
+                self.state.zeta = float(val)
+            elif v == "CSA":
+                self.state.csa[:] = float(val)
+
+    def chisq(self) -> float:
+        s = self.state
+        return float(self._chisq(s.diso, s.aniso, s.zeta, jnp.asarray(s.csa)))
+
+    def _objective_np(self, x) -> float:
+        self._set_globals(np.atleast_1d(np.asarray(x, dtype=float)))
+        return self.chisq()
+
+    # -- optimisation stages --------------------------------------------
+    def global_step(self, method: str = "powell") -> float:
+        x0 = self._get_globals()
+        if len(x0) == 0:
+            return self.chisq()
+        if method == "powell":
+            from scipy.optimize import fmin_powell
+
+            direc = np.diag([STEP_SIZES[v] for v in self.global_vars])
+            out = fmin_powell(
+                self._objective_np, x0=x0, direc=direc, full_output=True, disp=False
+            )
+            xbest, fbest = out[0], out[1]
+        elif method == "gradient":
+            from scipy.optimize import minimize
+
+            def f_and_g(x):
+                self._set_globals(np.atleast_1d(x))
+                s = self.state
+                csa_j = jnp.asarray(s.csa)
+                f = float(self._chisq(s.diso, s.aniso, s.zeta, csa_j))
+                g_full = self._grad(s.diso, s.aniso, s.zeta, csa_j)
+                gsel = []
+                for v in self.global_vars:
+                    if v == "Diso":
+                        gsel.append(float(g_full[0]))
+                    elif v == "Daniso":
+                        gsel.append(float(g_full[1]))
+                    elif v == "zeta":
+                        gsel.append(float(g_full[2]))
+                    elif v == "CSA":
+                        # dchi/dCSA_scalar = sum_i dchi/dcsa_i
+                        gc = jax.grad(
+                            lambda c: self._chisq(
+                                s.diso, s.aniso, s.zeta, jnp.full_like(csa_j, c)
+                            )
+                        )(jnp.asarray(float(np.mean(s.csa))))
+                        gsel.append(float(gc))
+                return f, np.array(gsel)
+
+            # Scale parameters so L-BFGS sees O(1) magnitudes.
+            scales = np.array(
+                [abs(v) if abs(v) > 0 else 1.0 for v in x0], dtype=float
+            )
+            res = minimize(
+                lambda z: f_and_g(z * scales)[0],
+                x0 / scales,
+                jac=lambda z: f_and_g(z * scales)[1] * scales,
+                method="L-BFGS-B",
+            )
+            xbest, fbest = res.x * scales, res.fun
+        else:
+            raise ValueError(f"unknown method {method!r}")
+        self._set_globals(np.atleast_1d(xbest))
+        self.state.chisq = float(fbest)
+        return self.state.chisq
+
+    def local_step(self, half_width: float = 150e-6, n_iter: int = 90):
+        """Batched rsCSA: golden-section over each residue's CSA in a
+        bracket around the current value; residues decouple so one
+        vectorised search replaces nRes sequential Powell fits."""
+        s = self.state
+        csa0 = jnp.asarray(s.csa)
+        covered = np.asarray(self.es.coverage_counts()) > 0
+
+        def f(c):
+            return self._chisq_res(s.diso, s.aniso, s.zeta, c)
+
+        # golden_vec wants f: (B,)->(B,); embed candidates in full vector.
+        def fv(cand):
+            return f(cand)
+
+        lo = csa0 - half_width
+        hi = csa0 + half_width
+        best = golden_vec(fv, lo, hi, n_iter=n_iter)
+        new = np.asarray(best)
+        # Residues with no experimental coverage keep their CSA
+        # (reference skips them: nExpts>0 check, :1375-1377).
+        s.csa = np.where(covered, new, s.csa)
+
+    def run(
+        self,
+        max_cycles: int = 10,
+        tol: float = 1e-6,
+        method: str = "powell",
+        verbose: bool = False,
+    ) -> FitState:
+        """Alternating global/local loop (perform_optimisation,
+        spectral_densities.py:1302-1358)."""
+        has_global = len(self.global_vars) > 0
+        if has_global and not self.do_local:
+            self.global_step(method)
+            return self.state
+        if self.do_local and not has_global:
+            self.local_step()
+            self.state.chisq = self.chisq()
+            return self.state
+        first = True
+        for n in range(max_cycles):
+            prev_glob = self._get_globals()
+            self.global_step(method)
+            now_glob = self._get_globals()
+            if not first and np.allclose(prev_glob, now_glob, rtol=tol):
+                break
+            prev_csa = self.state.csa.copy()
+            self.local_step()
+            if not first and np.allclose(prev_csa, self.state.csa, rtol=tol):
+                self.state.chisq = self.chisq()
+                break
+            first = False
+            if verbose:
+                print(f"    ...cycle {n}: chisq {self.chisq():.6g}")
+        self.state.chisq = self.chisq()
+        return self.state

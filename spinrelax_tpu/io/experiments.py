@@ -104,7 +104,7 @@ def write_experiment(fn: str, expt: ExperimentData):
         print("", file=fp)
         if expt.errors is None:
             for n, v in zip(expt.names, expt.values):
-                print("%s %g" % (n, v), file=fp)
+                print("%s %.12g" % (n, v), file=fp)
         else:
             for n, v, e in zip(expt.names, expt.values, expt.errors):
-                print("%s %g %g" % (n, v, e), file=fp)
+                print("%s %.12g %.12g" % (n, v, e), file=fp)
