@@ -31,25 +31,33 @@ def main():
 
     from spinrelax_tpu.ops.autocorr import ct_palmer
 
-    # Generate inputs ON DEVICE: host->device buffers tunnelled through the
-    # axon relay report bogus (early-acknowledged) completion times.
+    # Timing methodology for the axon-tunnelled TPU: block_until_ready
+    # acknowledges before remote execution completes, so we chain all
+    # iterations into a device-side scalar accumulator and force ONE value
+    # fetch at the end — total wall time then covers every execution plus
+    # a single ~40 ms tunnel round-trip, amortised over n_iter.
     @jax.jit
     def gen(key):
         v = jax.random.normal(key, (N_REP, N_FRAMES, N_RES, 3), dtype=jnp.float32)
         return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
 
     step = jax.jit(ct_palmer)
-    n_iter = 5
-    keys = jax.random.split(jax.random.PRNGKey(0), n_iter + 1)
+    n_iter = 20
+    seed = int(time.time()) & 0x7FFFFFFF  # defeat any server-side result cache
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_iter + 1)
     inputs = [gen(k) for k in keys]
-    jax.block_until_ready(inputs)
-    # Warm-up / compile.
-    jax.block_until_ready(step(inputs[-1]))
+    # Warm-up / compile and force completion of input generation.
+    out = step(inputs[-1])
+    float(out[0][0, 0])
 
     t0 = time.perf_counter()
-    outs = [step(x) for x in inputs[:n_iter]]
-    jax.block_until_ready(outs)
+    acc = jnp.float32(0.0)
+    for x in inputs[:n_iter]:
+        out = step(x)
+        acc = acc + out[0][0, 0] + out[1][0, 0]
+    acc_val = float(acc)  # single fetch forces the whole chain
     dt = (time.perf_counter() - t0) / n_iter
+    assert np.isfinite(acc_val)
 
     rate = N_REP * N_FRAMES * N_RES / dt
     print(
