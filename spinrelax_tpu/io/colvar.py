@@ -21,13 +21,10 @@ from typing import List, Tuple
 import numpy as np
 
 
-def read_colvar(fn: str) -> Tuple[List[str], np.ndarray]:
+def _read_field_names(fn: str) -> List[str]:
     field_names: List[str] = []
-    rows: List[str] = []
     with open(fn) as fp:
         for line in fp:
-            if not line.strip():
-                continue
             if line.startswith("#"):
                 parts = line.split()
                 if len(parts) > 1 and parts[1] == "FIELDS":
@@ -38,11 +35,27 @@ def read_colvar(fn: str) -> Tuple[List[str], np.ndarray]:
                             f"{field_names} vs {names}"
                         )
                     field_names = names
-                continue
-            if not field_names:
-                raise ValueError(f"{fn}: data before any FIELDS header")
-            rows.append(line)
-    data = np.loadtxt(rows, dtype=np.float32, ndmin=2)
+    return field_names
+
+
+def read_colvar(fn: str) -> Tuple[List[str], np.ndarray]:
+    field_names = _read_field_names(fn)
+    if not field_names:
+        raise ValueError(f"{fn}: no FIELDS header found")
+
+    # Fast path: native mmap+strtod parser (spinrelax_tpu/native/fastio.cpp)
+    from . import native
+
+    table = native.load_table(fn, skip_chars="#@&") if native.available() else None
+    if table is None:
+        rows: List[str] = []
+        with open(fn) as fp:
+            for line in fp:
+                if not line.strip() or line.startswith("#"):
+                    continue
+                rows.append(line)
+        table = np.loadtxt(rows, ndmin=2)
+    data = table.astype(np.float32)
     if data.shape[1] != len(field_names):
         raise ValueError(
             f"{fn}: {data.shape[1]} columns but {len(field_names)} fields"

@@ -1,0 +1,132 @@
+"""HYDRONMR results parser (parse-hydroNMR-results.py equivalent).
+
+Reads a HYDRONMR ``output.res``, extracts the rotational diffusion tensor
+(Dx, Dy, Dz) + eigen-axes, reorders to Dx<=Dy<=Dz via 90-degree frame
+rotations (parse-hydroNMR-results.py:5-44), converts to
+(Diso, Daniso, Drhomb), and optionally rotates a PDB into the PAF.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Tuple
+
+import numpy as np
+
+_ROTS = {
+    "x90": np.array([[1.0, 0, 0], [0, 0, -1], [0, 1, 0]]),
+    "y90": np.array([[0.0, 0, 1], [0, 1, 0], [-1, 0, 0]]),
+    "z90": np.array([[0.0, -1, 0], [1, 0, 0], [0, 0, 1]]),
+    "fwd": np.array([[0.0, 0, 1], [1, 0, 0], [0, 1, 0]]),
+    "bwd": np.array([[0.0, 1, 0], [0, 0, 1], [1, 0, 0]]),
+}
+
+
+def reorder_axes(D: np.ndarray, mat: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Permute axes so eigenvalues come ascending, rotating the frame by
+    the matching 90-degree/cyclic rotation (parse-hydroNMR-results.py:5-44)."""
+    d0, d1, d2 = D
+    if d0 <= d1 <= d2:
+        return D, mat
+    if d0 <= d2 < d1:
+        return np.array([d0, d2, d1]), _ROTS["x90"] @ mat
+    if d2 <= d1 <= d0:
+        return np.array([d2, d1, d0]), _ROTS["y90"] @ mat
+    if d1 < d0 < d2:
+        return np.array([d1, d0, d2]), _ROTS["z90"] @ mat
+    if d1 < d2 < d0:
+        return np.array([d1, d2, d0]), _ROTS["fwd"] @ mat
+    if d2 < d0 < d1:
+        return np.array([d2, d0, d1]), _ROTS["bwd"] @ mat
+    raise ValueError(f"cannot order eigenvalues {D}")
+
+
+def read_hydronmr_results(fn: str):
+    """-> (Dxyz ascending [s^-1], row-normalised PAF rotation matrix,
+    pdb filename named in the results)."""
+    D = np.zeros(3)
+    mat = np.zeros((3, 3))
+    pdb_file = None
+    with open(fn) as fp:
+        for line in fp:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "Structural" and parts[1] == "file:":
+                pdb_file = parts[-1]
+            elif parts[0] in ("Dx", "Dy", "Dz"):
+                i = "xyz".index(parts[0][1])
+                D[i] = float(parts[1])
+                mat[i] = [float(x) for x in parts[-3:]]
+    D, mat = reorder_axes(D, mat)
+    mat = mat / np.linalg.norm(mat, axis=-1, keepdims=True)
+    return D, mat, pdb_file
+
+
+def translate_D(D: np.ndarray) -> np.ndarray:
+    """(Dx, Dy, Dz) -> (Diso, Daniso, Drhomb)
+    (parse-hydroNMR-results.py:90-98)."""
+    out = np.zeros(3)
+    out[0] = np.mean(D)
+    out[1] = 2 * D[2] / (D[1] + D[0])
+    out[2] = 3 * (D[1] - D[0]) / (2 * D[2] - D[1] - D[0])
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="spinrelax hydronmr",
+        description="Extract the rotational diffusion tensor from HYDRONMR "
+        "results; optionally rotate the structure into the PAF.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("-f", "--infn", default="output.res")
+    p.add_argument("--rotate", action="store_true")
+    p.add_argument("--pdb", default=None)
+    p.add_argument("-t", dest="timeFactor", type=float, default=1e-12)
+    p.add_argument("-o", "--outPDB", default="rotated.pdb")
+    a = p.parse_args(argv)
+
+    D, mat, pdb_file = read_hydronmr_results(a.infn)
+    if a.pdb is not None:
+        pdb_file = a.pdb
+    DD = D * a.timeFactor
+    Dp1 = translate_D(DD)
+    Dp2 = translate_D(DD[::-1])
+    print("= = = Read the diffusion tensor value (s^-1): %g %g %g" % tuple(D))
+    print("= = = Translated into ps^-1: %g %g %g" % tuple(DD))
+    print("= = = Translated into axisymmetric-expansion  (long-axis): %g %g %g" % tuple(Dp1))
+    print("= = = Translated into axisymmetric-expansion (short-axis): %g %g %g" % tuple(Dp2))
+    print("= = = Rotation matrix:")
+    for row in mat:
+        print("%16g %16g %16g" % tuple(row))
+    from ..core import quaternion as qt
+
+    q = np.asarray(qt.mat_to_quat(mat))
+    print("= = = Equivalent quaternion:")
+    print("%g %g %g %g" % tuple(q))
+
+    if not a.rotate:
+        return
+
+    with open(pdb_file[:-4] + ".Dxyz", "w") as fp:
+        print("%g %g %g" % tuple(DD), file=fp)
+    with open(pdb_file[:-4] + ".Dsymm", "w") as fp:
+        if Dp1[2] <= 1:
+            print("%g %g %g" % tuple(Dp1), file=fp)
+        else:
+            print("%g %g %g" % tuple(Dp2), file=fp)
+
+    from . import pdb as pdbio
+
+    top, xyz = pdbio.read_pdb(pdb_file)
+    cog = np.mean(xyz[0], axis=0)
+    rotated = np.zeros_like(xyz)
+    rotated[0] = (xyz[0] - cog) @ mat.T + cog
+    pdbio.write_pdb(a.outPDB, top, rotated)
+    print("= = = Done.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,196 @@
+"""Minimal PDB reading/writing + atom selection.
+
+Host-side ingest replacing the reference's mdtraj dependency for the
+structure-handling it actually uses (calculate-Ct-from-traj.py:283-294,
+405-471): load coordinates (multi-MODEL for trajectories), select H/N
+atoms by name/residue, read occupancy flags for fit-atom selection, and
+write rotated structures (rotate-coordinate-file.py).
+
+Coordinates are returned in nanometres (mdtraj convention, so all
+downstream defaults carry over).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Topology:
+    atom_names: List[str]
+    res_seqs: np.ndarray  # (nAtoms,) int
+    res_names: List[str]
+    chain_ids: List[str]
+    occupancies: np.ndarray  # (nAtoms,)
+    elements: List[str]
+
+    @property
+    def n_atoms(self) -> int:
+        return len(self.atom_names)
+
+    def select(self, expr: str) -> np.ndarray:
+        """A small selection language covering the reference's usage:
+        - 'name H', 'name N', 'name CA' (multiple names allowed)
+        - 'not resname PRO'
+        - 'occupancy > 0'
+        - conjunctions with 'and'
+        Examples: 'name N and not resname PRO', 'name CA and occupancy > 0'.
+        """
+        mask = np.ones(self.n_atoms, dtype=bool)
+        # Split on 'and' at the top level.
+        for clause in re.split(r"\band\b", expr):
+            clause = clause.strip()
+            if not clause:
+                continue
+            neg = False
+            if clause.startswith("not "):
+                neg = True
+                clause = clause[4:].strip()
+            if clause.startswith("name "):
+                names = clause.split()[1:]
+                m = np.array([a in names for a in self.atom_names])
+            elif clause.startswith("resname "):
+                rn = clause.split()[1:]
+                m = np.array([r in rn for r in self.res_names])
+            elif clause.startswith("occupancy"):
+                mt = re.match(r"occupancy\s*(>|>=|<|<=|==)\s*([\d.eE+-]+)", clause)
+                if not mt:
+                    raise ValueError(f"cannot parse occupancy clause: {clause!r}")
+                op, val = mt.group(1), float(mt.group(2))
+                ops = {
+                    ">": np.greater,
+                    ">=": np.greater_equal,
+                    "<": np.less,
+                    "<=": np.less_equal,
+                    "==": np.equal,
+                }
+                m = ops[op](self.occupancies, val)
+            elif clause.startswith("resSeq") or clause.startswith("resid"):
+                mt = re.match(r"(?:resSeq|resid)\s+(\d+)(?:\s+to\s+(\d+))?", clause)
+                if not mt:
+                    raise ValueError(f"cannot parse residue clause: {clause!r}")
+                lo = int(mt.group(1))
+                hi = int(mt.group(2)) if mt.group(2) else lo
+                m = (self.res_seqs >= lo) & (self.res_seqs <= hi)
+            elif clause == "all":
+                m = np.ones(self.n_atoms, dtype=bool)
+            else:
+                raise ValueError(f"unsupported selection clause: {clause!r}")
+            mask &= ~m if neg else m
+        return np.where(mask)[0]
+
+
+def read_pdb(fn: str) -> Tuple[Topology, np.ndarray]:
+    """Read a PDB file -> (Topology, xyz (nModels, nAtoms, 3) in nm)."""
+    atom_names: List[str] = []
+    res_seqs: List[int] = []
+    res_names: List[str] = []
+    chain_ids: List[str] = []
+    occs: List[float] = []
+    elements: List[str] = []
+    models: List[List[Tuple[float, float, float]]] = []
+    cur: List[Tuple[float, float, float]] = []
+    first_model = True
+    with open(fn) as fp:
+        for line in fp:
+            rec = line[:6]
+            if rec in ("ATOM  ", "HETATM"):
+                x = float(line[30:38]) / 10.0
+                y = float(line[38:46]) / 10.0
+                z = float(line[46:54]) / 10.0
+                cur.append((x, y, z))
+                if first_model:
+                    atom_names.append(line[12:16].strip())
+                    res_names.append(line[17:20].strip())
+                    chain_ids.append(line[21].strip())
+                    res_seqs.append(int(line[22:26]))
+                    occ = line[54:60].strip()
+                    occs.append(float(occ) if occ else 1.0)
+                    elements.append(line[76:78].strip())
+            elif rec.startswith("ENDMDL"):
+                if cur:
+                    models.append(cur)
+                    cur = []
+                    first_model = False
+    if cur:
+        models.append(cur)
+    top = Topology(
+        atom_names=atom_names,
+        res_seqs=np.array(res_seqs, dtype=int),
+        res_names=res_names,
+        chain_ids=chain_ids,
+        occupancies=np.array(occs),
+        elements=elements,
+    )
+    xyz = np.array(models)
+    if xyz.shape[1] != top.n_atoms:
+        raise ValueError(f"{fn}: inconsistent atom counts across MODELs")
+    return top, xyz
+
+
+def write_pdb(fn: str, top: Topology, xyz: np.ndarray):
+    """Write (nModels, nAtoms, 3) nm coordinates as a (multi-)MODEL PDB."""
+    xyz = np.asarray(xyz)
+    if xyz.ndim == 2:
+        xyz = xyz[None]
+    multi = xyz.shape[0] > 1
+    with open(fn, "w") as fp:
+        for m in range(xyz.shape[0]):
+            if multi:
+                print("MODEL     %4d" % (m + 1), file=fp)
+            for i in range(top.n_atoms):
+                x, y, z = xyz[m, i] * 10.0
+                name = top.atom_names[i]
+                pname = f" {name:<3s}" if len(name) < 4 else name
+                print(
+                    "ATOM  %5d %4s %3s %1s%4d    %8.3f%8.3f%8.3f%6.2f%6.2f          %2s"
+                    % (
+                        i + 1,
+                        pname,
+                        top.res_names[i][:3],
+                        top.chain_ids[i] or "A",
+                        top.res_seqs[i],
+                        x,
+                        y,
+                        z,
+                        top.occupancies[i],
+                        0.0,
+                        top.elements[i],
+                    ),
+                    file=fp,
+                )
+            if multi:
+                print("ENDMDL", file=fp)
+        print("END", file=fp)
+
+
+def bond_indices(
+    top: Topology,
+    h_sel: str = "name H",
+    x_sel: str = "name N and not resname PRO",
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Paired H/X atom indices + residue numbers, with the reference's
+    consistency check that both selections cover the same residues
+    (confirm_mdtraj_seltxt, spectral_densities.py:2354-2382)."""
+    idx_h = top.select(h_sel)
+    idx_x = top.select(x_sel)
+    res_h = top.res_seqs[idx_h]
+    res_x = top.res_seqs[idx_x]
+    if len(idx_h) == 0 or len(idx_x) == 0:
+        raise ValueError(
+            f"selection found no atoms: H({h_sel!r})={len(idx_h)}, "
+            f"X({x_sel!r})={len(idx_x)}"
+        )
+    if not np.array_equal(res_h, res_x):
+        common = np.intersect1d(res_h, res_x)
+        idx_h = idx_h[np.isin(res_h, common)]
+        idx_x = idx_x[np.isin(res_x, common)]
+        res_h = top.res_seqs[idx_h]
+        res_x = top.res_seqs[idx_x]
+        if not np.array_equal(res_h, res_x):
+            raise ValueError("H and X selections cover different residues")
+    return idx_h, idx_x, res_h

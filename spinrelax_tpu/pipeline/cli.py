@@ -1,0 +1,383 @@
+"""Command-line entry points mirroring the reference's stage scripts plus
+the run-all orchestrator (SURVEY §2.3-2.4).
+
+    spinrelax orient      <- PLUMED QUATERNION + gmx steps (now native)
+    spinrelax dq          <- calculate-dq-distribution[-multi].py
+    spinrelax ct          <- calculate-Ct-from-traj.py / calculate-S2.py
+    spinrelax fit-ct      <- calculate-fitted-Ct.py
+    spinrelax relax       <- calculate-relaxations-from-Ct.py
+    spinrelax multifield  <- calculate-relaxations-multi-field.py
+    spinrelax rho         <- calculate-rho-from-expt.py
+    spinrelax hydronmr    <- parse-hydroNMR-results.py
+    spinrelax bmrb        <- parse-relaxations-from-BMRB-entry.py
+    spinrelax plot-ct     <- plot-fittedCt-values.py
+    spinrelax rotate      <- rotate-coordinate-file.py
+    spinrelax run-all     <- run-all.bash
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+import time
+
+import numpy as np
+
+
+def _split_floats(s: str):
+    return [float(x) for x in re.split(r"[,\s]+", s.strip()) if x]
+
+
+def _parse_diffusion(args):
+    """Shared -D/--tau/--aniso parsing
+    (calculate-relaxations-multi-field.py:13-37)."""
+    from ..models import Diffusion
+
+    D = getattr(args, "D", None)
+    tau = getattr(args, "tau", None)
+    aniso = getattr(args, "aniso", None)
+    if D is None:
+        if tau is None:
+            return Diffusion.direct()
+        diso = 1.0 / (6.0 * tau)
+        if aniso is None or aniso == 1.0:
+            return Diffusion.isotropic(diso=diso)
+        return Diffusion.axisymmetric(diso=diso, aniso=aniso)
+    vals = _split_floats(D)
+    if len(vals) == 1:
+        if aniso is None or aniso == 1.0:
+            return Diffusion.isotropic(diso=vals[0])
+        return Diffusion.axisymmetric(diso=vals[0], aniso=aniso)
+    if len(vals) == 2:
+        return Diffusion.axisymmetric(diso=vals[0], aniso=vals[1])
+    return Diffusion.ellipsoid(vals)
+
+
+def _parse_csa(csa_arg, names):
+    """--csa argument: numeric value or file; autoscale from ppm
+    (calculate-relaxations-from-Ct.py:701-743)."""
+    if csa_arg is None:
+        return None
+    if os.path.exists(csa_arg):
+        from ..io import xvg
+
+        resid, vals = xvg.load_xy(csa_arg)
+        if abs(vals[0]) > 1.0:
+            vals = vals * 1e-6
+        order = {str(int(r)): v for r, v in zip(resid, vals)}
+        return np.array([order[str(n)] for n in names])
+    val = float(csa_arg)
+    if abs(val) > 1.0:
+        val *= 1e-6
+    return np.full(len(names), val)
+
+
+# ---------------------------------------------------------------------------
+# Subcommands
+# ---------------------------------------------------------------------------
+
+
+def cmd_orient(argv):
+    p = argparse.ArgumentParser(
+        prog="spinrelax orient",
+        description="Compute per-frame orientation quaternions vs a reference "
+        "structure (replaces the GROMACS+PLUMED toolchain).",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("-f", "--infn", nargs="+", required=True, help="trajectories (npz/pdb/xtc)")
+    p.add_argument("-s", "--refpdb", required=True, help="reference PDB (occupancy marks fit atoms)")
+    p.add_argument("-o", "--outfn", default="colvar-qorient", help="output colvar file")
+    p.add_argument("--fitsel", default="occupancy > 0", help="fit atom selection")
+    p.add_argument("--force", action="store_true")
+    a = p.parse_args(argv)
+    from .stages import stage_orientation
+
+    out = stage_orientation(a.infn, a.refpdb, a.outfn, fit_sel=a.fitsel, force=a.force)
+    print(f"= = Wrote {out}")
+
+
+def cmd_dq(argv):
+    p = argparse.ArgumentParser(
+        prog="spinrelax dq",
+        description="Global rotational diffusion from quaternion trajectories.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("-f", "--infn", default="colvar-qorient")
+    p.add_argument("-o", "--outpref", default="out")
+    p.add_argument("--mindt", type=float, default=0.0)
+    p.add_argument("--maxdt", type=float, default=1000.0)
+    p.add_argument("--skip", type=float, default=0.0)
+    p.add_argument("--num_chunk", type=int, default=0)
+    p.add_argument("--multi", action="store_true", help="aggregate colvar with repeated FIELDS headers")
+    a = p.parse_args(argv)
+    from .stages import stage_dq
+
+    res = stage_dq(
+        a.infn, a.outpref, a.mindt, a.maxdt, a.skip, n_chunks=a.num_chunk, multi=a.multi
+    )
+    print(f"= = D_iso = {res.D_iso:.6g} s^-1 ; PAF quaternion {res.q_frame}")
+
+
+def cmd_ct(argv):
+    p = argparse.ArgumentParser(
+        prog="spinrelax ct",
+        description="Bond-vector autocorrelation C(t), S2, and vector "
+        "distributions from solute trajectories.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("-s", "--topfn", nargs="+", required=True)
+    p.add_argument("-f", "--infn", nargs="+", required=True)
+    p.add_argument("-o", "--outpref", default="out")
+    p.add_argument("-t", "--tau", type=float, required=True, help="memory time [ps]")
+    p.add_argument("--prefact", type=float, default=(1.02 / 1.04) ** 6, dest="zeta")
+    p.add_argument("--S2", dest="do_s2", action="store_true")
+    p.add_argument("--Ct", dest="do_ct", action="store_true")
+    p.add_argument("--vecDist", dest="do_vec", action="store_true")
+    p.add_argument("--vecHist", dest="do_hist", action="store_true")
+    p.add_argument("--vecAvg", dest="do_avg", action="store_true")
+    p.add_argument("--binary", action="store_true")
+    p.add_argument("--histBin", type=int, default=72)
+    p.add_argument("--vecRot", default="", help='PAF rotation quaternion "w x y z"')
+    p.add_argument("--Hsel", default="name H")
+    p.add_argument("--Xsel", default="name N and not resname PRO")
+    p.add_argument("--fitsel", default="occupancy > 0")
+    a = p.parse_args(argv)
+    from .stages import stage_ct
+
+    q_rot = None
+    if a.vecRot:
+        q_rot = np.array(_split_floats(a.vecRot))
+        if len(q_rot) != 4 or not np.allclose(np.dot(q_rot, q_rot), 1, atol=1e-5):
+            sys.exit(f"= = = ERROR: input rotation quaternion is malformed! {q_rot}")
+    storage = "Histogram" if a.do_hist else ("PhiTheta" if a.binary else "TextPhiTheta")
+    stage_ct(
+        a.infn, a.topfn, a.outpref, a.tau,
+        q_rot=q_rot, h_sel=a.Hsel, x_sel=a.Xsel, fit_sel=a.fitsel, zeta=a.zeta,
+        do_ct=a.do_ct, do_s2=a.do_s2, do_vec_dist=(a.do_vec or a.do_hist),
+        do_vec_avg=a.do_avg, vec_storage=storage, hist_bins=a.histBin,
+    )
+    print("= = C(t)/S2 stage complete.")
+
+
+def cmd_fit_ct(argv):
+    p = argparse.ArgumentParser(
+        prog="spinrelax fit-ct",
+        description="Fit multi-exponential models to C(t) curves with "
+        "automatic model selection.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("-f", "--infn", nargs="+", required=True)
+    p.add_argument("-o", "--outpref", default="out")
+    p.add_argument("--nc", type=int, default=-1)
+    p.add_argument("--nofast", action="store_true")
+    a = p.parse_args(argv)
+    from .stages import stage_fit_ct
+
+    stage_fit_ct(
+        a.infn, a.outpref,
+        n_components=None if a.nc < 0 else a.nc,
+        use_s2fast=not a.nofast,
+    )
+    print(" = = Completed C(t)-fits.")
+
+
+def cmd_relax(argv):
+    p = argparse.ArgumentParser(
+        prog="spinrelax relax",
+        description="R1/R2/NOE/rho (or J(w)) from fitted C(t) + global tumbling.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("-f", "--infn", dest="in_ct", required=True)
+    p.add_argument("-o", "--outpref", default="out")
+    p.add_argument("--distfn", default=None)
+    p.add_argument("-q", "--q_rot", default="")
+    p.add_argument("-n", "--nuclei", default="NH")
+    p.add_argument("-B", "--B0", type=float, default=None)
+    p.add_argument("-F", "--freq", type=float, default=None, help="1H frequency [Hz]")
+    p.add_argument("--Jomega", action="store_true")
+    p.add_argument("--tau", type=float, default=None)
+    p.add_argument("--aniso", type=float, default=1.0)
+    p.add_argument("-D", "--DTensor", dest="D", default=None)
+    p.add_argument("--zeta", type=float, default=0.890023)
+    p.add_argument("--csa", default=None)
+    p.add_argument("--shiftres", type=int, default=0)
+    a = p.parse_args(argv)
+    from ..constants import field_to_mhz
+    from ..io import fittedct as fctio
+    from .stages import stage_relax
+
+    if a.freq is not None:
+        freq_mhz = a.freq / 1e6
+    elif a.B0 is not None:
+        freq_mhz = field_to_mhz(a.B0)
+    else:
+        sys.exit("= = = ERROR: give either --B0 [T] or --freq [Hz]")
+    diffusion = _parse_diffusion(a)
+    names = fctio.read_fittedct(a.in_ct).names
+    csa = _parse_csa(a.csa, names)
+    q_rot = np.array(_split_floats(a.q_rot)) if a.q_rot else None
+    stage_relax(
+        a.in_ct, a.outpref, diffusion,
+        vec_file=a.distfn, q_rot=q_rot, freq_mhz=freq_mhz, nuclei=a.nuclei,
+        zeta=a.zeta, csa=csa, jomega=a.Jomega, shift_res=a.shiftres,
+    )
+    print(" = = Completed Relaxation calculations.")
+
+
+def cmd_multifield(argv):
+    p = argparse.ArgumentParser(
+        prog="spinrelax multifield",
+        description="Global parameter optimisation against multiple "
+        "experimental spin-relaxation datasets.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("expFiles", nargs="+")
+    p.add_argument("-f", "--infn", dest="in_ct", required=True)
+    p.add_argument("-o", "--outpref", default="out")
+    p.add_argument("--distfn", default=None)
+    p.add_argument("--tau", type=float, default=None)
+    p.add_argument("--aniso", type=float, default=None)
+    p.add_argument("-D", "--DTensor", dest="D", default=None)
+    p.add_argument("--zeta", type=float, default=0.890023)
+    p.add_argument("--csa", default=None)
+    p.add_argument("--opt", "--fit", dest="opt", default=None)
+    p.add_argument("--cycles", type=int, default=10)
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--method", choices=("powell", "gradient"), default="powell")
+    a = p.parse_args(argv)
+    from ..io import fittedct as fctio
+    from .stages import stage_multifield
+
+    diffusion = _parse_diffusion(a)
+    names = fctio.read_fittedct(a.in_ct).names
+    csa = _parse_csa(a.csa, names)
+    opt = a.opt.split(",") if a.opt else None
+    final = stage_multifield(
+        a.in_ct, a.expFiles, a.outpref, diffusion,
+        vec_file=a.distfn, zeta=a.zeta, csa=csa, opt_params=opt,
+        max_cycles=a.cycles, tol=a.tol, method=a.method,
+        include_expt=opt is not None,
+    )
+    if final["chisq"] is not None:
+        print(
+            "= = = Optimisation complete. Final chi-value: %g"
+            % np.sqrt(final["chisq"])
+        )
+
+
+def cmd_rho(argv):
+    p = argparse.ArgumentParser(
+        prog="spinrelax rho",
+        description="rho = R1'/R2' ratio from experimental R1/R2/NOE.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("-f", dest="exptFile", required=True)
+    p.add_argument("-o", dest="outputFile", default="out_expRho.dat")
+    p.add_argument("-n", "--nuclei", default="NH")
+    a = p.parse_args(argv)
+    from ..constants import gamma
+    from ..io import xvg
+    from ..ops.relaxation import rho_from_rates
+
+    iso_a = {"NH": "15N", "CH": "13C"}[a.nuclei]
+    resid, block = xvg.load_xys(a.exptFile)
+    ny = block.shape[1]
+    if ny == 6:
+        block = block.reshape(len(resid), 3, 2)[..., 0]
+    elif ny != 3:
+        sys.exit("= = = ERROR: expected 3 or 6 data columns (R1 R2 NOE [errs])")
+    rho = np.asarray(
+        rho_from_rates(
+            block[:, 0], block[:, 1], block[:, 2],
+            gamma_a=gamma(iso_a), gamma_b=gamma("1H"),
+        )
+    )
+    xvg.print_xy(a.outputFile, resid, rho)
+    print(f"= = Wrote {a.outputFile}")
+
+
+def cmd_hydronmr(argv):
+    from ..io.hydronmr import main as hydronmr_main
+
+    hydronmr_main(argv)
+
+
+def cmd_bmrb(argv):
+    from ..io.bmrb import main as bmrb_main
+
+    bmrb_main(argv)
+
+
+def cmd_plot_ct(argv):
+    from .plotting import main as plot_main
+
+    plot_main(argv)
+
+
+def cmd_rotate(argv):
+    p = argparse.ArgumentParser(
+        prog="spinrelax rotate",
+        description="Quaternion-rotate a PDB about its centre of mass.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("-f", dest="fileInput", required=True)
+    p.add_argument("-q", dest="qRot", required=True, help='"w,x,y,z" or "w x y z"')
+    p.add_argument("-o", dest="fileOutput", default="rotated.pdb")
+    a = p.parse_args(argv)
+    import jax.numpy as jnp
+
+    from ..core import quaternion as qt
+    from ..io import pdb as pdbio
+
+    q_rot = np.array(_split_floats(a.qRot))
+    top, xyz = pdbio.read_pdb(a.fileInput)
+    com = xyz.mean(axis=1, keepdims=True)
+    rotated = np.asarray(
+        qt.rotate_vector(jnp.asarray(xyz - com), jnp.asarray(q_rot))
+    ) + com
+    pdbio.write_pdb(a.fileOutput, top, rotated)
+    print(f"= = = Done. Output file {a.fileOutput} has been written.")
+
+
+def cmd_run_all(argv):
+    from .runall import main as runall_main
+
+    runall_main(argv)
+
+
+COMMANDS = {
+    "orient": cmd_orient,
+    "dq": cmd_dq,
+    "ct": cmd_ct,
+    "fit-ct": cmd_fit_ct,
+    "relax": cmd_relax,
+    "multifield": cmd_multifield,
+    "rho": cmd_rho,
+    "hydronmr": cmd_hydronmr,
+    "bmrb": cmd_bmrb,
+    "plot-ct": cmd_plot_ct,
+    "rotate": cmd_rotate,
+    "run-all": cmd_run_all,
+}
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        print("Commands:", ", ".join(sorted(COMMANDS)))
+        return 0
+    cmd = argv[0]
+    if cmd not in COMMANDS:
+        print(f"unknown command {cmd!r}; available: {sorted(COMMANDS)}", file=sys.stderr)
+        return 1
+    t0 = time.time()
+    COMMANDS[cmd](argv[1:])
+    print("= = Finished. Total seconds elapsed: %g" % (time.time() - t0))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

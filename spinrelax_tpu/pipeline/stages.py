@@ -1,0 +1,627 @@
+"""Workflow stages: pure functions with file artefacts at the boundaries.
+
+Each stage mirrors one reference CLI script (SURVEY §2.3) but runs its
+compute as jitted device code; the artefact formats are byte-compatible
+with the reference so the two toolchains interoperate.  Stage resume
+follows the reference's output-file-existence convention
+(run-all.bash:322,382,475,487,509).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..constants import DEFAULT_ZETA, NucleusPair, field_from_mhz
+from ..core import geometry
+from ..core import quaternion as qt
+from ..fit.expfit import fit_ct_ladder
+from ..io import colvar as colvario
+from ..io import fittedct as fctio
+from ..io import pdb as pdbio
+from ..io import trajectory as trajio
+from ..io import vectors as vecio
+from ..io import xvg
+from ..models import CtModelSet, Diffusion
+from ..ops import autocorr, dq as dqops, observables, orient
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: orientation quaternions (replaces GROMACS+PLUMED external step)
+# ---------------------------------------------------------------------------
+
+
+def stage_orientation(
+    traj_files: Sequence[str],
+    ref_pdb: str,
+    out_colvar: str,
+    fit_sel: str = "occupancy > 0",
+    force: bool = False,
+) -> str:
+    """Compute q(t) of each trajectory vs the reference structure and write
+    a PLUMED-format colvar (concatenated for multiple trajectories, as
+    run-all.bash:366 does with `cat`)."""
+    if os.path.exists(out_colvar) and not force:
+        return out_colvar
+    top, ref_xyz = pdbio.read_pdb(ref_pdb)
+    fit_idx = top.select(fit_sel)
+    weights = np.zeros(top.n_atoms)
+    weights[fit_idx] = 1.0
+    mode = "w"
+    for fn in traj_files:
+        xyz, dt = trajio.load_trajectory(fn, top_fn=ref_pdb)
+        q = np.asarray(
+            orient.orientation_quats(
+                jnp.asarray(xyz), jnp.asarray(ref_xyz[0]), jnp.asarray(weights)
+            )
+        )
+        t = np.arange(q.shape[0]) * dt
+        data = np.concatenate([t[:, None], q], axis=1).T
+        with open(out_colvar, mode) as fp:
+            print("#! FIELDS time q.w q.x q.y q.z", file=fp)
+            for i in range(data.shape[1]):
+                print(" ".join("%16g" % v for v in data[:, i]), file=fp)
+        mode = "a"
+    return out_colvar
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: Delta-q -> D tensor (calculate-dq-distribution.py)
+# ---------------------------------------------------------------------------
+
+
+def _format_dq_headers(res: dqops.DqResult) -> Tuple[List[str], List[str]]:
+    """Reproduce the reference's iso/aniso header formats exactly — the
+    run-all driver greps Diso/Dani_L/Drho_L/Dani_S/Drho_S and the PAF
+    quaternion out of them (run-all.bash:393,412-416;
+    calculate-dq-distribution.py:221-275)."""
+    has_chunks = res.iso_tau_chunks.size > 0
+
+    def flex_bounds(x, samples):
+        mean, sig = np.mean(samples), np.std(samples)
+        return x, sig + x - mean, sig + mean - x
+
+    iso_lines = []
+    if has_chunks:
+        b = flex_bounds(res.iso_tau, res.iso_tau_chunks)
+        iso_lines.append("# model fit, tau = %e +- %e %e [ps]" % b)
+        dvals = 0.5e12 / res.iso_tau_chunks
+        b = flex_bounds(res.D_iso, dvals)
+        iso_lines.append("# Converted D_iso = %e +- %e %e [s^-1]" % b)
+        for i, d in enumerate(dvals):
+            iso_lines.append("# Chunk_%d D_iso = %e [s^-1]" % (i, d))
+    else:
+        iso_lines.append("# model fit, tau = %e [ps]" % res.iso_tau)
+        iso_lines.append("# Converted D_iso = %e [s^-1]" % res.D_iso)
+    iso_lines.append("# t cos(th) P2[cos(th)] cos(th/2) th")
+
+    aniso_lines = []
+    Dval = res.D_axes
+    if has_chunks:
+        Dch = 0.5e12 / res.aniso_tau_chunks  # (nChunk, 3)
+        for i in range(3):
+            b = flex_bounds(res.aniso_taus[i], res.aniso_tau_chunks[:, i])
+            aniso_lines.append("# model fit, e_%i tau = %e +- %e %e [ps]" % ((i,) + b[:3]))
+            b = flex_bounds(Dval[i], Dch[:, i])
+            aniso_lines.append("# Converted D_%i = %e +- %e %e [s^-1]" % ((i,) + b[:3]))
+        order = np.argsort(Dval)
+        anis = dqops.calculate_anisotropies(jnp.asarray(np.sort(Dval)))
+        anis_samp = np.stack(
+            [
+                np.asarray(dqops.calculate_anisotropies(jnp.asarray(d[order])))
+                for d in Dch
+            ]
+        )
+        errs = np.std(anis_samp, axis=0)
+        labels = ["Diso", "Dani_L", "Drho_L", "Dani_S", "Drho_S"]
+        fmts = ["# Converted %s = %e +- %e [s^-1]", "# Converted %s = %f +- %f",
+                "# Converted %s = %f +- %f", "# Converted %s = %f +- %f",
+                "# Converted %s = %f +- %f"]
+        for lab, fmt, v, e in zip(labels, fmts, anis, errs):
+            aniso_lines.append(fmt % (lab, float(np.asarray(v)), e))
+        for j in range(Dch.shape[0]):
+            for i in range(3):
+                aniso_lines.append("# Chunk_%d D_%d = %e [s^-1]" % (j, i, Dch[j, i]))
+    else:
+        for i in range(3):
+            aniso_lines.append("# model fit, e_%i tau = %e [ps]" % (i, res.aniso_taus[i]))
+            aniso_lines.append("# Converted D_%i = %e [s^-1]" % (i, Dval[i]))
+        anis = res.anisotropies
+        aniso_lines.append("# Converted Diso = %e [s^-1]" % anis[0])
+        aniso_lines.append("# Converted Dani_L = %f" % anis[1])
+        aniso_lines.append("# Converted Drho_L = %f" % anis[2])
+        aniso_lines.append("# Converted Dani_S = %f" % anis[3])
+        aniso_lines.append("# Converted Drho_S = %f" % anis[4])
+    aniso_lines.append("# t <1-2x^2> <1-2y^2> <1-2z^2>")
+    aniso_lines.append(
+        "# Quaternion orientation frame: %f %f %f %f" % tuple(res.q_frame)
+    )
+    return iso_lines, aniso_lines
+
+
+def _print_graphs(fn, header, x, groups):
+    """print_model_fits_gen equivalent
+    (calculate-dq-distribution.py:277-328): groups is a list of 2D arrays
+    (nPlots, nPts); one graph per group."""
+    with open(fn, "w") as fp:
+        for line in header:
+            print(line, file=fp)
+        if len(groups) == 1:
+            s = 0
+            for row in groups[0]:
+                print("@target g0.s%d" % s, file=fp)
+                for xi, yi in zip(x, row):
+                    print("%g %g" % (xi, yi), file=fp)
+                print("&", file=fp)
+                s += 1
+        else:
+            for g in range(len(groups)):
+                print("@g%d on" % g, file=fp)
+            for g, grp in enumerate(groups):
+                s = 0
+                for row in grp:
+                    print("@target g%d.s%d" % (g, s), file=fp)
+                    for xi, yi in zip(x, row):
+                        print("%g %g" % (xi, yi), file=fp)
+                    print("&", file=fp)
+                    s += 1
+            print("@arrange(%i, %i, 0.1, 0.1, 0.1)" % (2, int(0.5 * len(groups) + 0.5)), file=fp)
+            for i in range(len(groups)):
+                print("@with g%i" % i, file=fp)
+                if i == 0:
+                    print('@subtitle "Aggregate Data"', file=fp)
+                print("@autoscale", file=fp)
+
+
+def stage_dq(
+    colvar_file: str,
+    out_prefix: str,
+    min_dt: float,
+    max_dt: float,
+    skip_dt: float,
+    n_chunks: int = 0,
+    multi: bool = False,
+    force: bool = False,
+) -> dqops.DqResult:
+    """Global tumbling analysis; writes {pref}-iso.dat, {pref}-aniso2.dat,
+    {pref}-aniso_q.dat, {pref}-moi.xyz."""
+    marker = out_prefix + "-aniso_q.dat"
+    if multi:
+        fields, data = colvario.read_colvar_multi(colvar_file)
+        # (nReplicas, nTime, nFields): analyse per replica then aggregate
+        # delta-q samples — equivalent capability to
+        # calculate-dq-distribution-multi.py (which as shipped crashes on
+        # an import, SURVEY §2.7).  We concatenate replica trajectories as
+        # independent segments by analysing each and averaging tensors.
+        qs = [d[:, 1:5] for d in data]
+        delta_t = float(data[0][1, 0] - data[0][0, 0])
+        res = dqops.analyse_dq_multi(qs, delta_t, min_dt, max_dt, skip_dt, n_chunks)
+    else:
+        fields, data = colvario.read_colvar(colvar_file)
+        delta_t = float(data[0, 1] - data[0, 0])
+        q = data[1:5].T.astype(np.float64)
+        res = dqops.analyse_dq(q, delta_t, min_dt, max_dt, skip_dt, n_chunks)
+
+    iso_hdr, aniso_hdr = _format_dq_headers(res)
+    x = res.lag_times
+    iso_model = np.asarray(dqops.isotropic_decay(jnp.asarray(x), res.iso_tau))
+    if res.iso_chunks.size:
+        groups = [np.stack([res.iso, iso_model])]
+        for i in range(res.iso_chunks.shape[0]):
+            cm = np.asarray(
+                dqops.isotropic_decay(jnp.asarray(x), res.iso_tau_chunks[i])
+            )
+            groups.append(np.stack([res.iso_chunks[i], cm]))
+        _print_graphs(out_prefix + "-iso.dat", iso_hdr, x, groups)
+    else:
+        _print_graphs(out_prefix + "-iso.dat", iso_hdr, x, [np.stack([res.iso, iso_model])])
+
+    aniso_models = np.asarray(
+        dqops.anisotropic_decay(jnp.asarray(x)[None, :], jnp.asarray(res.aniso_taus)[:, None])
+    )
+    if res.aniso_chunks.size:
+        groups = [np.concatenate([res.aniso, aniso_models])]
+        for i in range(res.aniso_chunks.shape[0]):
+            cm = np.asarray(
+                dqops.anisotropic_decay(
+                    jnp.asarray(x)[None, :], jnp.asarray(res.aniso_tau_chunks[i])[:, None]
+                )
+            )
+            groups.append(np.concatenate([res.aniso_chunks[i], cm]))
+        _print_graphs(out_prefix + "-aniso2.dat", aniso_hdr, x, groups)
+    else:
+        _print_graphs(
+            out_prefix + "-aniso2.dat", aniso_hdr, x,
+            [np.concatenate([res.aniso, aniso_models])],
+        )
+
+    # Per-lag PAF quaternions; first line carries the locked PAF, which
+    # run-all extracts with `head -n 1 ... | awk '{print $2,$3,$4,$5}'`.
+    xvg.print_xylist(out_prefix + "-aniso_q.dat", x, res.q_per_lag.T, cols=True)
+
+    with open(out_prefix + "-moi.xyz", "w") as fp:
+        for axes in res.axes_per_lag:
+            print("3", file=fp)
+            print("AXES", file=fp)
+            for lab, row in zip("XYZ", axes):
+                print("%s %g %g %g" % (lab, row[0], row[1], row[2]), file=fp)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# Stage 3: trajectory -> C(t), S2, vector distributions
+# (calculate-Ct-from-traj.py)
+# ---------------------------------------------------------------------------
+
+
+def stage_ct(
+    traj_files: Sequence[str],
+    ref_pdbs: Sequence[str],
+    out_prefix: str,
+    tau_memory: float,
+    q_rot: Optional[np.ndarray] = None,
+    h_sel: str = "name H",
+    x_sel: str = "name N and not resname PRO",
+    fit_sel: str = "occupancy > 0",
+    zeta: float = DEFAULT_ZETA,
+    do_ct: bool = True,
+    do_s2: bool = True,
+    do_vec_dist: bool = True,
+    do_vec_avg: bool = True,
+    vec_storage: str = "Histogram",  # Histogram | PhiTheta | TextPhiTheta
+    hist_bins: int = 72,
+    force: bool = False,
+):
+    """Compute bond-vector statistics.  Writes {pref}_Ctext.dat,
+    {pref}_Ctint.dat, {pref}_vecHistogram.npz / _vecPhiTheta.*,
+    {pref}_avgvec.dat, {pref}_S2.dat."""
+    if len(ref_pdbs) == 1:
+        ref_pdbs = list(ref_pdbs) * len(traj_files)
+
+    res_ids = None
+    delta_t = None
+    vec_raw_list, vec_fit_list = [], []
+    for trj_fn, ref_fn in zip(traj_files, ref_pdbs):
+        top, ref_xyz = pdbio.read_pdb(ref_fn)
+        idx_h, idx_x, res_h = pdbio.bond_indices(top, h_sel, x_sel)
+        fit_idx = top.select(fit_sel)
+        w = np.zeros(top.n_atoms)
+        w[fit_idx] = 1.0
+        xyz, dt = trajio.load_trajectory(trj_fn, top_fn=ref_fn)
+        bv = orient.bond_vectors(
+            jnp.asarray(xyz), jnp.asarray(ref_xyz[0]), jnp.asarray(idx_h),
+            jnp.asarray(idx_x), jnp.asarray(w),
+        )
+        if res_ids is None:
+            res_ids, delta_t = list(res_h), dt
+        elif list(res_h) != res_ids or dt != delta_t:
+            raise ValueError("trajectories disagree in residues or timestep")
+        vec_raw_list.append(np.asarray(bv.raw))
+        vec_fit_list.append(np.asarray(bv.fitted))
+
+    vec_raw = autocorr.reformat_by_tau(vec_raw_list, delta_t, tau_memory)
+    vec_fit = autocorr.reformat_by_tau(vec_fit_list, delta_t, tau_memory)
+    dt_lags = np.asarray(autocorr.lag_times(delta_t, tau_memory))
+
+    out = {}
+    if do_ct:
+        Ct, dCt = autocorr.ct_palmer(jnp.asarray(vec_raw))
+        xvg.print_sxylist(
+            out_prefix + "_Ctext.dat", res_ids, dt_lags,
+            np.stack([np.asarray(Ct).T, np.asarray(dCt).T], axis=-1),
+        )
+        Ct, dCt = autocorr.ct_palmer(jnp.asarray(vec_fit))
+        xvg.print_sxylist(
+            out_prefix + "_Ctint.dat", res_ids, dt_lags,
+            np.stack([np.asarray(Ct).T, np.asarray(dCt).T], axis=-1),
+        )
+        out["Ct"] = np.asarray(Ct)
+        out["dCt"] = np.asarray(dCt)
+
+    # Flatten chunks for the remaining statistics
+    flat = vec_fit.reshape(-1, vec_fit.shape[-2], vec_fit.shape[-1])
+    if q_rot is not None:
+        flat = np.asarray(
+            qt.rotate_vector(jnp.asarray(flat), jnp.asarray(q_rot))
+        )
+
+    if do_vec_avg:
+        avg = np.asarray(qt.vecnorm(jnp.asarray(np.mean(flat, axis=0))))
+        xvg.print_xylist(out_prefix + "_avgvec.dat", res_ids, avg.T, cols=True)
+        out["avgvec"] = avg
+
+    if do_vec_dist:
+        per_res = np.swapaxes(flat, 0, 1)  # (nRes, nFrames, 3)
+        if vec_storage == "Histogram":
+            hist, ep, ec = geometry.lambert_histogram(
+                jnp.asarray(per_res), hist_bins, hist_bins // 2
+            )
+            vecio.save_histogram(
+                out_prefix + "_vecHistogram.npz", res_ids,
+                np.asarray(hist), np.asarray(ep), np.asarray(ec),
+            )
+            out["vec_file"] = out_prefix + "_vecHistogram.npz"
+        elif vec_storage == "PhiTheta":
+            pt = np.asarray(geometry.xyz_to_pt(jnp.asarray(per_res)))
+            vecio.save_phitheta(out_prefix + "_vecPhiTheta.npz", res_ids, pt)
+            out["vec_file"] = out_prefix + "_vecPhiTheta.npz"
+        elif vec_storage == "TextPhiTheta":
+            rtp = np.asarray(geometry.xyz_to_rtp(jnp.asarray(per_res)))
+            fn = out_prefix + "_vecPhiTheta.dat"
+            with open(fn, "w") as fp:
+                for i, rid in enumerate(res_ids):
+                    print('@s%d legend "%s"' % (i, rid), file=fp)
+                    for j in range(rtp.shape[1]):
+                        print("%g %g" % (rtp[i, j, 1], rtp[i, j, 2]), file=fp)
+                    print("&", file=fp)
+            out["vec_file"] = fn
+        else:
+            raise ValueError(f"unknown vec_storage {vec_storage!r}")
+
+    if do_s2:
+        s2 = np.asarray(
+            autocorr.s2_outer_blocked(jnp.asarray(flat), delta_t, tau_memory)
+        )
+        xvg.print_xylist(out_prefix + "_S2.dat", res_ids, (s2.T) * zeta, cols=True)
+        out["S2"] = s2
+
+    out["res_ids"] = res_ids
+    out["delta_t"] = delta_t
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Stage 4: C(t) -> fitted multi-exponential parameters
+# (calculate-fitted-Ct.py)
+# ---------------------------------------------------------------------------
+
+
+def stage_fit_ct(
+    ct_files: Sequence[str],
+    out_prefix: str,
+    n_components: Optional[int] = None,
+    use_s2fast: bool = True,
+    force: bool = False,
+) -> CtModelSet:
+    out_fn = out_prefix + "_fittedCt.dat"
+    legs, dts, cts, dcts = xvg.load_sxydylist(ct_files[0], "legend")
+    dt = np.asarray(dts)[0]
+    decays = np.asarray(cts)
+    ddecays = np.asarray(dcts) if len(dcts) else None
+    if len(ct_files) > 1:
+        # Replica averaging with error pooling
+        # (calculate-fitted-Ct.py:113-147).
+        all_ct, all_dct = [decays], [ddecays]
+        for fn in ct_files[1:]:
+            l2, d2, c2, e2 = xvg.load_sxydylist(fn, "legend")
+            if l2 != legs or not np.allclose(np.asarray(d2)[0], dt):
+                raise ValueError(f"{fn}: time/legend entries differ")
+            all_ct.append(np.asarray(c2))
+            all_dct.append(np.asarray(e2) if len(e2) else None)
+        stack = np.stack(all_ct)
+        decays = np.mean(stack, axis=0)
+        if any(d is None for d in all_dct):
+            ddecays = np.std(stack, axis=0)
+        else:
+            from ..core.stats import simple_total_mean_square
+
+            ddecays = np.sqrt(
+                np.asarray(
+                    simple_total_mean_square(jnp.asarray(stack), jnp.asarray(np.stack(all_dct)))
+                )
+            )
+
+    model = fit_ct_ladder(
+        names=legs,
+        dt=dt,
+        decays=decays,
+        ddecays=ddecays,
+        use_s2fast=use_s2fast,
+        n_components=n_components,
+    )
+    fctio.write_fittedct(out_fn, model, dt=dt, targets=decays)
+    return model
+
+
+# ---------------------------------------------------------------------------
+# Stage 5: relaxation prediction / fitting (calculate-relaxations-from-Ct)
+# ---------------------------------------------------------------------------
+
+
+def stage_relax(
+    fittedct_file: str,
+    out_prefix: str,
+    diffusion: Diffusion,
+    vec_file: Optional[str] = None,
+    q_rot: Optional[np.ndarray] = None,
+    freq_mhz: float = 600.133,
+    nuclei: str = "NH",
+    zeta: float = DEFAULT_ZETA,
+    csa: Optional[np.ndarray] = None,
+    jomega: bool = False,
+    shift_res: int = 0,
+    force: bool = False,
+):
+    """Predict R1/R2/NOE/rho (or J(w)) at one field; writes
+    {pref}_R1.dat, _R2.dat, _NOE.dat, _rho.dat or _Jw.dat."""
+    cts = fctio.read_fittedct(fittedct_file).with_zeta(zeta)
+    iso_a = {"NH": "15N", "CH": "13C"}[nuclei]
+    pair = NucleusPair(isotope_a=iso_a, B0=field_from_mhz(freq_mhz), time_unit="ps")
+
+    vecs = weights = None
+    if vec_file is not None and diffusion.kind != "isotropic":
+        names, vecs, weights = vecio.load_vector_distribution(vec_file)
+        names = [str(int(x) + shift_res) for x in names]
+        if names != cts.names:
+            raise ValueError(
+                "resid mismatch between fittedCt and vector distribution"
+            )
+        if q_rot is not None:
+            vecs = np.asarray(qt.rotate_vector(jnp.asarray(vecs), jnp.asarray(q_rot)))
+
+    sim_resid = cts.names
+    if jomega:
+        J, dJ = observables.predict_jomega(
+            pair, diffusion, cts, vecs=vecs, weights=weights
+        )
+        omega = np.abs(np.asarray(pair.omega5()))
+        order = np.argsort(omega)
+        with open(out_prefix + "_Jw.dat", "w") as fp:
+            if dJ is not None:
+                print("@type xydy", file=fp)
+            for i, rid in enumerate(sim_resid):
+                print('@s%d legend "Resid: %s"' % (i, rid), file=fp)
+                for j in order:
+                    if dJ is not None:
+                        print("%g %g %g" % (omega[j], J[i, j], np.asarray(dJ)[i, j]), file=fp)
+                    else:
+                        print("%g %g" % (omega[j], np.asarray(J)[i, j]), file=fp)
+                print("&", file=fp)
+        return J
+
+    rates = observables.predict_rates(
+        pair, diffusion, cts, vecs=vecs, weights=weights, csa=csa
+    )
+    have_err = rates.dR1 is not None
+    if have_err:
+        xvg.print_xydy(out_prefix + "_R1.dat", sim_resid, np.asarray(rates.R1), np.asarray(rates.dR1))
+        xvg.print_xydy(out_prefix + "_R2.dat", sim_resid, np.asarray(rates.R2), np.asarray(rates.dR2))
+        xvg.print_xydy(out_prefix + "_NOE.dat", sim_resid, np.asarray(rates.NOE), np.asarray(rates.dNOE))
+        xvg.print_xydy(out_prefix + "_rho.dat", sim_resid, np.asarray(rates.rho), np.asarray(rates.drho))
+    else:
+        xvg.print_xy(out_prefix + "_R1.dat", sim_resid, np.asarray(rates.R1))
+        xvg.print_xy(out_prefix + "_R2.dat", sim_resid, np.asarray(rates.R2))
+        xvg.print_xy(out_prefix + "_NOE.dat", sim_resid, np.asarray(rates.NOE))
+        xvg.print_xy(out_prefix + "_rho.dat", sim_resid, np.asarray(rates.rho))
+    return rates
+
+
+# ---------------------------------------------------------------------------
+# Stage 6: multi-field global fitting (calculate-relaxations-multi-field)
+# ---------------------------------------------------------------------------
+
+
+def stage_multifield(
+    fittedct_file: str,
+    expt_files: Sequence[str],
+    out_prefix: str,
+    diffusion: Diffusion,
+    vec_file: Optional[str] = None,
+    zeta: float = DEFAULT_ZETA,
+    csa: Optional[np.ndarray] = None,
+    opt_params: Optional[Sequence[str]] = None,
+    max_cycles: int = 10,
+    tol: float = 1e-6,
+    method: str = "powell",
+    include_expt: bool = False,
+):
+    """Fit global parameters against N experiments and export per-experiment
+    xvg predictions (+ optimised CSA table when rsCSA is fitted)."""
+    from ..fit.globalfit import (
+        EXPORT_SCALING,
+        EXPORT_UNITS,
+        ALLOWED_VARIABLES,
+        GlobalFitter,
+    )
+    from ..io.experiments import read_experiment
+    from ..models.experiments import ExperimentSet
+
+    cts = fctio.read_fittedct(fittedct_file).with_zeta(zeta)
+    vecs = weights = vec_names = None
+    if vec_file is not None:
+        vec_names, vecs, weights = vecio.load_vector_distribution(vec_file)
+    expts = [read_experiment(f) for f in expt_files]
+    es = ExperimentSet.build(
+        expts, cts, diffusion, vecs=vecs, weights=weights,
+        vec_names=vec_names, csa=csa,
+    )
+
+    fitter = None
+    if opt_params:
+        fitter = GlobalFitter(es, list(opt_params))
+        state = fitter.run(max_cycles=max_cycles, tol=tol, method=method)
+        final = dict(
+            diso=state.diso, aniso=state.aniso, zeta=state.zeta,
+            csa=state.csa, chisq=state.chisq,
+        )
+    else:
+        csa0 = es.csa
+        if csa0 is None:
+            csa0 = np.full(es.n_residues, es.experiments[0].pair.csa_value)
+        final = dict(
+            diso=float(np.asarray(diffusion.diso)),
+            aniso=float(np.asarray(diffusion.aniso)),
+            zeta=float(np.asarray(cts.zeta)),
+            csa=np.asarray(csa0),
+            chisq=None,
+        )
+
+    # Evaluate predictions at the final parameters and export per
+    # experiment (export_xvg, spectral_densities.py:1178-1194).
+    from ..fit.globalfit import _eval_all
+
+    preds = _eval_all(
+        es, final["diso"], final["aniso"], final["zeta"], jnp.asarray(final["csa"])
+    )
+    opt_list = list(opt_params) if opt_params else []
+    for e, (v, dv) in zip(es.experiments, preds):
+        mhz = round(e.pair.B0 * 267.513 / (2.0 * np.pi))
+        suffix = "_%s%s_%iMHz_%s" % (
+            e.pair.isotope_a, e.pair.isotope_b, mhz, e.expt_type,
+        )
+        fn = "%s%s.xvg" % (out_prefix, suffix)
+        with open(fn, "w") as fp:
+            print("# Type %s" % e.expt_type, file=fp)
+            print("# NucleiA %s" % e.pair.isotope_a, file=fp)
+            print("# NucleiB %s" % e.pair.isotope_b, file=fp)
+            print("# Frequency %g %s" % (e.pair.B0 * 267.513 / (2 * np.pi), "MHz"), file=fp)
+            for name in ("Diso", "Daniso", "zeta", "CSA"):
+                val = {
+                    "Diso": final["diso"],
+                    "Daniso": final["aniso"],
+                    "zeta": final["zeta"],
+                    "CSA": float(np.mean(final["csa"])),
+                }[name]
+                status = "Optimised" if name in opt_list else "Fixed"
+                if name == "CSA" and "rsCSA" in opt_list:
+                    status = "OptimisedMean"
+                print(
+                    "# %s %s: %g %s"
+                    % (status, name, val * EXPORT_SCALING[name], EXPORT_UNITS[name]),
+                    file=fp,
+                )
+            if final["chisq"] is not None:
+                print("# Optimised chi: %g a.u." % np.sqrt(final["chisq"]), file=fp)
+            print("", file=fp)
+            print("@target s0", file=fp)
+            va = np.asarray(v)
+            if dv is not None:
+                print("@type xydy", file=fp)
+                dva = np.asarray(dv)
+                for n, (yy, ee) in zip(cts.names, zip(va, dva)):
+                    print("%s %g %g" % (n, yy, ee), file=fp)
+            else:
+                print("@type xy", file=fp)
+                for n, yy in zip(cts.names, va):
+                    print("%s %g" % (n, yy), file=fp)
+            print("&", file=fp)
+            if include_expt and e.raw is not None:
+                print("@target s1", file=fp)
+                d = e.raw
+                if d.errors is not None:
+                    print("@type xydy", file=fp)
+                    for n, yy, ee in zip(d.names, d.values, d.errors):
+                        print("%s %g %g" % (n, yy, ee), file=fp)
+                    print("&", file=fp)
+                else:
+                    print("@type xy", file=fp)
+                    for n, yy in zip(d.names, d.values):
+                        print("%s %g" % (n, yy), file=fp)
+                    print("&", file=fp)
+
+    if opt_params and "rsCSA" in opt_list:
+        xvg.print_xy(out_prefix + "_CSA_opt.dat", cts.names, final["csa"])
+    return final
