@@ -1,0 +1,187 @@
+"""Legacy single-field fitting modes of calculate-relaxations-from-Ct.py.
+
+Modes (reference :865-1000):
+- 'Diso'      : global tumbling rate only.
+- 'DisoS2'    : Diso + a global S2 scaling factor (applied to S2 and all
+                transient amplitudes, :267-268 / :297-298).
+- 'DisoCSA'   : Diso + a global mean CSA.
+- 'DisoS2CSA' : all three, with the correlated Powell direction matrix
+                (:930-934).
+- 'new'       : alternating global-Diso Powell + per-residue CSA fits
+                (:865-905); the per-residue stage here is a batched
+                golden-section (all residues at once).
+
+The chi-square follows optfunc_R1R2NOE_inner (:193-207): mean over
+(R1,R2,NOE) x residues of (v-t)^2 / (sigma_sim^2 + sigma_exp^2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import NucleusPair
+from ..models.ctmodel import CtModelSet
+from ..models.diffusion import Diffusion
+from ..ops import observables as obs
+from .scalar import golden_vec
+
+
+class LegacyFitResult(NamedTuple):
+    diso: float
+    s2_scale: float
+    csa: np.ndarray  # (nRes,)
+    chisq: float
+    mode: str
+
+
+def _make_chisq(pair: NucleusPair, diffusion: Diffusion, cts: CtModelSet,
+                vecs, weights, exp, exp_err):
+    """Build jitted total and per-residue chi-square closures.
+
+    exp     : (nRes, 3) target R1/R2/NOE.
+    exp_err : (nRes, 3) uncertainties or None.
+    """
+    vecs_j = None if vecs is None else jnp.asarray(vecs)
+    weights_j = None if weights is None else jnp.asarray(weights)
+    exp_j = jnp.asarray(exp)
+    err_j = None if exp_err is None else jnp.asarray(exp_err)
+    base_zeta = cts.zeta
+    has_ensemble = vecs_j is not None and vecs_j.ndim == 3
+
+    def _predict(diso, s2s, csa):
+        d = diffusion.with_diso(diso)
+        c = dataclasses.replace(cts, zeta=base_zeta * s2s)
+        rates = obs.predict_rates(pair, d, c, vecs=vecs_j, weights=weights_j, csa=csa)
+        v = jnp.stack([rates.R1, rates.R2, rates.NOE], axis=-1)  # (nRes, 3)
+        if rates.dR1 is not None:
+            dv = jnp.stack([rates.dR1, rates.dR2, rates.dNOE], axis=-1)
+        else:
+            dv = None
+        return v, dv
+
+    def _inner(v, dv):
+        sq = (v - exp_j) ** 2
+        if dv is not None and err_j is not None:
+            w = dv**2 + err_j**2
+        elif dv is not None:
+            w = dv**2
+        elif err_j is not None:
+            w = err_j**2
+        else:
+            return sq  # unweighted (reference :207)
+        return sq / w
+
+    @jax.jit
+    def chisq_total(diso, s2s, csa):
+        v, dv = _predict(diso, s2s, csa)
+        return jnp.mean(_inner(v, dv))
+
+    @jax.jit
+    def chisq_res(diso, s2s, csa):
+        v, dv = _predict(diso, s2s, csa)
+        return jnp.mean(_inner(v, dv), axis=-1)  # (nRes,)
+
+    return chisq_total, chisq_res
+
+
+def fit_legacy(
+    mode: str,
+    pair: NucleusPair,
+    diffusion: Diffusion,
+    cts: CtModelSet,
+    exp: np.ndarray,
+    exp_err: Optional[np.ndarray],
+    vecs=None,
+    weights=None,
+    csa0: Optional[np.ndarray] = None,
+    max_cycles: int = 100,
+    tol: float = 1e-6,
+    verbose: bool = False,
+) -> LegacyFitResult:
+    from scipy.optimize import fmin_powell
+
+    n_res = cts.n_models
+    if csa0 is None:
+        csa0 = np.full(n_res, pair.csa_value)
+    csa = np.asarray(csa0, dtype=float).copy()
+    diso0 = float(np.asarray(diffusion.diso))
+    csa_mean0 = float(np.mean(csa))
+
+    chisq_total, chisq_res = _make_chisq(
+        pair, diffusion, cts, vecs, weights, exp, exp_err
+    )
+
+    if mode == "Diso":
+        f = lambda x: float(chisq_total(x[0], 1.0, jnp.asarray(csa)))
+        out = fmin_powell(f, x0=[diso0], direc=[[0.1 * diso0]], full_output=True, disp=verbose)
+        return LegacyFitResult(float(out[0]), 1.0, csa, float(out[1]), mode)
+
+    if mode == "DisoS2":
+        f = lambda x: float(chisq_total(x[0], x[1], jnp.asarray(csa)))
+        d_init = np.array([[0.1 * diso0, 0.1], [0.1 * diso0, -0.1]])
+        out = fmin_powell(f, x0=[diso0, 1.0], direc=d_init, full_output=True, disp=verbose)
+        return LegacyFitResult(float(out[0][0]), float(out[0][1]), csa, float(out[1]), mode)
+
+    if mode == "DisoCSA":
+        f = lambda x: float(chisq_total(x[0], 1.0, jnp.full(n_res, x[1])))
+        d_init = np.array(
+            [[0.1 * diso0, 0.1 * csa_mean0], [0.1 * diso0, -0.1 * csa_mean0]]
+        )
+        out = fmin_powell(f, x0=[diso0, csa_mean0], direc=d_init, full_output=True, disp=verbose)
+        return LegacyFitResult(
+            float(out[0][0]), 1.0, np.full(n_res, float(out[0][1])), float(out[1]), mode
+        )
+
+    if mode == "DisoS2CSA":
+        # Correlated Powell directions (reference :930-934): CSA and S2
+        # both compensate for Diso.
+        p_init = np.array([diso0, 1.0, csa_mean0])
+        dmat = np.array(
+            [
+                [np.sqrt(1 / 3), np.sqrt(1 / 3), np.sqrt(1 / 3)],
+                [-np.sqrt(2 / 3), np.sqrt(1 / 6), np.sqrt(1 / 6)],
+                [0.0, np.sqrt(1 / 2), -np.sqrt(1 / 2)],
+            ]
+        )
+        d_init = 0.1 * dmat * p_init
+        f = lambda x: float(chisq_total(x[0], x[1], jnp.full(n_res, x[2])))
+        out = fmin_powell(f, x0=p_init, direc=d_init, full_output=True, disp=verbose)
+        return LegacyFitResult(
+            float(out[0][0]), float(out[0][1]),
+            np.full(n_res, float(out[0][2])), float(out[1]), mode,
+        )
+
+    if mode == "new":
+        diso = diso0
+        diso_prev = None
+        csa_prev = None
+        first = True
+        for r in range(max_cycles):
+            f = lambda x: float(chisq_total(np.atleast_1d(x)[0], 1.0, jnp.asarray(csa)))
+            out = fmin_powell(f, x0=diso, direc=[[0.1 * diso]], full_output=True, disp=False)
+            diso, chi = float(out[0]), float(out[1])
+            if not first and np.allclose(diso, diso_prev, rtol=tol):
+                break
+            diso_prev = diso
+
+            fres = lambda c: chisq_res(diso, 1.0, c)
+            csa_new = np.asarray(
+                golden_vec(fres, jnp.asarray(csa - 150e-6), jnp.asarray(csa + 150e-6))
+            )
+            if not first and np.allclose(csa_new, csa_prev, rtol=tol):
+                csa = csa_new
+                break
+            csa_prev = csa
+            csa = csa_new
+            first = False
+            if verbose:
+                print(f"    ...round {r} complete. Diso={diso:g}")
+        chi = float(chisq_total(diso, 1.0, jnp.asarray(csa)))
+        return LegacyFitResult(diso, 1.0, csa, chi, mode)
+
+    raise ValueError(f"invalid optimisation mode {mode!r}")

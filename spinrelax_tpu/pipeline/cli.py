@@ -203,10 +203,18 @@ def cmd_relax(argv):
     p.add_argument("--zeta", type=float, default=0.890023)
     p.add_argument("--csa", default=None)
     p.add_argument("--shiftres", type=int, default=0)
+    p.add_argument("-e", "--expfn", default=None,
+                   help="experimental ResID/R1/R2/NOE table (3 or 6 data columns)")
+    p.add_argument("--opt", "--fit", dest="opt", default=None,
+                   choices=("Diso", "DisoS2", "DisoCSA", "DisoS2CSA", "new"))
+    p.add_argument("--cycles", type=int, default=100)
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--theoretical", action="store_true",
+                   help="rigid-body baseline rates; exits after reporting")
     a = p.parse_args(argv)
     from ..constants import field_to_mhz
     from ..io import fittedct as fctio
-    from .stages import stage_relax
+    from .stages import stage_relax, stage_relax_theoretical
 
     if a.freq is not None:
         freq_mhz = a.freq / 1e6
@@ -215,6 +223,18 @@ def cmd_relax(argv):
     else:
         sys.exit("= = = ERROR: give either --B0 [T] or --freq [Hz]")
     diffusion = _parse_diffusion(a)
+    if a.theoretical:
+        rates = stage_relax_theoretical(
+            diffusion, freq_mhz=freq_mhz, nuclei=a.nuclei, zeta=a.zeta
+        )
+        label = "Isotropic" if diffusion.kind == "isotropic" else "Anisotropic axial"
+        print(f"...{label} baseline values:")
+        print("R1:", np.asarray(rates.R1))
+        print("R2:", np.asarray(rates.R2))
+        print("NOE:", np.asarray(rates.NOE))
+        return
+    if a.opt is not None and a.expfn is None:
+        sys.exit("= = = ERROR: --opt requires an experimental file (--expfn)")
     names = fctio.read_fittedct(a.in_ct).names
     csa = _parse_csa(a.csa, names)
     q_rot = np.array(_split_floats(a.q_rot)) if a.q_rot else None
@@ -222,6 +242,7 @@ def cmd_relax(argv):
         a.in_ct, a.outpref, diffusion,
         vec_file=a.distfn, q_rot=q_rot, freq_mhz=freq_mhz, nuclei=a.nuclei,
         zeta=a.zeta, csa=csa, jomega=a.Jomega, shift_res=a.shiftres,
+        expt_file=a.expfn, opt_mode=a.opt, max_cycles=a.cycles, tol=a.tol,
     )
     print(" = = Completed Relaxation calculations.")
 

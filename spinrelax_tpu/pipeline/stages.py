@@ -443,10 +443,19 @@ def stage_relax(
     csa: Optional[np.ndarray] = None,
     jomega: bool = False,
     shift_res: int = 0,
+    expt_file: Optional[str] = None,
+    opt_mode: Optional[str] = None,
+    max_cycles: int = 100,
+    tol: float = 1e-6,
     force: bool = False,
 ):
     """Predict R1/R2/NOE/rho (or J(w)) at one field; writes
-    {pref}_R1.dat, _R2.dat, _NOE.dat, _rho.dat or _Jw.dat."""
+    {pref}_R1.dat, _R2.dat, _NOE.dat, _rho.dat or _Jw.dat.
+
+    With ``expt_file`` + ``opt_mode``, first fits global parameters
+    against a 3/6-column experimental table (legacy modes Diso / DisoS2 /
+    DisoCSA / DisoS2CSA / new, calculate-relaxations-from-Ct.py:865-1000).
+    """
     cts = fctio.read_fittedct(fittedct_file).with_zeta(zeta)
     iso_a = {"NH": "15N", "CH": "13C"}[nuclei]
     pair = NucleusPair(isotope_a=iso_a, B0=field_from_mhz(freq_mhz), time_unit="ps")
@@ -463,6 +472,64 @@ def stage_relax(
             vecs = np.asarray(qt.rotate_vector(jnp.asarray(vecs), jnp.asarray(q_rot)))
 
     sim_resid = cts.names
+    opt_header = ""
+    if expt_file is not None and opt_mode is not None:
+        from ..fit.legacyfit import fit_legacy
+
+        exp_resid, expblock = xvg.load_xys(expt_file)
+        exp_names = [str(int(x)) for x in exp_resid]
+        ny = expblock.shape[1]
+        if ny == 6:
+            exp = expblock.reshape(len(exp_resid), 3, 2)[..., 0]
+            exp_err = expblock.reshape(len(exp_resid), 3, 2)[..., 1]
+        elif ny == 3:
+            exp, exp_err = expblock, None
+        else:
+            raise ValueError(f"{expt_file}: expected 3 or 6 data columns")
+
+        # Residue-intersection filtering
+        # (calculate-relaxations-from-Ct.py:801-851).
+        shared = [n for n in sim_resid if n in exp_names]
+        if not shared:
+            raise ValueError("no overlap between experimental and simulated residues")
+        sim_idx = np.array([sim_resid.index(n) for n in shared])
+        exp_idx = np.array([exp_names.index(n) for n in shared])
+        f_cts = cts.select(sim_idx)
+        f_vecs = None if vecs is None else vecs[sim_idx]
+        f_weights = None if weights is None else weights[sim_idx]
+        f_csa = None if csa is None else np.asarray(csa)[sim_idx]
+        result = fit_legacy(
+            opt_mode, pair, diffusion, f_cts,
+            exp[exp_idx], None if exp_err is None else exp_err[exp_idx],
+            vecs=f_vecs, weights=f_weights, csa0=f_csa,
+            max_cycles=max_cycles, tol=tol,
+        )
+        diffusion = diffusion.with_diso(result.diso)
+        zeta_eff = zeta * result.s2_scale
+        cts = cts.with_zeta(zeta_eff)
+        if csa is None:
+            csa = np.full(len(sim_resid), pair.csa_value)
+        csa = np.asarray(csa, dtype=float).copy()
+        csa[sim_idx] = result.csa
+        if opt_mode == "new":
+            xvg.print_xy(out_prefix + "_CSA_values.dat", sim_resid, csa)
+        fitted_flags = dict(
+            Diso=True,
+            zeta="S2" in opt_mode,
+            CSA="CSA" in opt_mode or opt_mode == "new",
+        )
+        lines = []
+        for name, val, scale, unit, was_fit in (
+            ("Diso", result.diso, 1.0, "ps^-1", fitted_flags["Diso"]),
+            ("zeta", zeta_eff, 1.0, "a.u.", fitted_flags["zeta"]),
+            ("CSA", float(np.mean(csa)), 1e6, "ppm", fitted_flags["CSA"]),
+            ("chi", np.sqrt(result.chisq), 1.0, "a.u.", True),
+        ):
+            status = "Optimised" if was_fit else "Fixed"
+            lines.append("# %s %s: %g %s" % (status, name, val * scale, unit))
+        opt_header = "\n".join(lines)
+        print(opt_header)
+
     if jomega:
         J, dJ = observables.predict_jomega(
             pair, diffusion, cts, vecs=vecs, weights=weights
@@ -487,15 +554,40 @@ def stage_relax(
     )
     have_err = rates.dR1 is not None
     if have_err:
-        xvg.print_xydy(out_prefix + "_R1.dat", sim_resid, np.asarray(rates.R1), np.asarray(rates.dR1))
-        xvg.print_xydy(out_prefix + "_R2.dat", sim_resid, np.asarray(rates.R2), np.asarray(rates.dR2))
-        xvg.print_xydy(out_prefix + "_NOE.dat", sim_resid, np.asarray(rates.NOE), np.asarray(rates.dNOE))
+        xvg.print_xydy(out_prefix + "_R1.dat", sim_resid, np.asarray(rates.R1), np.asarray(rates.dR1), header=opt_header)
+        xvg.print_xydy(out_prefix + "_R2.dat", sim_resid, np.asarray(rates.R2), np.asarray(rates.dR2), header=opt_header)
+        xvg.print_xydy(out_prefix + "_NOE.dat", sim_resid, np.asarray(rates.NOE), np.asarray(rates.dNOE), header=opt_header)
         xvg.print_xydy(out_prefix + "_rho.dat", sim_resid, np.asarray(rates.rho), np.asarray(rates.drho))
     else:
-        xvg.print_xy(out_prefix + "_R1.dat", sim_resid, np.asarray(rates.R1))
-        xvg.print_xy(out_prefix + "_R2.dat", sim_resid, np.asarray(rates.R2))
-        xvg.print_xy(out_prefix + "_NOE.dat", sim_resid, np.asarray(rates.NOE))
+        xvg.print_xy(out_prefix + "_R1.dat", sim_resid, np.asarray(rates.R1), header=opt_header)
+        xvg.print_xy(out_prefix + "_R2.dat", sim_resid, np.asarray(rates.R2), header=opt_header)
+        xvg.print_xy(out_prefix + "_NOE.dat", sim_resid, np.asarray(rates.NOE), header=opt_header)
         xvg.print_xy(out_prefix + "_rho.dat", sim_resid, np.asarray(rates.rho))
+    return rates
+
+
+def stage_relax_theoretical(
+    diffusion: Diffusion,
+    freq_mhz: float = 600.133,
+    nuclei: str = "NH",
+    zeta: float = DEFAULT_ZETA,
+):
+    """Rigid-baseline shortcut (--theoretical,
+    calculate-relaxations-from-Ct.py:671-687): relaxation of a rigid body
+    with no internal motion.  Isotropic -> one triple; axisymmetric ->
+    per-axis triples for the three lab axes."""
+    iso_a = {"NH": "15N", "CH": "13C"}[nuclei]
+    pair = NucleusPair(isotope_a=iso_a, B0=field_from_mhz(freq_mhz), time_unit="ps")
+    if diffusion.kind == "isotropic":
+        cts = CtModelSet.from_lists(["1"], [zeta], [[0.0]], [[99999.0]])
+        rates = observables.predict_rates(pair, diffusion, cts)
+    else:
+        cts = CtModelSet.from_lists(
+            ["1", "2", "3"], [zeta] * 3, [[0.0]] * 3, [[99999.0]] * 3
+        )
+        rates = observables.predict_rates(
+            pair, diffusion, cts, vecs=np.eye(3)
+        )
     return rates
 
 
