@@ -52,6 +52,16 @@ def _dq_vectors(q, delta, n_data):
     return dq[..., 1:4] * mask[:, None], mask
 
 
+def dq_vectors(q, delta: int) -> np.ndarray:
+    """Host-facing helper: the valid delta-q vector parts for one lag
+    (used for the 3D histogram output, calculate-dq-distribution.py:632-647).
+    """
+    q = jnp.asarray(q)
+    v, mask = _dq_vectors(q, delta, q.shape[0])
+    n_valid = q.shape[0] - delta
+    return np.asarray(v)[:n_valid]
+
+
 @partial(jax.jit, static_argnames=("n_chunks",))
 def dq_statistics(q, lag_frames, n_chunks: int = 0) -> DqStats:
     """Compute iso decay and anisotropy tensors for all lags at once.

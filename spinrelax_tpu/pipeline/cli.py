@@ -111,11 +111,20 @@ def cmd_dq(argv):
     p.add_argument("--skip", type=float, default=0.0)
     p.add_argument("--num_chunk", type=int, default=0)
     p.add_argument("--multi", action="store_true", help="aggregate colvar with repeated FIELDS headers")
+    p.add_argument("--hist", dest="do_hist", action="store_true",
+                   help="write per-lag 3D delta-q histograms")
+    p.add_argument("-n", "--num_bins", type=int, default=101)
+    p.add_argument("-o2", "--outtype", dest="out_suff", default="dat",
+                   choices=("dx", "dat", "none"))
+    p.add_argument("--fulltensor", action="store_true",
+                   help="write all nine <q_i q_j> components per lag in the PAF")
     a = p.parse_args(argv)
     from .stages import stage_dq
 
     res = stage_dq(
-        a.infn, a.outpref, a.mindt, a.maxdt, a.skip, n_chunks=a.num_chunk, multi=a.multi
+        a.infn, a.outpref, a.mindt, a.maxdt, a.skip, n_chunks=a.num_chunk,
+        multi=a.multi, do_hist=a.do_hist, hist_bins=a.num_bins,
+        hist_format=a.out_suff, do_full_tensor=a.fulltensor,
     )
     print(f"= = D_iso = {res.D_iso:.6g} s^-1 ; PAF quaternion {res.q_frame}")
 
@@ -368,6 +377,53 @@ def cmd_run_all(argv):
     runall_main(argv)
 
 
+def cmd_check(argv):
+    """Environment self-check (check-installation.bash + check-packages.py
+    equivalent): verifies JAX devices, optional dependencies, and the
+    native fast-IO library."""
+    import importlib
+
+    print("= = spinrelax_tpu installation check = =")
+    ok = True
+    for mod, required in (
+        ("jax", True), ("numpy", True), ("scipy", True),
+        ("matplotlib", False), ("mdtraj", False), ("pynmrstar", False),
+    ):
+        try:
+            m = importlib.import_module(mod)
+            ver = getattr(m, "__version__", "?")
+            print(f"  [ok]   {mod} {ver}")
+        except ImportError:
+            status = "MISSING (required)" if required else "absent (optional)"
+            print(f"  [{'!!' if required else '--'}]   {mod}: {status}")
+            ok &= not required
+    import jax
+
+    try:
+        devs = jax.devices()
+        print(f"  [ok]   jax devices: {devs}")
+    except Exception as exc:
+        print(f"  [!!]   jax device initialisation failed: {exc}")
+        ok = False
+    from ..io import native
+
+    if native.available():
+        print("  [ok]   native fast-IO library (libfastio.so)")
+    else:
+        print("  [--]   native fast-IO unavailable; falling back to numpy parsers")
+    # Smoke-test one jitted kernel.
+    import jax.numpy as jnp
+
+    from ..ops.jomega import j_rigid_sphere_D
+
+    val = float(jax.jit(j_rigid_sphere_D)(jnp.asarray(0.0), 1.0 / 6.0))
+    assert abs(val - 1.0) < 1e-6
+    print("  [ok]   jitted J(omega) kernel executes")
+    print("= = check %s = =" % ("PASSED" if ok else "FAILED"))
+    if not ok:
+        sys.exit(1)
+
+
 COMMANDS = {
     "orient": cmd_orient,
     "dq": cmd_dq,
@@ -381,6 +437,7 @@ COMMANDS = {
     "plot-ct": cmd_plot_ct,
     "rotate": cmd_rotate,
     "run-all": cmd_run_all,
+    "check": cmd_check,
 }
 
 

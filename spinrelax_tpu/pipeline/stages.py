@@ -184,10 +184,16 @@ def stage_dq(
     skip_dt: float,
     n_chunks: int = 0,
     multi: bool = False,
+    do_hist: bool = False,
+    hist_bins: int = 101,
+    hist_format: str = "dat",  # 'dx' | 'dat' | 'none'
+    do_full_tensor: bool = False,
     force: bool = False,
 ) -> dqops.DqResult:
     """Global tumbling analysis; writes {pref}-iso.dat, {pref}-aniso2.dat,
-    {pref}-aniso_q.dat, {pref}-moi.xyz."""
+    {pref}-aniso_q.dat, {pref}-moi.xyz; optionally per-lag 3D delta-q
+    histograms ({pref}-hist-<dt>ps.dx/.dat) and the full 3x3 tensor trace
+    ({pref}-tensor.dat)."""
     marker = out_prefix + "-aniso_q.dat"
     if multi:
         fields, data = colvario.read_colvar_multi(colvar_file)
@@ -248,6 +254,46 @@ def stage_dq(
             print("AXES", file=fp)
             for lab, row in zip("XYZ", axes):
                 print("%s %g %g %g" % (lab, row[0], row[1], row[2]), file=fp)
+
+    if do_full_tensor:
+        # <(Rv)(Rv)^T> components per lag in the locked PAF
+        # (calculate-dq-distribution.py:610-611,722-723).
+        from ..core import quaternion as qt
+
+        q_traj = (
+            np.asarray(colvario.read_colvar(colvar_file)[1][1:5].T, dtype=np.float64)
+            if not multi
+            else None
+        )
+        R = np.asarray(qt.quat_to_mat(jnp.asarray(res.q_frame)))
+        lags = (res.lag_times / delta_t).astype(int)
+        stats = dqops.dq_statistics(jnp.asarray(q_traj), jnp.asarray(lags)) if q_traj is not None else None
+        if stats is not None:
+            MR = np.einsum("ab,lbc,dc->lad", R, np.asarray(stats.M), R)
+            xvg.print_xylist(
+                out_prefix + "-tensor.dat", res.lag_times,
+                MR.reshape(len(lags), 9).T, cols=True,
+            )
+
+    if do_hist and hist_format != "none" and not multi:
+        from ..io import dx as dxio
+
+        _, data = colvario.read_colvar(colvar_file)
+        q_traj = data[1:5].T.astype(np.float64)
+        lags = (res.lag_times / delta_t).astype(int)
+        edges = np.linspace(-1.0, 1.0, hist_bins + 1)
+        for li, delta in enumerate(lags):
+            v = dqops.dq_vectors(q_traj, int(delta))
+            hist, hedges = np.histogramdd(
+                v, bins=(hist_bins,) * 3, range=((-1, 1),) * 3, density=True
+            )
+            out_file = "%s-hist-%sps.%s" % (out_prefix, res.lag_times[li], hist_format)
+            if hist_format == "dx":
+                xmin = [0.5 * (e[0] + e[1]) for e in hedges]
+                abc = np.diag([(e[-1] - e[0]) / hist_bins for e in hedges])
+                dxio.write_dx(out_file, hist, (hist_bins,) * 3, xmin, abc, units="nm")
+            else:
+                xvg.print_gplot_hist(out_file, hist, hedges)
     return res
 
 

@@ -1,0 +1,160 @@
+"""CLI-level tests: check/rho/rotate/hydronmr/plot-ct commands, dq
+histogram/tensor outputs, and eta cross-correlated rates."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from spinrelax_tpu.constants import NucleusPair, field_from_mhz
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, cwd, timeout=300):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    return subprocess.run(
+        [
+            sys.executable, "-c",
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            "from spinrelax_tpu.pipeline.cli import main; main()",
+        ]
+        + args,
+        cwd=str(cwd),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+
+
+def test_check_command(tmp_path):
+    out = run_cli(["check"], tmp_path)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "PASSED" in out.stdout
+
+
+def test_rho_command(tmp_path):
+    # Build a rate table from a known J and verify rho recovery.
+    fn = tmp_path / "exp.dat"
+    with open(fn, "w") as fp:
+        fp.write("# resid R1 R2 NOE\n")
+        fp.write("2 1.4 12.0 0.77\n3 1.5 11.5 0.80\n")
+    out = run_cli(["rho", "-f", str(fn), "-o", "rho.dat"], tmp_path)
+    assert out.returncode == 0, out.stderr[-2000:]
+    data = np.loadtxt(tmp_path / "rho.dat")
+    assert data.shape == (2, 2)
+    assert np.all(np.isfinite(data[:, 1]))
+
+
+def test_rotate_command(tmp_path):
+    from spinrelax_tpu.io import pdb as pdbio
+
+    rng = np.random.default_rng(0)
+    n = 5
+    top = pdbio.Topology(
+        atom_names=["CA"] * n,
+        res_seqs=np.arange(1, n + 1),
+        res_names=["ALA"] * n,
+        chain_ids=["A"] * n,
+        occupancies=np.ones(n),
+        elements=["C"] * n,
+    )
+    xyz = rng.normal(size=(1, n, 3))
+    pdbio.write_pdb(str(tmp_path / "in.pdb"), top, xyz)
+    out = run_cli(
+        ["rotate", "-f", "in.pdb", "-q", "0.7071068,0,0,0.7071068", "-o", "out.pdb"],
+        tmp_path,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    _, xyz2 = pdbio.read_pdb(str(tmp_path / "out.pdb"))
+    com = xyz[0].mean(axis=0)
+    # 90-degree rotation about z around the COM.
+    rel = xyz[0] - com
+    want = np.stack([-rel[:, 1], rel[:, 0], rel[:, 2]], axis=-1) + com
+    np.testing.assert_allclose(xyz2[0], want, atol=2e-3)  # PDB %.3f precision
+
+
+def test_hydronmr_parser(tmp_path):
+    res = tmp_path / "output.res"
+    with open(res, "w") as fp:
+        fp.write(
+            "  Structural file: 1abc.pdb\n"
+            " Dx  1.5e7   eigenvector:  0.0 0.0 1.0\n"
+            " Dy  2.5e7   eigenvector:  1.0 0.0 0.0\n"
+            " Dz  2.0e7   eigenvector:  0.0 1.0 0.0\n"
+        )
+    from spinrelax_tpu.io.hydronmr import read_hydronmr_results, translate_D
+
+    D, mat, pdb = read_hydronmr_results(str(res))
+    assert pdb == "1abc.pdb"
+    np.testing.assert_allclose(D, [1.5e7, 2.0e7, 2.5e7])
+    # Rows stay unit length after the reorder rotation.
+    np.testing.assert_allclose(np.linalg.norm(mat, axis=-1), 1.0, atol=1e-12)
+    Dp = translate_D(D * 1e-12)
+    np.testing.assert_allclose(Dp[0], 2.0e-5)
+
+
+def test_eta_rates():
+    import jax.numpy as jnp
+
+    from spinrelax_tpu.ops import relaxation as rx
+
+    pair = NucleusPair(B0=field_from_mhz(600.133), time_unit="ps")
+    J = jnp.asarray(np.array([3000.0, 800.0, 40.0, 50.0, 30.0]))
+    # Reference formulas (spectral_densities.py:1758-1773).
+    r_m = 1.02e-10
+    fact = (
+        -1.0545718e-41 * pair.gamma_b * pair.gamma_a**2 * r_m**-3.0
+        * pair.B0 * pair.csa_value * 0.4
+    )
+    want_z = fact * (1.5 - 0.5) * 800.0
+    want_xy = fact / 6.0 * (1.5 - 0.5) * (4 * 3000.0 + 3 * 800.0)
+    np.testing.assert_allclose(float(rx.eta_z_from_j(J, pair)), want_z, rtol=1e-12)
+    np.testing.assert_allclose(float(rx.eta_xy_from_j(J, pair)), want_xy, rtol=1e-12)
+
+
+@pytest.mark.slow
+def test_dq_hist_and_tensor(tmp_path, rng):
+    # Small quaternion random walk -> colvar -> dq with hist + fulltensor.
+    n = 600
+    q = np.zeros((n, 4))
+    q[0] = [1, 0, 0, 0]
+    for t in range(1, n):
+        w = rng.normal(scale=0.05, size=3)
+        th = np.linalg.norm(w)
+        dq = np.concatenate([[np.cos(th / 2)], w / th * np.sin(th / 2)])
+        w1, x1, y1, z1 = q[t - 1]
+        w2, x2, y2, z2 = dq
+        q[t] = [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 + y1 * w2 + z1 * x2 - x1 * z2,
+            w1 * z2 + z1 * w2 + x1 * y2 - y1 * x2,
+        ]
+        q[t] /= np.linalg.norm(q[t])
+    with open(tmp_path / "colvar", "w") as fp:
+        fp.write("#! FIELDS time q.w q.x q.y q.z\n")
+        for t in range(n):
+            fp.write(" %f %f %f %f %f\n" % (t * 1.0, *q[t]))
+    out = run_cli(
+        [
+            "dq", "-f", "colvar", "-o", "dq", "--iso" if False else "--mindt", "20",
+            "--maxdt", "200", "--skip", "60", "--hist", "-n", "21",
+            "-o2", "dx", "--fulltensor",
+        ],
+        tmp_path,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    hists = [f for f in os.listdir(tmp_path) if f.startswith("dq-hist-")]
+    assert len(hists) >= 3
+    assert os.path.exists(tmp_path / "dq-tensor.dat")
+    from spinrelax_tpu.io.dx import read_dx
+
+    data, dims, orig, abc = read_dx(str(tmp_path / hists[0]), units="nm")
+    assert tuple(dims) == (21, 21, 21)
+    assert np.all(np.isfinite(data))
