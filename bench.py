@@ -42,22 +42,27 @@ def main():
         return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
 
     step = jax.jit(ct_palmer)
-    n_iter = 20
+    n_iter = 15
     seed = int(time.time()) & 0x7FFFFFFF  # defeat any server-side result cache
-    keys = jax.random.split(jax.random.PRNGKey(seed), n_iter + 1)
+    keys = jax.random.split(jax.random.PRNGKey(seed), 2 * n_iter + 1)
     inputs = [gen(k) for k in keys]
     # Warm-up / compile and force completion of input generation.
     out = step(inputs[-1])
     float(out[0][0, 0])
 
-    t0 = time.perf_counter()
-    acc = jnp.float32(0.0)
-    for x in inputs[:n_iter]:
-        out = step(x)
-        acc = acc + out[0][0, 0] + out[1][0, 0]
-    acc_val = float(acc)  # single fetch forces the whole chain
-    dt = (time.perf_counter() - t0) / n_iter
-    assert np.isfinite(acc_val)
+    # Two timed rounds; report the second (the remote executor reaches
+    # steady state only after a dozen executions).
+    dt = None
+    for rnd in range(2):
+        batch = inputs[rnd * n_iter : (rnd + 1) * n_iter]
+        t0 = time.perf_counter()
+        acc = jnp.float32(0.0)
+        for x in batch:
+            out = step(x)
+            acc = acc + out[0][0, 0] + out[1][0, 0]
+        acc_val = float(acc)  # single fetch forces the whole chain
+        dt = (time.perf_counter() - t0) / n_iter
+        assert np.isfinite(acc_val)
 
     rate = N_REP * N_FRAMES * N_RES / dt
     print(
