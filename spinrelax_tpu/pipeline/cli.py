@@ -142,6 +142,9 @@ def cmd_ct(argv):
     p.add_argument("-t", "--tau", type=float, required=True, help="memory time [ps]")
     p.add_argument("--prefact", type=float, default=(1.02 / 1.04) ** 6, dest="zeta")
     p.add_argument("--S2", dest="do_s2", action="store_true")
+    p.add_argument("--S2mode", default="outer", choices=("outer", "ired", "wired"),
+                   help="outer-product S2 or (w)iRED eigenmode S2 "
+                        "(Gu/Li/Brueschweiler 2014)")
     p.add_argument("--Ct", dest="do_ct", action="store_true")
     p.add_argument("--vecDist", dest="do_vec", action="store_true")
     p.add_argument("--vecHist", dest="do_hist", action="store_true")
@@ -164,7 +167,8 @@ def cmd_ct(argv):
     stage_ct(
         a.infn, a.topfn, a.outpref, a.tau,
         q_rot=q_rot, h_sel=a.Hsel, x_sel=a.Xsel, fit_sel=a.fitsel, zeta=a.zeta,
-        do_ct=a.do_ct, do_s2=a.do_s2, do_vec_dist=(a.do_vec or a.do_hist),
+        do_ct=a.do_ct, do_s2=a.do_s2, s2_mode=a.S2mode,
+        do_vec_dist=(a.do_vec or a.do_hist),
         do_vec_avg=a.do_avg, vec_storage=storage, hist_bins=a.histBin,
     )
     print("= = C(t)/S2 stage complete.")

@@ -315,6 +315,7 @@ def stage_ct(
     zeta: float = DEFAULT_ZETA,
     do_ct: bool = True,
     do_s2: bool = True,
+    s2_mode: str = "outer",  # outer | ired | wired
     do_vec_dist: bool = True,
     do_vec_avg: bool = True,
     vec_storage: str = "Histogram",  # Histogram | PhiTheta | TextPhiTheta
@@ -408,9 +409,26 @@ def stage_ct(
             raise ValueError(f"unknown vec_storage {vec_storage!r}")
 
     if do_s2:
-        s2 = np.asarray(
-            autocorr.s2_outer_blocked(jnp.asarray(flat), delta_t, tau_memory)
-        )
+        if s2_mode == "outer":
+            s2 = np.asarray(
+                autocorr.s2_outer_blocked(jnp.asarray(flat), delta_t, tau_memory)
+            )
+        elif s2_mode in ("ired", "wired"):
+            from ..ops import ired as iredops
+
+            # iRED works on raw (lab-frame) vectors: the tumbling modes are
+            # separated spectrally, no superposition needed.
+            raw_flat = vec_raw.reshape(-1, vec_raw.shape[-2], vec_raw.shape[-1])
+            tau_est = tau_memory / 10.0
+            fn = (
+                iredops.calculate_s2_ired
+                if s2_mode == "ired"
+                else iredops.calculate_s2_wired
+            )
+            res_i = fn(jnp.asarray(raw_flat), delta_t, tau_est)
+            s2 = np.stack([np.asarray(res_i.S2), np.asarray(res_i.dS2)], axis=-1)
+        else:
+            raise ValueError(f"unknown s2_mode {s2_mode!r}")
         xvg.print_xylist(out_prefix + "_S2.dat", res_ids, (s2.T) * zeta, cols=True)
         out["S2"] = s2
 

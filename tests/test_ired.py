@@ -1,0 +1,94 @@
+"""iRED order parameters: rigid-body vs wobbling synthetic tests."""
+
+import numpy as np
+import pytest
+
+from spinrelax_tpu.ops.ired import calculate_s2_ired, calculate_s2_wired
+
+
+def np_qmult(a, b):
+    w1, x1, y1, z1 = a
+    w2, x2, y2, z2 = b
+    return np.array(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 + y1 * w2 + z1 * x2 - x1 * z2,
+            w1 * z2 + z1 * w2 + x1 * y2 - y1 * x2,
+        ]
+    )
+
+
+def rotate(v, q):
+    w, qv = q[0], q[1:]
+    a = np.cross(qv, v) + w * v
+    return v + 2 * np.cross(qv, a)
+
+
+def tumbling_vectors(rng, n_frames, n_res, D=2e-3, wobble=0.0, tau_int=20.0):
+    base = rng.normal(size=(n_res, 3))
+    base /= np.linalg.norm(base, axis=-1, keepdims=True)
+    q = np.array([1.0, 0, 0, 0])
+    sig = np.sqrt(2 * D)
+    phi = np.zeros(n_res)
+    out = np.zeros((n_frames, n_res, 3))
+    body = np.zeros((n_frames, n_res, 3))
+    # Wobble frames per residue.
+    e1 = np.cross(base, [0.0, 0.0, 1.0])
+    e1 /= np.linalg.norm(e1, axis=-1, keepdims=True)
+    e2 = np.cross(base, e1)
+    for t in range(n_frames):
+        w = rng.normal(scale=sig, size=3)
+        th = np.linalg.norm(w)
+        dq = np.concatenate([[np.cos(th / 2)], w / th * np.sin(th / 2)])
+        q = np_qmult(q, dq)
+        q /= np.linalg.norm(q)
+        phi = phi * np.exp(-1.0 / tau_int) + rng.normal(
+            scale=1.2 * np.sqrt(1 - np.exp(-2.0 / tau_int)), size=n_res
+        )
+        if wobble > 0:
+            d = (
+                np.cos(wobble) * base
+                + np.sin(wobble) * (np.cos(phi)[:, None] * e1 + np.sin(phi)[:, None] * e2)
+            )
+        else:
+            d = base
+        body[t] = d
+        out[t] = rotate(d, q)
+    return out, body
+
+
+def test_rigid_body_s2_near_one(rng):
+    vecs, _ = tumbling_vectors(rng, 4000, 10, wobble=0.0)
+    res = calculate_s2_ired(vecs, delta_t=1.0, tau=1.0 / (6 * 2e-3))
+    S2 = np.asarray(res.S2)
+    assert np.all(S2 > 0.85), S2
+    # Eigen spectrum: 5 large reorientational modes dominate.
+    vals = np.asarray(res.eigenvalues)[0]
+    assert vals[:5].sum() > 0.8 * vals.sum()
+
+
+def test_wobble_matches_bodyframe_s2(rng):
+    """iRED S2 (lab frame, spectral separation of tumbling) should agree
+    with the standard outer-product S2 computed from the known body-frame
+    vectors over the same windows."""
+    from spinrelax_tpu.ops.autocorr import s2_outer_blocked
+
+    # iRED's spectral separation needs many vectors (the 5 tumbling modes
+    # must be a small fraction of the space); with 40 vectors agreement is
+    # within ~0.07.
+    wob = 0.45
+    vecs, body = tumbling_vectors(rng, 6000, 40, wobble=wob)
+    tau_c = 1.0 / (6 * 2e-3)
+    res = calculate_s2_ired(vecs, delta_t=1.0, tau=tau_c)
+    S2_ired = np.asarray(res.S2)
+    ref = np.asarray(s2_outer_blocked(body, 1.0, 5.0 * tau_c))[:, 0]
+    assert np.all(S2_ired < 0.95)
+    np.testing.assert_allclose(S2_ired, ref, atol=0.1)
+
+
+def test_wired_variant_runs(rng):
+    vecs, _ = tumbling_vectors(rng, 2000, 6, wobble=0.3)
+    res = calculate_s2_wired(vecs, delta_t=1.0, tau=80.0)
+    assert np.asarray(res.S2).shape == (6,)
+    assert np.all(np.isfinite(np.asarray(res.dS2)))
