@@ -1,0 +1,108 @@
+"""North-star benchmark (BASELINE.json): 10^4 bond vectors x 10^6 frames,
+C(t) + multi-exponential fit + R1/R2/NOE end-to-end, target < 1 min on one
+TPU v5e.
+
+The frame axis streams through the device in groups of Palmer chunks with
+running (sum, sum-of-squares) accumulators — the full trajectory never
+exists in HBM.  Synthetic vectors are generated on device per group
+(host->device streaming is a separate I/O concern; this measures the
+compute path, matching how BASELINE.md defines the metric).
+
+Usage: python tools/bench_northstar.py [--nres 10000] [--chunks 1000]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--nres", type=int, default=10_000)
+    p.add_argument("--chunks", type=int, default=1000, help="Palmer chunks")
+    p.add_argument("--frames", type=int, default=1000, help="frames per chunk")
+    p.add_argument("--group", type=int, default=4, help="chunks per device step")
+    a = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from spinrelax_tpu.constants import NucleusPair
+    from spinrelax_tpu.fit.lm import fit_multiexp
+    from spinrelax_tpu.ops.autocorr import _acf_sums
+    from spinrelax_tpu.ops.jomega import j_combine_isotropic
+    from spinrelax_tpu.ops import relaxation as rx
+
+    R, F, N, G = a.chunks, a.frames, a.nres, a.group
+    assert R % G == 0
+    D = F // 2
+    n_vals = F - jnp.arange(1, D + 1, dtype=jnp.float32)
+
+    @jax.jit
+    def group_step(key, acc_s, acc_s2):
+        v = jax.random.normal(key, (G, N, F, 3), dtype=jnp.float32)
+        v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+        s = _acf_sums(v, D)  # (G, N, D)
+        per = -0.5 + 1.5 * s / n_vals
+        return acc_s + jnp.sum(per, axis=0), acc_s2 + jnp.sum(per**2, axis=0)
+
+    pair = NucleusPair(time_unit="ps")
+    omega = jnp.asarray(pair.omega5(), dtype=jnp.float32)
+    f_dd, f_csa, tf = pair.factor_dd(), pair.factor_csa(), pair.time_fact
+    gr = pair.gamma_b / pair.gamma_a
+
+    @jax.jit
+    def finish(acc_s, acc_s2):
+        mean = acc_s / R
+        var = jnp.maximum(acc_s2 / R - mean**2, 0.0)
+        dCt = jnp.sqrt(var) / (jnp.sqrt(jnp.float32(R)) - 1.0)
+        dt = (jnp.arange(D, dtype=jnp.float32) + 1.0)
+        fit = fit_multiexp(dt, mean, jnp.ones_like(mean), K=2, s2_free=True)
+        J = j_combine_isotropic(omega, 4242.0, fit.S2, fit.C, fit.tau)
+        R1 = rx.r1_from_j(J, f_dd, f_csa, tf)
+        R2 = rx.r2_from_j(J, f_dd, f_csa, tf)
+        NOE = rx.noe_from_j(J, f_dd, tf, gr, R1)
+        return mean, dCt, fit.S2, R1, R2, NOE
+
+    # Warm-up compile of both programs on tiny state.
+    key0 = jax.random.PRNGKey(int(time.time()) & 0x7FFFFFFF)
+    acc_s = jnp.zeros((N, D), jnp.float32)
+    acc_s2 = jnp.zeros((N, D), jnp.float32)
+    w1, w2 = group_step(key0, acc_s, acc_s2)
+    out = finish(w1, w2)
+    float(out[3][0])  # force completion
+
+    keys = jax.random.split(key0, R // G)
+    t0 = time.perf_counter()
+    acc_s = jnp.zeros((N, D), jnp.float32)
+    acc_s2 = jnp.zeros((N, D), jnp.float32)
+    for k in keys:
+        acc_s, acc_s2 = group_step(k, acc_s, acc_s2)
+    Ct, dCt, S2, R1, R2, NOE = finish(acc_s, acc_s2)
+    r1_mean = float(jnp.mean(R1))  # single fetch forces everything
+    elapsed = time.perf_counter() - t0
+    assert np.isfinite(r1_mean)
+
+    total_fv = R * F * N
+    print(
+        json.dumps(
+            {
+                "metric": "northstar_end_to_end_seconds",
+                "value": elapsed,
+                "unit": "s",
+                "config": f"{N} vectors x {R * F} frames, C(t)+fit+R1R2NOE",
+                "frames_x_vectors_per_s": total_fv / elapsed,
+                "target_s": 60.0,
+                "passed": elapsed < 60.0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
