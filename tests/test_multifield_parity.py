@@ -1,0 +1,167 @@
+"""Script-level parity: run the reference calculate-relaxations-multi-field.py
+(with dependency shims) and our `spinrelax multifield` on identical inputs;
+the optimised Diso and chi must agree."""
+
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from spinrelax_tpu.constants import NucleusPair, field_from_mhz
+from spinrelax_tpu.io import fittedct as fctio
+from spinrelax_tpu.io import vectors as vecio
+from spinrelax_tpu.io.experiments import ExperimentData, write_experiment
+from spinrelax_tpu.models import CtModelSet, Diffusion
+from spinrelax_tpu.ops import observables as obs
+from spinrelax_tpu.core import geometry
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+SHIM = os.path.join(REPO, "tools", "refshim")
+
+
+@pytest.mark.slow
+def test_multifield_diso_fit_parity(tmp_path, rng):
+    n_res, n_samp = 6, 24
+    names = [str(i + 2) for i in range(n_res)]
+    cts = CtModelSet.from_lists(
+        names,
+        rng.uniform(0.65, 0.9, n_res),
+        list(rng.uniform(0.02, 0.08, (n_res, 2))),
+        list(np.stack([rng.uniform(8, 25, n_res), rng.uniform(150, 500, n_res)], -1)),
+        s2fast=[True] * n_res,
+        sort=False,
+    )
+    diso_true, aniso = 4.0e-5, 1.4
+    diff_true = Diffusion.axisymmetric(diso=diso_true, aniso=aniso)
+
+    # Vector distribution via LambertCylindrical histogram npz — the format
+    # the reference workflow actually uses (its PhiTheta npz loader crashes
+    # on an unbound `weights`, spectral_densities.py:292-303).
+    v = rng.normal(size=(n_res, n_samp * 40, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    hist, ep, ec = geometry.lambert_histogram(jnp.asarray(v), 24, 12)
+    vec_fn = str(tmp_path / "vecs.npz")
+    vecio.save_histogram(vec_fn, names, np.asarray(hist), np.asarray(ep), np.asarray(ec))
+    # Re-load so both tools see the identical binned vectors + weights.
+    _, v_used, w_used = vecio.load_vector_distribution(vec_fn)
+
+    zeta = 0.890023
+    cts_z = cts.with_zeta(zeta)
+    # Synthesise experiments at the true parameters (new-API semantics).
+    expt_files = []
+    for f in (600.133, 850.13):
+        pair = NucleusPair(B0=field_from_mhz(f), time_unit="ps")
+        rates = obs.predict_rates_newapi(
+            pair, diff_true, cts_z, vecs=v_used, weights=w_used
+        )
+        for t, vals, errs in (
+            ("R1", rates.R1, rates.dR1),
+            ("R2", rates.R2, rates.dR2),
+            ("NOE", rates.NOE, rates.dNOE),
+        ):
+            fn = str(tmp_path / f"expt_{t}_{f}.dat")
+            write_experiment(
+                fn,
+                ExperimentData(
+                    expt_type=t, nuclei_a="15N", nuclei_b="1H", frequency=f,
+                    freq_unit="MHz", names=np.array(names),
+                    values=np.asarray(vals).copy(),
+                    errors=np.maximum(np.asarray(errs), 1e-4),
+                ),
+            )
+            expt_files.append(fn)
+
+    fitted_fn = str(tmp_path / "in_fittedCt.dat")
+    dt = np.arange(1.0, 50.0)
+    fctio.write_fittedct(fitted_fn, cts, dt=dt, targets=np.asarray(cts.eval(dt)))
+
+    diso_start = 4.6e-5
+
+    # --- reference run -------------------------------------------------
+    env = dict(os.environ)
+    env["PYTHONPATH"] = SHIM + ":" + REF
+    ref = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REF, "calculate-relaxations-multi-field.py"),
+            "-f", fitted_fn,
+            "-o", str(tmp_path / "refout"),
+            "--distfn", vec_fn,
+            "-D", str(diso_start),
+            "--aniso", str(aniso),
+            "--zeta", str(zeta),
+            "--opt", "Diso",
+        ]
+        + expt_files,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert ref.returncode == 0, ref.stderr[-3000:]
+    m = re.search(r"Final chi-value: ([\d.eE+-]+)", ref.stdout)
+    ref_chi = float(m.group(1))
+    ref_xvg = str(tmp_path / "refout_15N1H_600MHz_R1.xvg")
+    ref_diso = None
+    with open(ref_xvg) as fp:
+        for line in fp:
+            if "Diso" in line:
+                ref_diso = float(line.split(":")[1].split()[0])
+                break
+
+    # --- our run -------------------------------------------------------
+    ours = subprocess.run(
+        [
+            sys.executable, "-c",
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            "from spinrelax_tpu.pipeline.cli import main; main()",
+            "multifield",
+            "-f", fitted_fn,
+            "-o", str(tmp_path / "ourout"),
+            "--distfn", vec_fn,
+            "-D", str(diso_start),
+            "--aniso", str(aniso),
+            "--zeta", str(zeta),
+            "--opt", "Diso",
+        ]
+        + expt_files,
+        env={**os.environ, "PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu"},
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert ours.returncode == 0, ours.stderr[-3000:]
+    our_xvg = str(tmp_path / "ourout_15N1H_600MHz_R1.xvg")
+    our_diso = our_chi = None
+    with open(our_xvg) as fp:
+        for line in fp:
+            if "Diso" in line:
+                our_diso = float(line.split(":")[1].split()[0])
+            if "Optimised chi" in line:
+                our_chi = float(line.split(":")[1].split()[0])
+
+    # Both optimisers must recover the planted Diso.
+    np.testing.assert_allclose(our_diso, diso_true, rtol=1e-4)
+    np.testing.assert_allclose(ref_diso, diso_true, rtol=1e-3)
+    np.testing.assert_allclose(our_diso, ref_diso, rtol=1e-3)
+    assert our_chi < 1e-4 and ref_chi < 1e-2
+
+    # Predicted R1 curves agree between the two toolchains.
+    def read_xvg_values(fn):
+        vals = []
+        with open(fn) as fp:
+            for line in fp:
+                if line.startswith(("#", "@", "&")) or not line.strip():
+                    continue
+                vals.append(float(line.split()[1]))
+        return np.array(vals)
+
+    np.testing.assert_allclose(
+        read_xvg_values(our_xvg), read_xvg_values(ref_xvg), rtol=1e-3
+    )
