@@ -115,12 +115,14 @@ def _dft_constants(n_frames: int, n_deltas: int, dtype_name: str):
     d = np.arange(1, n_deltas + 1)
     kk = (k1[:, None] + N1 * np.arange(N2)[None, :]).reshape(-1)
     CINV = (np.cos(2 * np.pi * np.outer(d, kk) / nfft) / nfft).astype(dt)
+    # Return host numpy arrays: they embed as fresh constants in each
+    # trace (caching device arrays created inside a trace leaks tracers).
     return (
         nfft, N1, N2,
-        jnp.asarray(W1.real.astype(dt)), jnp.asarray(W1.imag.astype(dt)),
-        jnp.asarray(TW.real.astype(dt)), jnp.asarray(TW.imag.astype(dt)),
-        jnp.asarray(W2.real.astype(dt)), jnp.asarray(W2.imag.astype(dt)),
-        jnp.asarray(CINV),
+        W1.real.astype(dt), W1.imag.astype(dt),
+        TW.real.astype(dt), TW.imag.astype(dt),
+        W2.real.astype(dt), W2.imag.astype(dt),
+        CINV,
     )
 
 
