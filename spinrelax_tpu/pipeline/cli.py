@@ -210,6 +210,8 @@ def cmd_relax(argv):
     p.add_argument("-B", "--B0", type=float, default=None)
     p.add_argument("-F", "--freq", type=float, default=None, help="1H frequency [Hz]")
     p.add_argument("--Jomega", action="store_true")
+    p.add_argument("--tu", "--time_units", dest="time_unit", default="ps",
+                   help="time units of the autocorrelation file")
     p.add_argument("--tau", type=float, default=None)
     p.add_argument("--aniso", type=float, default=1.0)
     p.add_argument("-D", "--DTensor", dest="D", default=None)
@@ -254,7 +256,8 @@ def cmd_relax(argv):
     stage_relax(
         a.in_ct, a.outpref, diffusion,
         vec_file=a.distfn, q_rot=q_rot, freq_mhz=freq_mhz, nuclei=a.nuclei,
-        zeta=a.zeta, csa=csa, jomega=a.Jomega, shift_res=a.shiftres,
+        time_unit=a.time_unit, zeta=a.zeta, csa=csa, jomega=a.Jomega,
+        shift_res=a.shiftres,
         expt_file=a.expfn, opt_mode=a.opt, max_cycles=a.cycles, tol=a.tol,
     )
     print(" = = Completed Relaxation calculations.")

@@ -503,6 +503,7 @@ def stage_relax(
     q_rot: Optional[np.ndarray] = None,
     freq_mhz: float = 600.133,
     nuclei: str = "NH",
+    time_unit: str = "ps",
     zeta: float = DEFAULT_ZETA,
     csa: Optional[np.ndarray] = None,
     jomega: bool = False,
@@ -522,7 +523,9 @@ def stage_relax(
     """
     cts = fctio.read_fittedct(fittedct_file).with_zeta(zeta)
     iso_a = {"NH": "15N", "CH": "13C"}[nuclei]
-    pair = NucleusPair(isotope_a=iso_a, B0=field_from_mhz(freq_mhz), time_unit="ps")
+    pair = NucleusPair(
+        isotope_a=iso_a, B0=field_from_mhz(freq_mhz), time_unit=time_unit
+    )
 
     vecs = weights = None
     if vec_file is not None and diffusion.kind != "isotropic":

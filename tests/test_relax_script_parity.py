@@ -1,0 +1,123 @@
+"""Script-level parity for the single-field relaxation stage: run the
+reference calculate-relaxations-from-Ct.py and `spinrelax relax` on
+identical fittedCt + vector-histogram inputs and compare R1/R2/NOE/rho
+files (BASELINE config #3)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from spinrelax_tpu.core import geometry
+from spinrelax_tpu.io import fittedct as fctio
+from spinrelax_tpu.io import vectors as vecio
+from spinrelax_tpu.io import xvg
+from spinrelax_tpu.models import CtModelSet
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+SHIM = os.path.join(REPO, "tools", "refshim")
+
+
+@pytest.mark.slow
+def test_relax_stage_parity(tmp_path, rng):
+    n_res = 7
+    names = [str(i + 2) for i in range(n_res)]
+    cts = CtModelSet.from_lists(
+        names,
+        rng.uniform(0.6, 0.88, n_res),
+        list(rng.uniform(0.02, 0.1, (n_res, 2))),
+        list(np.stack([rng.uniform(8, 30, n_res), rng.uniform(100, 600, n_res)], -1)),
+        s2fast=[True] * n_res,
+        sort=False,
+    )
+    fitted_fn = str(tmp_path / "in_fittedCt.dat")
+    dt = np.arange(1.0, 60.0)
+    fctio.write_fittedct(fitted_fn, cts, dt=dt, targets=np.asarray(cts.eval(dt)))
+
+    v = rng.normal(size=(n_res, 400, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    hist, ep, ec = geometry.lambert_histogram(jnp.asarray(v), 24, 12)
+    vec_fn = str(tmp_path / "vecs.npz")
+    vecio.save_histogram(vec_fn, names, np.asarray(hist), np.asarray(ep), np.asarray(ec))
+
+    diso, aniso = 4.1e-5, 1.6
+    common = [
+        "-f", fitted_fn,
+        "--distfn", vec_fn,
+        "-F", "600.133e6",
+        "--tu", "ps",
+        "-D", f"{diso} {aniso}",
+    ]
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = SHIM + ":" + REF
+    # Without safe-path the script's own dir precedes PYTHONPATH and the
+    # numpy-2 print_xy compat shim in tools/refshim cannot shadow the
+    # reference's general_scripts.
+    env["PYTHONSAFEPATH"] = "1"
+    ref = subprocess.run(
+        [sys.executable, os.path.join(REF, "calculate-relaxations-from-Ct.py"),
+         "-o", str(tmp_path / "ref")] + common,
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert ref.returncode == 0, ref.stderr[-3000:]
+
+    ours = subprocess.run(
+        [
+            sys.executable, "-c",
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            "from spinrelax_tpu.pipeline.cli import main; main()",
+            "relax", "-o", str(tmp_path / "our"),
+        ]
+        + common,
+        env={**os.environ, "PYTHONPATH": REPO},
+        capture_output=True, text=True, timeout=900,
+    )
+    assert ours.returncode == 0, ours.stderr[-3000:]
+
+    for obs in ("R1", "R2", "NOE", "rho"):
+        rx, ry, rdy = xvg.load_xydy(str(tmp_path / f"ref_{obs}.dat"))
+        ox, oy, ody = xvg.load_xydy(str(tmp_path / f"our_{obs}.dat"))
+        np.testing.assert_array_equal(rx, ox)
+        # Reference writes float32 values; match to its precision.
+        np.testing.assert_allclose(oy, ry, rtol=2e-5, err_msg=obs)
+        np.testing.assert_allclose(ody, rdy, rtol=2e-4, atol=1e-7, err_msg=obs)
+
+    # Jomega variant parity.
+    refj = subprocess.run(
+        [sys.executable, os.path.join(REF, "calculate-relaxations-from-Ct.py"),
+         "-o", str(tmp_path / "refj"), "--Jomega"] + common,
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert refj.returncode == 0, refj.stderr[-3000:]
+    oursj = subprocess.run(
+        [
+            sys.executable, "-c",
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            "from spinrelax_tpu.pipeline.cli import main; main()",
+            "relax", "-o", str(tmp_path / "ourj"), "--Jomega",
+        ]
+        + common,
+        env={**os.environ, "PYTHONPATH": REPO},
+        capture_output=True, text=True, timeout=900,
+    )
+    assert oursj.returncode == 0, oursj.stderr[-3000:]
+
+    def read_jw(fn):
+        rows = []
+        with open(fn) as fp:
+            for line in fp:
+                if line.startswith(("#", "@", "&")) or not line.strip():
+                    continue
+                rows.append([float(x) for x in line.split()])
+        return np.array(rows)
+
+    rj = read_jw(str(tmp_path / "refj_Jw.dat"))
+    oj = read_jw(str(tmp_path / "ourj_Jw.dat"))
+    np.testing.assert_allclose(oj[:, 0], rj[:, 0], rtol=1e-6)
+    np.testing.assert_allclose(oj[:, 1], rj[:, 1], rtol=2e-5)
