@@ -119,7 +119,7 @@ def fit_legacy(
     if mode == "Diso":
         f = lambda x: float(chisq_total(x[0], 1.0, jnp.asarray(csa)))
         out = fmin_powell(f, x0=[diso0], direc=[[0.1 * diso0]], full_output=True, disp=verbose)
-        return LegacyFitResult(float(out[0]), 1.0, csa, float(out[1]), mode)
+        return LegacyFitResult(float(np.ravel(out[0])[0]), 1.0, csa, float(out[1]), mode)
 
     if mode == "DisoS2":
         f = lambda x: float(chisq_total(x[0], x[1], jnp.asarray(csa)))
@@ -164,7 +164,7 @@ def fit_legacy(
         for r in range(max_cycles):
             f = lambda x: float(chisq_total(np.atleast_1d(x)[0], 1.0, jnp.asarray(csa)))
             out = fmin_powell(f, x0=diso, direc=[[0.1 * diso]], full_output=True, disp=False)
-            diso, chi = float(out[0]), float(out[1])
+            diso, chi = float(np.ravel(out[0])[0]), float(out[1])
             if not first and np.allclose(diso, diso_prev, rtol=tol):
                 break
             diso_prev = diso
