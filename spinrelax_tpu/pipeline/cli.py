@@ -174,6 +174,12 @@ def cmd_ct(argv):
     print("= = C(t)/S2 stage complete.")
 
 
+def cmd_s2(argv):
+    """Standalone S2 computation (calculate-S2.py equivalent): the ct
+    stage restricted to order parameters."""
+    cmd_ct(list(argv) + ["--S2"])
+
+
 def cmd_fit_ct(argv):
     p = argparse.ArgumentParser(
         prog="spinrelax fit-ct",
@@ -435,6 +441,7 @@ COMMANDS = {
     "orient": cmd_orient,
     "dq": cmd_dq,
     "ct": cmd_ct,
+    "s2": cmd_s2,
     "fit-ct": cmd_fit_ct,
     "relax": cmd_relax,
     "multifield": cmd_multifield,
