@@ -1,21 +1,26 @@
 """BMRB entry -> experiment-file converter
 (parse-relaxations-from-BMRB-entry.py equivalent).
 
-Pulls heteronuclear R1/T1, R2/T2 and NOE save-frames from a BMRB entry
-(by accession number or local NMR-STAR file), converts time constants [s]
-to rates [s^-1], and writes the header-annotated experiment files consumed
-by ``spinrelax multifield``.
+Pulls heteronuclear T1/R1, T2/R2 and NOE save-frames from a BMRB
+NMR-STAR file, converts time constants [s] to rates [s^-1], and writes
+the header-annotated experiment files consumed by ``spinrelax
+multifield``.
 
-Requires the optional ``pynmrstar`` package (gated, like the reference).
+Unlike the reference (which hard-requires the pynmrstar package), local
+files are parsed with the built-in NMR-STAR reader (io/nmrstar.py);
+pynmrstar is only needed for fetching entries from the BMRB API by
+accession number.
 """
 
 from __future__ import annotations
 
 import argparse
 import sys
+from typing import List
 
 import numpy as np
 
+from . import nmrstar
 from .experiments import ExperimentData, write_experiment
 
 _CATEGORIES = {
@@ -25,71 +30,101 @@ _CATEGORIES = {
 }
 
 
-def _get_tag(loop, names):
-    for n in names:
-        try:
-            return loop.get_tag(n)
-        except Exception:
-            continue
-    return None
+def _first(values, default=None):
+    if values is None:
+        return default
+    for v in values:
+        if v not in (".", "?", None, ""):
+            return v
+    return default
 
 
-def parse_bmrb_entry(entry, out_prefix: str = "expt"):
-    """entry: a pynmrstar Entry.  Returns list of written filenames."""
-    written = []
+def _loop_for(sf: nmrstar.SaveFrame, expt_type: str):
+    """Pick the data loop holding Val/Val_err columns."""
+    for loop in sf.loops:
+        if loop.get_tag("Val") is not None or loop.get_tag(f"{expt_type}_val") is not None \
+           or loop.get_tag("T1_val") is not None or loop.get_tag("T2_val") is not None:
+            return loop
+    return sf.loops[-1] if sf.loops else None
+
+
+def _values_and_errors(loop: nmrstar.Loop, expt_type: str):
+    for base in ("Val", f"{expt_type}_val", "T1_val", "T2_val"):
+        vals = loop.get_tag(base)
+        if vals is not None:
+            errs = loop.get_tag(base + "_err")
+            return vals, errs
+    return None, None
+
+
+def parse_bmrb_entry(entry: nmrstar.Entry, out_prefix: str = "expt") -> List[str]:
+    written: List[str] = []
     count = 0
     for cat, expt_type in _CATEGORIES.items():
-        frames = entry.get_saveframes_by_category(cat)
-        for sf in frames:
-            freq = sf.get_tag("Spectrometer_frequency_1H")
-            freq = freq[0] if freq else "600.0"
-            loops = [l for l in sf.loops if "relaxation" in l.category.lower() or "NOE" in l.category]
-            if not loops:
-                loops = sf.loops[-1:]
-            for loop in loops:
-                val = _get_tag(loop, ["Val", f"{expt_type}_val", "T1_val", "T2_val"])
-                err = _get_tag(loop, ["Val_err", f"{expt_type}_val_err", "T1_val_err", "T2_val_err"])
-                if val is None:
-                    continue
-                resid = _get_tag(loop, ["Comp_index_ID", "Comp_index_ID_1"])
-                isotopes = _get_tag(loop, ["Atom_isotope_number"])
-                atom_types = _get_tag(loop, ["Atom_type", "Atom_type_1"])
-                if isotopes and atom_types:
-                    iso_a = f"{isotopes[0]}{atom_types[0]}"
-                    if iso_a == "1H" and len(atom_types) > 1:
-                        iso_a = f"{isotopes[1]}{atom_types[1]}"
-                else:
-                    iso_a = "15N"
-                vals = np.array([float(x) for x in val])
-                errs = (
-                    np.array([float(x) if x not in (".", "?") else 0.0 for x in err])
-                    if err is not None
-                    else None
+        for sf in entry.frames_by_category(cat):
+            freq = sf.get_tag("Spectrometer_frequency_1H") or "600.0"
+            loop = _loop_for(sf, expt_type)
+            if loop is None:
+                continue
+            vals, errs = _values_and_errors(loop, expt_type)
+            if vals is None:
+                continue
+            resid = loop.get_tag("Comp_index_ID") or loop.get_tag("Comp_index_ID_1")
+            if resid is None:
+                continue
+            iso_num = _first(loop.get_tag("Atom_isotope_number"), "15")
+            atom_type = _first(loop.get_tag("Atom_type"), "N")
+            if atom_type == "H":
+                # NOE frames list two nuclei; take the heavy partner.
+                iso_num = _first(loop.get_tag("Atom_isotope_number_1"), iso_num)
+                atom_type = _first(loop.get_tag("Atom_type_1"), atom_type)
+                if atom_type == "H":
+                    iso_num, atom_type = "15", "N"
+            nuclei_a = f"{iso_num}{atom_type}"
+
+            keep = [
+                i for i, v in enumerate(vals) if v not in (".", "?", "")
+            ]
+            values = np.array([float(vals[i]) for i in keep])
+            if errs is not None:
+                errors = np.array(
+                    [float(errs[i]) if errs[i] not in (".", "?", "") else 0.0 for i in keep]
                 )
-                # Units: T1/T2 in seconds -> rates
-                unit_tag = sf.get_tag(f"{expt_type.replace('R','T')}_val_units") if expt_type != "NOE" else None
-                unit = unit_tag[0] if unit_tag else ("s" if expt_type != "NOE" else "")
-                if expt_type != "NOE" and unit == "s":
-                    rates = 1.0 / vals
-                    if errs is not None:
-                        errs = rates * errs
-                    vals = rates
-                count += 1
-                fn = "%s_%s_%s_%d.dat" % (out_prefix, expt_type, freq, count)
-                write_experiment(
-                    fn,
-                    ExperimentData(
-                        expt_type=expt_type,
-                        nuclei_a=iso_a,
-                        nuclei_b="1H",
-                        frequency=float(freq),
-                        freq_unit="MHz",
-                        names=np.array([str(r) for r in resid]),
-                        values=vals,
-                        errors=errs,
-                    ),
-                )
-                written.append(fn)
+            else:
+                errors = None
+            names = np.array([str(resid[i]) for i in keep])
+
+            # Units: T1/T2 in seconds -> rates (reference :164-168).
+            unit = None
+            if expt_type != "NOE":
+                unit = sf.get_tag(f"T{expt_type[-1]}_val_units") or sf.get_tag("Val_units")
+                if unit == "s":
+                    rates = 1.0 / values
+                    if errors is not None:
+                        errors = rates * errors
+                    values = rates
+                elif unit in ("ms",):
+                    rates = 1000.0 / values
+                    if errors is not None:
+                        errors = rates * errors / 1000.0 * 1000.0
+                    values = rates
+
+            count += 1
+            fn = "%s_%s_%s_%d.dat" % (out_prefix, expt_type, freq, count)
+            write_experiment(
+                fn,
+                ExperimentData(
+                    expt_type=expt_type,
+                    nuclei_a=nuclei_a,
+                    nuclei_b="1H",
+                    frequency=float(freq),
+                    freq_unit="MHz",
+                    names=names,
+                    values=values,
+                    errors=errors,
+                ),
+            )
+            written.append(fn)
     return written
 
 
@@ -99,21 +134,22 @@ def main(argv=None):
         description="Convert BMRB relaxation save-frames to experiment files.",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
-    p.add_argument("-i", "--id", default=None, help="BMRB accession number")
+    p.add_argument("-i", "--id", default=None, help="BMRB accession number (needs pynmrstar + network)")
     p.add_argument("-f", "--infn", default=None, help="local NMR-STAR file")
     p.add_argument("-o", "--outpref", default="expt")
     a = p.parse_args(argv)
-    try:
-        from pynmrstar import Entry
-    except ImportError:
-        sys.exit(
-            "= = = ERROR: the optional pynmrstar package is required for "
-            "BMRB parsing (pip install pynmrstar)"
-        )
     if a.infn:
-        entry = Entry.from_file(a.infn)
+        entry = nmrstar.parse_file(a.infn)
     elif a.id:
-        entry = Entry.from_database(a.id)
+        try:
+            from pynmrstar import Entry as PyEntry
+        except ImportError:
+            sys.exit(
+                "= = = ERROR: fetching by accession number requires the "
+                "optional pynmrstar package; pass a local file with -f instead"
+            )
+        raw = str(PyEntry.from_database(a.id))
+        entry = nmrstar.parse(raw)
     else:
         sys.exit("= = = ERROR: give either --id or --infn")
     files = parse_bmrb_entry(entry, a.outpref)
