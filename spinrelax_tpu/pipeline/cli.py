@@ -390,6 +390,43 @@ def cmd_run_all(argv):
     runall_main(argv)
 
 
+def cmd_make_ref(argv):
+    """Create a centred reference PDB from a trajectory frame
+    (create-reference-pdb.bash equivalent: gmx editconf -center)."""
+    p = argparse.ArgumentParser(
+        prog="spinrelax make-ref",
+        description="Write a centred reference structure from a trajectory frame.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("-f", "--infn", required=True, help="trajectory (npz/pdb)")
+    p.add_argument("-s", "--topfn", default=None,
+                   help="topology PDB (required for npz trajectories)")
+    p.add_argument("-o", "--outfn", default="reference.pdb")
+    p.add_argument("--frame", type=int, default=0)
+    p.add_argument("--box", type=float, nargs=3, default=None,
+                   help="orthorhombic box lengths [nm] to unwrap PBC first")
+    a = p.parse_args(argv)
+    import jax.numpy as jnp
+
+    from ..io import pdb as pdbio
+    from ..io import trajectory as trajio
+
+    top_fn = a.topfn or (a.infn if a.infn.endswith(".pdb") else None)
+    if top_fn is None:
+        sys.exit("= = = ERROR: npz trajectories need a topology PDB (-s)")
+    top, _ = pdbio.read_pdb(top_fn)
+    xyz, _ = trajio.load_trajectory(a.infn, top_fn=top_fn)
+    frame = xyz[a.frame : a.frame + 1]
+    if a.box is not None:
+        from ..ops.pbc import unwrap_and_center
+
+        frame = np.asarray(unwrap_and_center(jnp.asarray(frame), jnp.asarray(a.box)))
+    else:
+        frame = frame - frame.mean(axis=1, keepdims=True)
+    pdbio.write_pdb(a.outfn, top, frame)
+    print(f"= = Wrote {a.outfn} (frame {a.frame}, centred)")
+
+
 def cmd_check(argv):
     """Environment self-check (check-installation.bash + check-packages.py
     equivalent): verifies JAX devices, optional dependencies, and the
@@ -452,6 +489,7 @@ COMMANDS = {
     "rotate": cmd_rotate,
     "run-all": cmd_run_all,
     "check": cmd_check,
+    "make-ref": cmd_make_ref,
 }
 
 

@@ -1,0 +1,96 @@
+"""Content-hashed stage resume.
+
+The reference resumes purely on output-file existence
+(run-all.bash:322-364 etc.), which silently reuses stale artefacts when
+inputs change.  This adds an opt-in manifest: each stage records the
+sha256 of its inputs next to its outputs; a stage is skipped only when
+outputs exist AND the recorded input hashes still match (SURVEY §5's
+"artefact-snapshot semantics around one jitted pipeline,
+content-hashed inputs").
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Dict, Sequence
+
+
+def _hash_file(path: str, block: int = 1 << 20) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as fp:
+        while True:
+            b = fp.read(block)
+            if not b:
+                break
+            h.update(b)
+    return h.hexdigest()
+
+
+def _manifest_path(out_prefix: str) -> str:
+    return out_prefix + ".manifest.json"
+
+
+def stage_is_current(
+    out_prefix: str,
+    stage: str,
+    inputs: Sequence[str],
+    outputs: Sequence[str],
+    params: Dict = None,
+) -> bool:
+    """True iff every output exists and the manifest's recorded input
+    hashes + parameters match the current state."""
+    if not all(os.path.exists(o) for o in outputs):
+        return False
+    mf = _manifest_path(out_prefix)
+    if not os.path.exists(mf):
+        # No manifest: fall back to the reference's existence semantics.
+        return True
+    try:
+        with open(mf) as fp:
+            data = json.load(fp)
+    except Exception:
+        return True
+    rec = data.get(stage)
+    if rec is None:
+        return True
+    if params is not None and rec.get("params") != _jsonify(params):
+        return False
+    for path, digest in rec.get("inputs", {}).items():
+        if not os.path.exists(path) or _hash_file(path) != digest:
+            return False
+    return True
+
+
+def record_stage(
+    out_prefix: str,
+    stage: str,
+    inputs: Sequence[str],
+    params: Dict = None,
+):
+    mf = _manifest_path(out_prefix)
+    data = {}
+    if os.path.exists(mf):
+        try:
+            with open(mf) as fp:
+                data = json.load(fp)
+        except Exception:
+            data = {}
+    data[stage] = {
+        "inputs": {p: _hash_file(p) for p in inputs if os.path.exists(p)},
+        "params": _jsonify(params or {}),
+    }
+    with open(mf, "w") as fp:
+        json.dump(data, fp, indent=1, sort_keys=True)
+
+
+def _jsonify(params: Dict):
+    out = {}
+    for k, v in params.items():
+        try:
+            json.dumps(v)
+            out[k] = v
+        except TypeError:
+            out[k] = repr(v)
+    return out

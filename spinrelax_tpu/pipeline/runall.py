@@ -20,6 +20,7 @@ import numpy as np
 from ..constants import DEFAULT_ZETA
 from ..models import Diffusion
 from .corrections import convert_diso
+from .manifest import record_stage, stage_is_current
 from . import stages
 
 
@@ -87,10 +88,15 @@ def main(argv=None):
         ref_loc = a.refpdb if os.path.isabs(a.refpdb) else os.path.join(path, a.refpdb)
         if not os.path.exists(ref_loc) and os.path.exists(a.refpdb):
             ref_loc = a.refpdb
-        if not _exists(qfile_loc) or a.force:
+        if a.force or not stage_is_current(
+            outpref, f"orient:{path}", [sxtc_loc, ref_loc], [qfile_loc],
+            params=dict(fitsel=a.fitatoms),
+        ):
             stages.stage_orientation(
-                [sxtc_loc], ref_loc, qfile_loc, fit_sel=a.fitatoms, force=a.force
+                [sxtc_loc], ref_loc, qfile_loc, fit_sel=a.fitatoms, force=True
             )
+            record_stage(outpref, f"orient:{path}", [sxtc_loc, ref_loc],
+                         params=dict(fitsel=a.fitatoms))
         else:
             print(" = = = Note: Pre-existing quaternion file found, skipping.")
         qfiles.append(qfile_loc)
@@ -112,11 +118,16 @@ def main(argv=None):
         quat = np.array(a.q_ext)
         diso, dani = a.D_ext[0], a.D_ext[1]
     else:
-        if not _exists(outpref + "-aniso_q.dat") or a.force:
+        dq_params = dict(t100=t100, tau=a.tau_mem, chunks=a.num_chunks, multi=multi)
+        if a.force or not stage_is_current(
+            outpref, "dq", [qfile_agg],
+            [outpref + "-aniso_q.dat", outpref + "-aniso2.dat"], params=dq_params,
+        ):
             res = stages.stage_dq(
                 qfile_agg, outpref, min_dt=t100, max_dt=a.tau_mem, skip_dt=t100,
                 n_chunks=a.num_chunks, multi=multi, force=a.force,
             )
+            record_stage(outpref, "dq", [qfile_agg], params=dq_params)
         else:
             print(" = = = Note: Pre-existing rotdif data found, skipping.")
             res = None
@@ -171,17 +182,26 @@ def main(argv=None):
         if not os.path.exists(rl) and os.path.exists(a.refpdb):
             rl = a.refpdb
         refs.append(rl)
-    if not _exists(vec_file, outpref + "_Ctint.dat") or a.force:
+    ct_params = dict(tau=a.tau_mem, quat=[float(x) for x in quat],
+                     storage=a.vecstorage, zeta=a.zeta)
+    if a.force or not stage_is_current(
+        outpref, "ct", trajs + refs, [vec_file, outpref + "_Ctint.dat"],
+        params=ct_params,
+    ):
         stages.stage_ct(
             trajs, refs, outpref, a.tau_mem,
             q_rot=quat, fit_sel=a.fitatoms, zeta=a.zeta,
             vec_storage=a.vecstorage, force=a.force,
         )
+        record_stage(outpref, "ct", trajs + refs, params=ct_params)
     else:
         print(" = = = Note: Pre-existing C(t)/vector files found, skipping.")
 
-    if not _exists(outpref + "_fittedCt.dat") or a.force:
+    if a.force or not stage_is_current(
+        outpref, "fit-ct", [outpref + "_Ctint.dat"], [outpref + "_fittedCt.dat"]
+    ):
         stages.stage_fit_ct([outpref + "_Ctint.dat"], outpref)
+        record_stage(outpref, "fit-ct", [outpref + "_Ctint.dat"])
     else:
         print(" = = = Note: Pre-existing fitted-Ct file found, skipping.")
 
@@ -203,11 +223,19 @@ def main(argv=None):
     csa = _parse_csa(a.csafile, names)
     for bf in a.Bfields:
         of = f"{outpref}-{int(bf)}"
-        if not _exists(of + "_R2.dat") or a.force:
+        relax_params = dict(bf=bf, diso=float(diso), dani=float(dani), zeta=a.zeta)
+        if a.force or not stage_is_current(
+            outpref, f"relax:{bf}",
+            [outpref + "_fittedCt.dat", vec_file],
+            [of + "_R1.dat", of + "_R2.dat"],
+            params=relax_params,
+        ):
             stages.stage_relax(
                 outpref + "_fittedCt.dat", of, diffusion,
                 vec_file=vec_file, freq_mhz=bf, zeta=a.zeta, csa=csa,
             )
+            record_stage(outpref, f"relax:{bf}",
+                         [outpref + "_fittedCt.dat", vec_file], params=relax_params)
         else:
             print(f" = = = Note: relaxations at {bf} already done. Skipping.")
         if a.Jw and (not _exists(of + "_Jw.dat") or a.force):

@@ -1,0 +1,78 @@
+"""spectral_density dispatcher + LS models + dormant DFT path."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from spinrelax_tpu.ops import jomega as jw
+
+
+def test_dispatcher_sphere():
+    om = np.linspace(0, 0.3, 5)
+    tau = 2000.0
+    np.testing.assert_allclose(
+        np.asarray(jw.spectral_density("rigid_sphere_T", om, tau)),
+        tau / (1 + (om * tau) ** 2),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jw.spectral_density("rigid_sphere_D", om, 1 / (6 * tau))),
+        tau / (1 + (om * tau) ** 2),
+        rtol=1e-12,
+    )
+
+
+def test_dispatcher_symmtop_matches_kernel(rng):
+    om = np.linspace(0, 0.3, 5)
+    v = rng.normal(size=(4, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    D = (3e-4, 1.5e-4)
+    got = np.asarray(jw.spectral_density("rigid_symmtop_D", om, D, v))
+    want = np.asarray(jw.j_rigid_symmtop(jnp.asarray(om), jnp.asarray(v), *D))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_ls_classic_limits(rng):
+    om = np.linspace(0, 0.3, 5)
+    tau_g = 2000.0
+    # S2=1 -> pure global tumbling.
+    got = np.asarray(jw.spectral_density("LS_classic_D", om, tau_g, [1.0], [50.0]))
+    np.testing.assert_allclose(got[0], tau_g / (1 + (om * tau_g) ** 2), rtol=1e-10)
+
+
+def test_ls_symmtop_reduces_to_rigid(rng):
+    om = np.linspace(0, 0.3, 5)
+    v = rng.normal(size=(3, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    D = (3e-4, 1.5e-4)
+    # S2=1 removes the internal term -> rigid symmtop J.
+    got = np.asarray(
+        jw.spectral_density("LS_symmtop_D", om, D, v, np.ones(3), np.full(3, 50.0))
+    )
+    want = np.asarray(jw.j_rigid_symmtop(jnp.asarray(om), jnp.asarray(v), *D))
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_ls_ellipsoid_runs(rng):
+    om = np.linspace(0, 0.3, 5)
+    v = rng.normal(size=(3, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    D = np.sort(rng.uniform(1e-4, 4e-4, 3))
+    got = np.asarray(
+        jw.spectral_density("LS_ellipsoid_D", om, D, v, np.full(3, 0.8), np.full(3, 40.0))
+    )
+    assert got.shape == (3, 5)
+    assert np.all(np.isfinite(got)) and np.all(got > 0)
+
+
+def test_dft_path_matches_analytic():
+    # C(t) = S2 exp(-t/tau): J(w) ~ one-sided cosine transform
+    # = tau/(1+(w tau)^2) (for sampling dense enough and T >> tau).
+    dt = 1.0
+    t = np.arange(0, 16384) * dt
+    tau = 50.0
+    Ct = np.exp(-t / tau)
+    om = np.array([0.0, 0.02, 0.05, 0.1])
+    got = np.asarray(jw.j_from_ct_dft(t, Ct, om))
+    want = tau / (1 + (om * tau) ** 2)
+    np.testing.assert_allclose(got, want, rtol=0.02)
