@@ -55,3 +55,37 @@ def save_trajectory_npz(fn: str, xyz: np.ndarray, timestep: float = 1.0):
     xyz = np.asarray(xyz)
     time = np.arange(xyz.shape[0]) * timestep
     np.savez_compressed(fn, xyz=xyz, time=time, timestep=timestep)
+
+
+def iter_trajectory(
+    fn: str,
+    chunk_frames: int,
+    top_fn: Optional[str] = None,
+    timestep: float = 1.0,
+):
+    """Stream a trajectory in fixed-size frame chunks without loading it
+    into RAM (the >HBM ingest path, SURVEY §5 'long-context').
+
+    - ``.npy``  : (nFrames, nAtoms, 3) memmap — true streaming; pass the
+      timestep explicitly (bare npy has no time axis).
+    - ``.npz`` / ``.pdb`` : loaded once, then sliced (these formats cannot
+      be memory-mapped; convert to .npy for out-of-core trajectories).
+    - mdtraj formats: ``md.iterload`` when mdtraj is installed.
+
+    Yields (xyz_chunk (c, nAtoms, 3), timestep_ps).
+    """
+    if fn.endswith(".npy"):
+        arr = np.load(fn, mmap_mode="r")
+        for start in range(0, arr.shape[0], chunk_frames):
+            yield np.asarray(arr[start : start + chunk_frames]), timestep
+        return
+    if fn.endswith((".npz", ".pdb")):
+        xyz, dt = load_trajectory(fn, top_fn=top_fn)
+        for start in range(0, xyz.shape[0], chunk_frames):
+            yield xyz[start : start + chunk_frames], dt
+        return
+    if _md is not None:
+        for trj in _md.iterload(fn, chunk=chunk_frames, top=top_fn):
+            yield np.asarray(trj.xyz), float(trj.timestep)
+        return
+    raise ValueError(f"cannot stream {fn!r}")

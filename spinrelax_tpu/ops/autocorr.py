@@ -312,6 +312,43 @@ def ct_palmer_scan(vecs, batch: int = 1):
     return mean.T, dCt.T
 
 
+def ct_palmer_streamed(chunk_iter, n_frames_per_chunk: int):
+    """Streaming C(t): consume an iterator of Palmer-chunk groups without
+    ever holding the full trajectory (the >HBM path used by the
+    north-star driver, tools/bench_northstar.py).
+
+    chunk_iter yields (g, n_frames_per_chunk, nRes, 3) arrays (g may vary);
+    per-chunk lag means accumulate into running sum / sum-of-squares so
+    the result equals :func:`ct_palmer` over the concatenated chunks.
+    """
+    n_deltas = n_frames_per_chunk // 2
+    acc_s = acc_s2 = None
+    n_rep = 0
+    n_vals = None
+    step = jax.jit(lambda v: _acf_sums(jnp.swapaxes(v, 1, 2), n_deltas))
+    for group in chunk_iter:
+        group = jnp.asarray(group)
+        if group.shape[1] != n_frames_per_chunk:
+            raise ValueError(
+                f"chunk group has {group.shape[1]} frames, expected {n_frames_per_chunk}"
+            )
+        if n_vals is None:
+            n_vals = n_frames_per_chunk - jnp.arange(1, n_deltas + 1, dtype=group.dtype)
+        s = step(group)  # (g, nRes, nDeltas)
+        per = -0.5 + 1.5 * s / n_vals
+        if acc_s is None:
+            acc_s = jnp.sum(per, axis=0)
+            acc_s2 = jnp.sum(per**2, axis=0)
+        else:
+            acc_s = acc_s + jnp.sum(per, axis=0)
+            acc_s2 = acc_s2 + jnp.sum(per**2, axis=0)
+        n_rep += group.shape[0]
+    mean = acc_s / n_rep
+    var = jnp.maximum(acc_s2 / n_rep - mean**2, 0.0)
+    dCt = jnp.sqrt(var) / (jnp.sqrt(jnp.asarray(float(n_rep), mean.dtype)) - 1.0)
+    return mean.T, dCt.T
+
+
 def ct_palmer_direct(vecs):
     """O(N^2) lag-loop reference implementation (for parity tests against
     the FFT path; mirrors calculate-Ct-from-traj.py:222-228 literally)."""

@@ -141,3 +141,29 @@ def test_synthetic_exponential_recovery(rng):
     # Early lags near 1, late lags near the cone-model S2 plateau.
     assert np.all(ct[0] > 0.9)
     np.testing.assert_allclose(ct[-20:].mean(axis=0), s2_cone, atol=0.05)
+
+
+def test_streamed_matches_full(rng):
+    vecs = random_unit_walk(rng, n_rep=6, n_frames=40, n_res=4)
+    ct1, dct1 = ac.ct_palmer(vecs)
+
+    def chunks():
+        yield vecs[:2]
+        yield vecs[2:5]
+        yield vecs[5:]
+
+    ct2, dct2 = ac.ct_palmer_streamed(chunks(), n_frames_per_chunk=40)
+    np.testing.assert_allclose(np.asarray(ct2), np.asarray(ct1), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(dct2), np.asarray(dct1), atol=1e-9)
+
+
+def test_iter_trajectory_npy(tmp_path, rng):
+    from spinrelax_tpu.io.trajectory import iter_trajectory
+
+    xyz = rng.normal(size=(25, 7, 3)).astype(np.float32)
+    fn = str(tmp_path / "traj.npy")
+    np.save(fn, xyz)
+    got = list(iter_trajectory(fn, chunk_frames=10, timestep=2.0))
+    assert [g[0].shape[0] for g in got] == [10, 10, 5]
+    np.testing.assert_array_equal(np.concatenate([g[0] for g in got]), xyz)
+    assert got[0][1] == 2.0
