@@ -202,3 +202,56 @@ def test_chisq_parity_vs_reference(rng, tmp_path):
     finally:
         sys.path.remove(SHIM)
         sys.path.remove(REF)
+
+
+def test_partial_coverage_and_uncovered_rscsa(rng):
+    """Experiments covering only a subset of residues: chi-square must use
+    masks, and rsCSA must leave uncovered residues' CSA untouched
+    (reference skips them via mapExptCoverage, :1375-1377)."""
+    names, cts, diff, v, w = make_setup(rng, n_res=6)
+    csa_true = rng.uniform(-190e-6, -150e-6, 6)
+    covered = [0, 1, 3, 5]  # residues 2,3,5,7 covered; 4,8 not
+    expts = []
+    for f in (600.133, 850.13):
+        pair = NucleusPair(B0=field_from_mhz(f), time_unit="ps")
+        rates = obs.predict_rates_newapi(pair, diff, cts, vecs=v, weights=w, csa=csa_true)
+        for t, vals, errs in (("R1", rates.R1, rates.dR1), ("R2", rates.R2, rates.dR2)):
+            expts.append(
+                ExperimentData(
+                    expt_type=t, nuclei_a="15N", nuclei_b="1H", frequency=f,
+                    freq_unit="MHz",
+                    names=np.array([names[i] for i in covered]),
+                    values=np.asarray(vals)[covered].copy(),
+                    errors=np.maximum(np.asarray(errs)[covered], 1e-3),
+                )
+            )
+    es = ExperimentSet.build(expts, cts, diff, vecs=v, weights=w)
+    counts = es.coverage_counts()
+    np.testing.assert_array_equal(counts > 0, [True, True, False, True, False, True])
+
+    start_csa = np.full(6, -170e-6)
+    es.csa = start_csa.copy()
+    fitter = GlobalFitter(es, ["rsCSA"])
+    state = fitter.run()
+    # Covered residues recover truth; uncovered keep the starting value.
+    np.testing.assert_allclose(state.csa[covered], csa_true[covered], rtol=1e-3)
+    uncovered = [2, 4]
+    np.testing.assert_array_equal(state.csa[uncovered], start_csa[uncovered])
+
+
+def test_experiment_peaks_not_in_models(rng):
+    """Experimental peaks with no simulated counterpart are dropped
+    (list_get_map semantics) rather than crashing."""
+    names, cts, diff, v, w = make_setup(rng, n_res=4)
+    expt = ExperimentData(
+        expt_type="R1", nuclei_a="15N", nuclei_b="1H", frequency=600.133,
+        freq_unit="MHz",
+        names=np.array(["2", "3", "99", "100"]),  # 99/100 unknown
+        values=np.array([1.5, 1.6, 9.9, 9.8]),
+        errors=np.array([0.1, 0.1, 0.1, 0.1]),
+    )
+    es = ExperimentSet.build([expt], cts, diff, vecs=v, weights=w)
+    m = es.experiments[0].mask
+    np.testing.assert_array_equal(m, [1, 1, 0, 0])
+    chi = float(chisq_total(es, diff.diso, diff.aniso, cts.zeta, np.full(4, -170e-6)))
+    assert np.isfinite(chi)
