@@ -63,12 +63,14 @@ def lm_solve(
 
     n_par = p0.shape[0]
 
+    _hi = jax.lax.Precision.HIGHEST  # TPU f32 matmuls default to bf16
+
     def body(state):
         t, lam, it, done, _ = state
         r = r_of_t(t)
         J = jax.jacfwd(r_of_t)(t)  # (N, P)
-        g = J.T @ r
-        H = J.T @ J
+        g = jnp.matmul(J.T, r, precision=_hi)
+        H = jnp.matmul(J.T, J, precision=_hi)
         A = H + lam * jnp.eye(n_par, dtype=t.dtype) * jnp.maximum(jnp.diag(H), 1e-12)
         step = -jnp.linalg.solve(A, g)
         t_new = t + step
@@ -94,7 +96,7 @@ def lm_solve(
 
     # Uncertainties in original space (curve_fit absolute_sigma=False).
     Jp = jax.jacfwd(residual_fn)(p_fin)  # (N, P)
-    H = Jp.T @ Jp
+    H = jnp.matmul(Jp.T, Jp, precision=jax.lax.Precision.HIGHEST)
     n_data = r_fin.shape[0]
     dof = jnp.maximum(n_data - n_par, 1)
     red_chisq = jnp.sum(r_fin * r_fin) / dof
