@@ -155,8 +155,14 @@ def cmd_ct(argv):
     p.add_argument("--Hsel", default="name H")
     p.add_argument("--Xsel", default="name N and not resname PRO")
     p.add_argument("--fitsel", default="occupancy > 0")
+    p.add_argument("--split", type=int, dest="split_groups", default=-1,
+                   help="stream the trajectory N Palmer chunks at a time "
+                        "(true streaming, replaces the reference's memory "
+                        "workaround; requires --vecHist storage)")
+    p.add_argument("--timestep", type=float, default=None,
+                   help="frame spacing [ps] for bare .npy trajectories")
     a = p.parse_args(argv)
-    from .stages import stage_ct
+    from .stages import stage_ct, stage_ct_streamed
 
     q_rot = None
     if a.vecRot:
@@ -164,13 +170,23 @@ def cmd_ct(argv):
         if len(q_rot) != 4 or not np.allclose(np.dot(q_rot, q_rot), 1, atol=1e-5):
             sys.exit(f"= = = ERROR: input rotation quaternion is malformed! {q_rot}")
     storage = "Histogram" if a.do_hist else ("PhiTheta" if a.binary else "TextPhiTheta")
-    stage_ct(
-        a.infn, a.topfn, a.outpref, a.tau,
-        q_rot=q_rot, h_sel=a.Hsel, x_sel=a.Xsel, fit_sel=a.fitsel, zeta=a.zeta,
-        do_ct=a.do_ct, do_s2=a.do_s2, s2_mode=a.S2mode,
-        do_vec_dist=(a.do_vec or a.do_hist),
-        do_vec_avg=a.do_avg, vec_storage=storage, hist_bins=a.histBin,
-    )
+    if a.split_groups > 0:
+        stage_ct_streamed(
+            a.infn, a.topfn, a.outpref, a.tau,
+            chunk_groups=a.split_groups, timestep=a.timestep,
+            q_rot=q_rot, h_sel=a.Hsel, x_sel=a.Xsel, fit_sel=a.fitsel,
+            zeta=a.zeta, do_ct=a.do_ct, do_s2=a.do_s2,
+            do_vec_dist=(a.do_vec or a.do_hist), do_vec_avg=a.do_avg,
+            vec_storage=storage, hist_bins=a.histBin,
+        )
+    else:
+        stage_ct(
+            a.infn, a.topfn, a.outpref, a.tau,
+            q_rot=q_rot, h_sel=a.Hsel, x_sel=a.Xsel, fit_sel=a.fitsel, zeta=a.zeta,
+            do_ct=a.do_ct, do_s2=a.do_s2, s2_mode=a.S2mode,
+            do_vec_dist=(a.do_vec or a.do_hist),
+            do_vec_avg=a.do_avg, vec_storage=storage, hist_bins=a.histBin,
+        )
     print("= = C(t)/S2 stage complete.")
 
 

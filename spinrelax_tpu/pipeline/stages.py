@@ -784,3 +784,177 @@ def stage_multifield(
     if opt_params and "rsCSA" in opt_list:
         xvg.print_xy(out_prefix + "_CSA_opt.dat", cts.names, final["csa"])
     return final
+
+
+# ---------------------------------------------------------------------------
+# Streaming variant of stage 3 for larger-than-memory trajectories
+# ---------------------------------------------------------------------------
+
+
+def stage_ct_streamed(
+    traj_files: Sequence[str],
+    ref_pdbs: Sequence[str],
+    out_prefix: str,
+    tau_memory: float,
+    chunk_groups: int = 4,
+    timestep: Optional[float] = None,
+    q_rot: Optional[np.ndarray] = None,
+    h_sel: str = "name H",
+    x_sel: str = "name N and not resname PRO",
+    fit_sel: str = "occupancy > 0",
+    zeta: float = DEFAULT_ZETA,
+    do_ct: bool = True,
+    do_s2: bool = True,
+    do_vec_dist: bool = True,
+    do_vec_avg: bool = True,
+    vec_storage: str = "Histogram",
+    hist_bins: int = 72,
+):
+    """Streaming equivalent of :func:`stage_ct`: trajectories are consumed
+    in groups of Palmer chunks (``chunk_groups`` chunks of tau_memory each
+    per device step) with running accumulators for C(t), S2, the average
+    vector and the Lambert histograms — the full trajectory never exists
+    in host or device memory.  Replaces the reference's ``--split`` memory
+    workaround (calculate-Ct-from-traj.py:426-453) with true streaming.
+
+    ``timestep`` is required for bare .npy inputs (no time axis).
+    """
+    import jax
+
+    if len(ref_pdbs) == 1:
+        ref_pdbs = list(ref_pdbs) * len(traj_files)
+
+    res_ids = None
+    delta_t = None
+    fpc = None  # frames per Palmer chunk
+    acc = {}
+    n_chunks_total = 0
+    q_rot_j = None if q_rot is None else jnp.asarray(q_rot)
+
+    hist_nb_x, hist_nb_y = hist_bins, hist_bins // 2
+
+    def _accumulate(vec_raw_g, vec_fit_g):
+        """vec_*_g: (g, fpc, nBonds, 3) device arrays for one group."""
+        nonlocal n_chunks_total
+        g = vec_raw_g.shape[0]
+        n_deltas = fpc // 2
+        n_vals = fpc - jnp.arange(1, n_deltas + 1, dtype=vec_raw_g.dtype)
+
+        def upd(key, value):
+            if key in acc:
+                acc[key] = acc[key] + value
+            else:
+                acc[key] = value
+
+        if do_ct:
+            for key, vv in (("ext", vec_raw_g), ("int", vec_fit_g)):
+                s = autocorr._acf_sums(jnp.swapaxes(vv, 1, 2), n_deltas)
+                per = -0.5 + 1.5 * s / n_vals  # (g, nBonds, nDeltas)
+                upd(f"ct_{key}_s", jnp.sum(per, axis=0))
+                upd(f"ct_{key}_s2", jnp.sum(per**2, axis=0))
+
+        flat = vec_fit_g.reshape(-1, vec_fit_g.shape[-2], 3)
+        if q_rot_j is not None:
+            flat = qt.rotate_vector(flat, q_rot_j)
+
+        if do_s2:
+            blocks = flat.reshape(g, fpc, flat.shape[-2], 3)
+            outer = jnp.einsum("ijkl,ijkm->iklm", blocks, blocks) / fpc
+            s2b = 1.5 * jnp.sum(outer**2, axis=(-2, -1)) - 0.5  # (g, nBonds)
+            upd("s2_s", jnp.sum(s2b, axis=0))
+            upd("s2_s2", jnp.sum(s2b**2, axis=0))
+
+        if do_vec_avg:
+            upd("vec_sum", jnp.sum(flat, axis=0))
+
+        if do_vec_dist:
+            per_res = jnp.swapaxes(flat, 0, 1)  # (nBonds, frames, 3)
+            h, ep, ec = geometry.lambert_histogram(per_res, hist_nb_x, hist_nb_y)
+            upd("hist", h)
+            acc.setdefault("edges", (np.asarray(ep), np.asarray(ec)))
+        n_chunks_total += g
+
+    for trj_fn, ref_fn in zip(traj_files, ref_pdbs):
+        top, ref_xyz = pdbio.read_pdb(ref_fn)
+        idx_h, idx_x, res_h = pdbio.bond_indices(top, h_sel, x_sel)
+        fit_idx = top.select(fit_sel)
+        w = np.zeros(top.n_atoms)
+        w[fit_idx] = 1.0
+        w_j = jnp.asarray(w)
+        ref_j = jnp.asarray(ref_xyz[0])
+        ih, ix = jnp.asarray(idx_h), jnp.asarray(idx_x)
+
+        # Probe the timestep with a single-frame read (each iter_trajectory
+        # call restarts the file, so the probe consumes nothing).
+        _, dt = next(
+            trajio.iter_trajectory(
+                trj_fn, chunk_frames=1, top_fn=ref_fn, timestep=timestep or 1.0
+            )
+        )
+        if delta_t is None:
+            delta_t = dt if timestep is None else timestep
+            fpc = int(tau_memory / delta_t)
+            if res_ids is None:
+                res_ids = list(res_h)
+        elif list(res_h) != res_ids:
+            raise ValueError("trajectories disagree in residues")
+
+        group_frames = fpc * chunk_groups
+        for xyz_chunk, _ in trajio.iter_trajectory(
+            trj_fn, chunk_frames=group_frames, top_fn=ref_fn,
+            timestep=delta_t,
+        ):
+            bv = orient.bond_vectors(
+                jnp.asarray(xyz_chunk), ref_j, ih, ix, w_j
+            )
+            n_full = (xyz_chunk.shape[0] // fpc) * fpc
+            if n_full == 0:
+                continue  # tail shorter than one Palmer chunk: dropped
+            g = n_full // fpc
+            raw = bv.raw[:n_full].reshape(g, fpc, -1, 3)
+            fit = bv.fitted[:n_full].reshape(g, fpc, -1, 3)
+            _accumulate(raw, fit)
+
+    if n_chunks_total == 0:
+        raise ValueError("no complete Palmer chunks found in the input")
+
+    out = {"res_ids": res_ids, "delta_t": delta_t}
+    n_deltas = fpc // 2
+    dt_lags = np.asarray(autocorr.lag_times(delta_t, tau_memory))
+    R = float(n_chunks_total)
+    denom = np.sqrt(R) - 1.0
+
+    if do_ct:
+        for key, suffix in (("ext", "_Ctext.dat"), ("int", "_Ctint.dat")):
+            mean = np.asarray(acc[f"ct_{key}_s"]) / R  # (nBonds, nDeltas)
+            var = np.maximum(np.asarray(acc[f"ct_{key}_s2"]) / R - mean**2, 0.0)
+            dct = np.sqrt(var) / denom if denom > 0 else np.zeros_like(mean)
+            xvg.print_sxylist(
+                out_prefix + suffix, res_ids, dt_lags,
+                np.stack([mean, dct], axis=-1),
+            )
+            if key == "int":
+                out["Ct"], out["dCt"] = mean.T, dct.T
+
+    if do_vec_avg:
+        avg = np.asarray(qt.vecnorm(acc["vec_sum"] / (R * fpc)))
+        xvg.print_xylist(out_prefix + "_avgvec.dat", res_ids, avg.T, cols=True)
+        out["avgvec"] = avg
+
+    if do_vec_dist:
+        hist = np.asarray(acc["hist"])
+        ep, ec = acc["edges"]
+        if vec_storage == "Histogram":
+            vecio.save_histogram(out_prefix + "_vecHistogram.npz", res_ids, hist, ep, ec)
+            out["vec_file"] = out_prefix + "_vecHistogram.npz"
+        else:
+            raise ValueError("streamed stage supports Histogram storage only")
+
+    if do_s2:
+        s2 = np.asarray(acc["s2_s"]) / R
+        var = np.maximum(np.asarray(acc["s2_s2"]) / R - s2**2, 0.0)
+        ds2 = np.sqrt(var) / denom if denom > 0 else np.zeros_like(s2)
+        arr = np.stack([s2, ds2], axis=-1)
+        xvg.print_xylist(out_prefix + "_S2.dat", res_ids, (arr.T) * zeta, cols=True)
+        out["S2"] = arr
+    return out

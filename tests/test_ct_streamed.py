@@ -1,0 +1,73 @@
+"""Streaming stage_ct must reproduce the in-memory stage exactly."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from spinrelax_tpu.io import xvg
+from spinrelax_tpu.pipeline.stages import stage_ct, stage_ct_streamed
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from test_runall import build_synthetic_system  # noqa: E402
+
+
+@pytest.mark.slow
+def test_streamed_matches_inmemory(tmp_path, rng):
+    ref_fn, trj_fn, _ = build_synthetic_system(tmp_path, rng, n_res=5, n_frames=2400)
+
+    full = stage_ct(
+        [trj_fn], [ref_fn], str(tmp_path / "full"), tau_memory=400.0,
+        vec_storage="Histogram",
+    )
+    streamed = stage_ct_streamed(
+        [trj_fn], [ref_fn], str(tmp_path / "str"), tau_memory=400.0,
+        chunk_groups=2,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(streamed["Ct"]), np.asarray(full["Ct"]), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(streamed["dCt"]), np.asarray(full["dCt"]), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(streamed["S2"]), np.asarray(full["S2"]), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(streamed["avgvec"]), np.asarray(full["avgvec"]), atol=1e-5
+    )
+
+    # Written artefacts agree too.
+    for suffix in ("_Ctint.dat", "_Ctext.dat"):
+        _, _, y1, dy1 = xvg.load_sxydylist(str(tmp_path / ("full" + suffix)), "legend")
+        _, _, y2, dy2 = xvg.load_sxydylist(str(tmp_path / ("str" + suffix)), "legend")
+        np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=2e-5)
+
+    h1 = np.load(str(tmp_path / "full_vecHistogram.npz"), allow_pickle=True)["data"]
+    h2 = np.load(str(tmp_path / "str_vecHistogram.npz"), allow_pickle=True)["data"]
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
+
+@pytest.mark.slow
+def test_streamed_npy_memmap(tmp_path, rng):
+    """Bare .npy trajectory (the out-of-core format) through the streamed
+    stage with an explicit timestep."""
+    ref_fn, trj_fn, _ = build_synthetic_system(tmp_path, rng, n_res=4, n_frames=1600)
+    xyz = np.load(trj_fn)["xyz"]
+    npy_fn = str(tmp_path / "traj.npy")
+    np.save(npy_fn, xyz)
+
+    out = stage_ct_streamed(
+        [npy_fn], [ref_fn], str(tmp_path / "npy"), tau_memory=400.0,
+        chunk_groups=1, timestep=1.0,
+    )
+    assert np.all(np.isfinite(np.asarray(out["Ct"])))
+    full = stage_ct(
+        [trj_fn], [ref_fn], str(tmp_path / "ref"), tau_memory=400.0,
+        vec_storage="Histogram",
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["Ct"]), np.asarray(full["Ct"]), atol=2e-5
+    )
