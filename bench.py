@@ -41,14 +41,20 @@ def main():
         v = jax.random.normal(key, (N_REP, N_FRAMES, N_RES, 3), dtype=jnp.float32)
         return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
 
-    step = jax.jit(ct_palmer)
+    # Fold the accumulation into the step: ONE dispatch per iteration
+    # (each extra chained op costs ~8 ms of relay round-trip, see
+    # docs/PERF.md "dispatch overhead").
+    @jax.jit
+    def step(x, acc):
+        Ct, dCt = ct_palmer(x)
+        return acc + Ct[0, 0] + dCt[0, 0]
+
     n_iter = 15
     seed = int(time.time()) & 0x7FFFFFFF  # defeat any server-side result cache
     keys = jax.random.split(jax.random.PRNGKey(seed), 2 * n_iter + 1)
     inputs = [gen(k) for k in keys]
     # Warm-up / compile and force completion of input generation.
-    out = step(inputs[-1])
-    float(out[0][0, 0])
+    float(step(inputs[-1], jnp.float32(0.0)))
 
     # Two timed rounds; report the second (the remote executor reaches
     # steady state only after a dozen executions).
@@ -58,8 +64,7 @@ def main():
         t0 = time.perf_counter()
         acc = jnp.float32(0.0)
         for x in batch:
-            out = step(x)
-            acc = acc + out[0][0, 0] + out[1][0, 0]
+            acc = step(x, acc)
         acc_val = float(acc)  # single fetch forces the whole chain
         dt = (time.perf_counter() - t0) / n_iter
         assert np.isfinite(acc_val)
