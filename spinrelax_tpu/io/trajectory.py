@@ -42,6 +42,12 @@ def load_trajectory(
     if fn.endswith(".pdb"):
         _, xyz = pdbio.read_pdb(fn)
         return xyz, 1.0
+    if fn.endswith(".trr"):
+        from . import gmx
+
+        xyz, _boxes, times = gmx.read_trr(fn)
+        dt = float(times[1] - times[0]) if len(times) > 1 else 1.0
+        return xyz, dt
     if _md is not None:
         trj = _md.load(fn, top=top_fn)
         return np.asarray(trj.xyz), float(trj.timestep)
@@ -78,6 +84,23 @@ def iter_trajectory(
         arr = np.load(fn, mmap_mode="r")
         for start in range(0, arr.shape[0], chunk_frames):
             yield np.asarray(arr[start : start + chunk_frames]), timestep
+        return
+    if fn.endswith(".trr"):
+        from . import gmx
+
+        buf = []
+        dt_out = timestep
+        prev_t = None
+        for x, _box, t in gmx.iter_trr(fn):
+            if prev_t is not None and dt_out == timestep:
+                dt_out = t - prev_t
+            prev_t = t
+            buf.append(x)
+            if len(buf) == chunk_frames:
+                yield np.array(buf), dt_out
+                buf = []
+        if buf:
+            yield np.array(buf), dt_out
         return
     if fn.endswith((".npz", ".pdb")):
         xyz, dt = load_trajectory(fn, top_fn=top_fn)

@@ -213,3 +213,34 @@ def test_vector_npz_histogram_roundtrip(tmp_path):
     names, vecs, weights = vectors.load_vector_distribution(fn)
     assert vecs.shape == (3, 36 * 18, 3)
     np.testing.assert_allclose(weights.sum(axis=-1), 200.0)
+
+
+def test_trr_roundtrip(tmp_path):
+    from spinrelax_tpu.io import gmx
+    from spinrelax_tpu.io.trajectory import iter_trajectory, load_trajectory
+
+    rng = np.random.default_rng(7)
+    xyz = rng.normal(size=(5, 12, 3)).astype(np.float32)
+    times = np.arange(5) * 2.0
+    box = np.diag([4.0, 4.0, 4.0])
+    fn = str(tmp_path / "traj.trr")
+    gmx.write_trr(fn, xyz, times=times, box=box)
+
+    x2, boxes, t2 = gmx.read_trr(fn)
+    np.testing.assert_allclose(x2, xyz, rtol=1e-6)
+    np.testing.assert_allclose(boxes[0], box, rtol=1e-6)
+    np.testing.assert_allclose(t2, times)
+
+    # Double precision variant.
+    fn64 = str(tmp_path / "traj64.trr")
+    gmx.write_trr(fn64, xyz.astype(np.float64), times=times, box=box, double=True)
+    x3, _, _ = gmx.read_trr(fn64)
+    np.testing.assert_allclose(x3, xyz, rtol=1e-6)
+
+    # Through the generic loaders.
+    x4, dt = load_trajectory(fn)
+    np.testing.assert_allclose(x4, xyz, rtol=1e-6)
+    assert dt == 2.0
+    chunks = list(iter_trajectory(fn, chunk_frames=2))
+    assert [c[0].shape[0] for c in chunks] == [2, 2, 1]
+    np.testing.assert_allclose(np.concatenate([c[0] for c in chunks]), xyz, rtol=1e-6)
