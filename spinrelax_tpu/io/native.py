@@ -94,3 +94,103 @@ def count_fields_headers(fn: str) -> Optional[int]:
     if rc != 0:
         raise OSError(f"fastio_count_fields_headers failed on {fn!r}")
     return n.value
+
+
+# ---------------------------------------------------------------------------
+# XTC codec bindings (spinrelax_tpu/native/xtc.cpp)
+# ---------------------------------------------------------------------------
+
+_XTC_PATH = os.path.join(_NATIVE_DIR, "libxtc.so")
+_xtc_lib = None
+_xtc_tried = False
+
+
+def _load_xtc():
+    global _xtc_lib, _xtc_tried
+    if _xtc_tried:
+        return _xtc_lib
+    _xtc_tried = True
+    src = os.path.join(_NATIVE_DIR, "xtc.cpp")
+    try:
+        if not os.path.exists(_XTC_PATH) or os.path.getmtime(_XTC_PATH) < os.path.getmtime(src):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", src, "-o", _XTC_PATH],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(_XTC_PATH)
+        lib.xtc_info.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int)
+        ]
+        lib.xtc_info.restype = ctypes.c_int
+        lib.xtc_read.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_int,
+        ]
+        lib.xtc_read.restype = ctypes.c_long
+        lib.xtc_write.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_int,
+            ctypes.c_float,
+        ]
+        lib.xtc_write.restype = ctypes.c_int
+        _xtc_lib = lib
+    except Exception:
+        _xtc_lib = None
+    return _xtc_lib
+
+
+def xtc_available() -> bool:
+    return _load_xtc() is not None
+
+
+def read_xtc(fn: str):
+    """-> (xyz (nFrames, nAtoms, 3) [nm] float32, boxes (nFrames, 3, 3),
+    times (nFrames,))."""
+    lib = _load_xtc()
+    if lib is None:
+        raise OSError("native XTC codec unavailable (no compiler?)")
+    n_frames = ctypes.c_long()
+    natoms = ctypes.c_int()
+    rc = lib.xtc_info(fn.encode(), ctypes.byref(n_frames), ctypes.byref(natoms))
+    if rc != 0:
+        raise OSError(f"xtc_info failed on {fn!r} (code {rc})")
+    nf, na = n_frames.value, natoms.value
+    xyz = np.empty((nf, na, 3), dtype=np.float32)
+    times = np.empty(nf, dtype=np.float32)
+    boxes = np.empty((nf, 3, 3), dtype=np.float32)
+    got = lib.xtc_read(
+        fn.encode(),
+        xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        times.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        nf, na,
+    )
+    if got != nf:
+        raise OSError(f"xtc_read returned {got} of {nf} frames for {fn!r}")
+    return xyz, boxes, times
+
+
+def write_xtc(fn: str, xyz, times=None, boxes=None, precision: float = 1000.0):
+    lib = _load_xtc()
+    if lib is None:
+        raise OSError("native XTC codec unavailable (no compiler?)")
+    xyz = np.ascontiguousarray(xyz, dtype=np.float32)
+    nf, na, _ = xyz.shape
+    if times is None:
+        times = np.arange(nf, dtype=np.float32)
+    times = np.ascontiguousarray(times, dtype=np.float32)
+    boxes_ptr = None
+    if boxes is not None:
+        boxes = np.ascontiguousarray(boxes, dtype=np.float32)
+        boxes_ptr = boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    rc = lib.xtc_write(
+        fn.encode(),
+        xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        times.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        boxes_ptr, nf, na, precision,
+    )
+    if rc != 0:
+        raise OSError(f"xtc_write failed on {fn!r} (code {rc})")

@@ -48,12 +48,18 @@ def load_trajectory(
         xyz, _boxes, times = gmx.read_trr(fn)
         dt = float(times[1] - times[0]) if len(times) > 1 else 1.0
         return xyz, dt
+    if fn.endswith(".xtc"):
+        from . import native
+
+        xyz, _boxes, times = native.read_xtc(fn)
+        dt = float(times[1] - times[0]) if len(times) > 1 else 1.0
+        return xyz, dt
     if _md is not None:
         trj = _md.load(fn, top=top_fn)
         return np.asarray(trj.xyz), float(trj.timestep)
     raise ValueError(
-        f"cannot read {fn!r}: npz/pdb supported natively; install mdtraj "
-        "for xtc/dcd formats"
+        f"cannot read {fn!r}: npz/npy/pdb/trr/xtc supported natively; "
+        "install mdtraj for other formats"
     )
 
 
@@ -102,7 +108,7 @@ def iter_trajectory(
         if buf:
             yield np.array(buf), dt_out
         return
-    if fn.endswith((".npz", ".pdb")):
+    if fn.endswith((".npz", ".pdb", ".xtc")):
         xyz, dt = load_trajectory(fn, top_fn=top_fn)
         for start in range(0, xyz.shape[0], chunk_frames):
             yield xyz[start : start + chunk_frames], dt

@@ -244,3 +244,37 @@ def test_trr_roundtrip(tmp_path):
     chunks = list(iter_trajectory(fn, chunk_frames=2))
     assert [c[0].shape[0] for c in chunks] == [2, 2, 1]
     np.testing.assert_allclose(np.concatenate([c[0] for c in chunks]), xyz, rtol=1e-6)
+
+
+def test_xtc_roundtrip(tmp_path):
+    from spinrelax_tpu.io import native
+    from spinrelax_tpu.io.trajectory import load_trajectory
+
+    if not native.xtc_available():
+        pytest.skip("no compiler for the native XTC codec")
+    rng = np.random.default_rng(11)
+    # Water-like clusters (run-encoded) + a few far-flung atoms (absolute).
+    n_mol, nf = 20, 6
+    centers = rng.uniform(0, 5, (n_mol, 3))
+    xyz = np.zeros((nf, n_mol * 3 + 4, 3), dtype=np.float32)
+    for f in range(nf):
+        for m in range(n_mol):
+            base = centers[m] + 0.002 * f * rng.normal(size=3)
+            xyz[f, 3 * m + 0] = base
+            xyz[f, 3 * m + 1] = base + [0.1, 0.0, 0.02]
+            xyz[f, 3 * m + 2] = base + [-0.03, 0.09, 0.0]
+        xyz[f, -4:] = rng.uniform(0, 5, (4, 3))
+    times = np.arange(nf, dtype=np.float32) * 4.0
+    fn = str(tmp_path / "traj.xtc")
+    native.write_xtc(fn, xyz, times, precision=1000.0)
+
+    x2, _boxes, t2 = native.read_xtc(fn)
+    assert np.abs(x2 - xyz).max() <= 0.5 / 1000.0 + 1e-5
+    np.testing.assert_allclose(t2, times)
+
+    # Generic loader path.
+    x3, dt = load_trajectory(fn)
+    np.testing.assert_allclose(x3, x2)
+    assert dt == 4.0
+    # Compression actually happened.
+    assert os.path.getsize(fn) < xyz.nbytes * 0.6
