@@ -427,6 +427,18 @@ def stage_ct(
             )
             res_i = fn(jnp.asarray(raw_flat), delta_t, tau_est)
             s2 = np.stack([np.asarray(res_i.S2), np.asarray(res_i.dS2)], axis=-1)
+            # Eigenmode spectrum artefact: block-mean eigenvalues
+            # (descending) with their SEM — the reorientational 5-mode
+            # subspace is the leading block.
+            vals = np.asarray(res_i.eigenvalues)  # (nBlocks, nRes)
+            lam = np.mean(vals, axis=0)
+            dlam = np.std(vals, axis=0) / max(np.sqrt(vals.shape[0]) - 1.0, 1.0)
+            xvg.print_xydy(
+                out_prefix + "_iREDspectrum.dat",
+                np.arange(1, lam.shape[0] + 1), lam, dlam,
+                header="# iRED eigenmode spectrum (descending); "
+                       "modes 1-5 span global reorientation",
+            )
         else:
             raise ValueError(f"unknown s2_mode {s2_mode!r}")
         xvg.print_xylist(out_prefix + "_S2.dat", res_ids, (s2.T) * zeta, cols=True)
