@@ -101,8 +101,13 @@ def fit_legacy(
     csa0: Optional[np.ndarray] = None,
     max_cycles: int = 100,
     tol: float = 1e-6,
+    method: str = "powell",
     verbose: bool = False,
 ) -> LegacyFitResult:
+    """``method``: 'powell' reproduces the reference's optimiser (direction
+    matrices included); 'gradient' minimises the same chi-square with
+    L-BFGS-B driven by exact JAX gradients (the forward model is fully
+    differentiable)."""
     from scipy.optimize import fmin_powell
 
     n_res = cts.n_models
@@ -115,6 +120,11 @@ def fit_legacy(
     chisq_total, chisq_res = _make_chisq(
         pair, diffusion, cts, vecs, weights, exp, exp_err
     )
+
+    if method == "gradient" and mode in ("Diso", "DisoS2", "DisoCSA", "DisoS2CSA"):
+        return _fit_legacy_gradient(
+            mode, chisq_total, diso0, csa, csa_mean0, n_res, verbose
+        )
 
     if mode == "Diso":
         f = lambda x: float(chisq_total(x[0], 1.0, jnp.asarray(csa)))
@@ -185,3 +195,55 @@ def fit_legacy(
         return LegacyFitResult(diso, 1.0, csa, chi, mode)
 
     raise ValueError(f"invalid optimisation mode {mode!r}")
+
+
+def _fit_legacy_gradient(mode, chisq_total, diso0, csa, csa_mean0, n_res, verbose):
+    """L-BFGS-B with exact gradients over the active parameter subset.
+    Parameters are scaled to O(1) so the optimiser sees a well-conditioned
+    problem (Diso ~ 1e-5, CSA ~ -1.7e-4)."""
+    from scipy.optimize import minimize
+
+    active = {
+        "Diso": ("diso",),
+        "DisoS2": ("diso", "s2s"),
+        "DisoCSA": ("diso", "csa"),
+        "DisoS2CSA": ("diso", "s2s", "csa"),
+    }[mode]
+    x0 = {"diso": diso0, "s2s": 1.0, "csa": csa_mean0}
+    scales = {"diso": abs(diso0), "s2s": 1.0, "csa": max(abs(csa_mean0), 1e-6)}
+
+    csa_j = jnp.asarray(csa)
+
+    def unpack(z):
+        vals = dict(x0)
+        for name, zi in zip(active, z):
+            vals[name] = zi * scales[name]
+        return vals
+
+    grad_fn = jax.jit(
+        jax.value_and_grad(
+            lambda d, s2s, c: chisq_total(d, s2s, jnp.full(n_res, c))
+            if "csa" in active
+            else chisq_total(d, s2s, csa_j),
+            argnums=(0, 1, 2),
+        )
+    )
+
+    def f_and_g(z):
+        vals = unpack(z)
+        f, g = grad_fn(vals["diso"], vals["s2s"], vals["csa"])
+        gs = {"diso": float(g[0]), "s2s": float(g[1]), "csa": float(g[2])}
+        return float(f), np.array([gs[n] * scales[n] for n in active])
+
+    z0 = np.array([x0[n] / scales[n] for n in active])
+    res = minimize(
+        lambda z: f_and_g(z)[0], z0, jac=lambda z: f_and_g(z)[1],
+        method="L-BFGS-B",
+    )
+    vals = unpack(res.x)
+    out_csa = np.full(n_res, vals["csa"]) if "csa" in active else csa
+    if verbose:
+        print(f"    ...gradient fit converged: {res.message}")
+    return LegacyFitResult(
+        float(vals["diso"]), float(vals["s2s"]), out_csa, float(res.fun), mode
+    )

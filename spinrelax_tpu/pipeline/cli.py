@@ -246,6 +246,8 @@ def cmd_relax(argv):
                    choices=("Diso", "DisoS2", "DisoCSA", "DisoS2CSA", "new"))
     p.add_argument("--cycles", type=int, default=100)
     p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--method", choices=("powell", "gradient"), default="powell",
+                   help="optimiser: reference-parity Powell or exact-gradient L-BFGS")
     p.add_argument("--theoretical", action="store_true",
                    help="rigid-body baseline rates; exits after reporting")
     a = p.parse_args(argv)
@@ -281,6 +283,7 @@ def cmd_relax(argv):
         time_unit=a.time_unit, zeta=a.zeta, csa=csa, jomega=a.Jomega,
         shift_res=a.shiftres,
         expt_file=a.expfn, opt_mode=a.opt, max_cycles=a.cycles, tol=a.tol,
+        opt_method=a.method,
     )
     print(" = = Completed Relaxation calculations.")
 

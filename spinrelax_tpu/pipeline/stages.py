@@ -524,6 +524,7 @@ def stage_relax(
     opt_mode: Optional[str] = None,
     max_cycles: int = 100,
     tol: float = 1e-6,
+    opt_method: str = "powell",
     force: bool = False,
 ):
     """Predict R1/R2/NOE/rho (or J(w)) at one field; writes
@@ -581,7 +582,7 @@ def stage_relax(
             opt_mode, pair, diffusion, f_cts,
             exp[exp_idx], None if exp_err is None else exp_err[exp_idx],
             vecs=f_vecs, weights=f_weights, csa0=f_csa,
-            max_cycles=max_cycles, tol=tol,
+            max_cycles=max_cycles, tol=tol, method=opt_method,
         )
         diffusion = diffusion.with_diso(result.diso)
         zeta_eff = zeta * result.s2_scale

@@ -83,3 +83,29 @@ def test_mode_new_alternating(setup, rng):
                      max_cycles=20, tol=1e-8)
     np.testing.assert_allclose(res.diso, 4e-5, rtol=2e-3)
     np.testing.assert_allclose(res.csa, csa_true, rtol=5e-3)
+
+
+def test_gradient_method_matches_powell(setup):
+    pair, diff, cts, v, w = setup
+    csa_true = -182e-6
+    exp, err = make_exp(pair, diff, cts, v, w, csa=np.full(6, csa_true))
+    start = diff.with_diso(4.5e-5)
+    res_g = fit_legacy("DisoCSA", pair, start, cts, exp, err, vecs=v, weights=w,
+                       method="gradient")
+    np.testing.assert_allclose(res_g.diso, 4e-5, rtol=1e-3)
+    np.testing.assert_allclose(res_g.csa[0], csa_true, rtol=1e-3)
+    assert res_g.chisq < 1e-6
+
+
+def test_gradient_disos2csa(setup):
+    import dataclasses
+
+    pair, diff, cts, v, w = setup
+    cts_true = dataclasses.replace(cts, zeta=cts.zeta * 0.95)
+    exp, err = make_exp(pair, diff, cts_true, v, w, csa=np.full(6, -175e-6))
+    start = diff.with_diso(4.4e-5)
+    res = fit_legacy("DisoS2CSA", pair, start, cts, exp, err, vecs=v, weights=w,
+                     method="gradient")
+    np.testing.assert_allclose(res.diso, 4e-5, rtol=2e-3)
+    np.testing.assert_allclose(res.s2_scale, 0.95, rtol=2e-3)
+    np.testing.assert_allclose(res.csa[0], -175e-6, rtol=2e-3)
