@@ -199,3 +199,157 @@ def format_header_legend(legends, s_init: int = 0, step: int = 1) -> str:
         out += '@s%i legend "%s"\n' % (s, leg)
         s += step
     return out
+
+
+def format_float_with_error(val: float, err: float, prec: int = 4) -> str:
+    """Value +- error rendered to a common exponent
+    (general_scripts.py:18-27)."""
+    exp_val = np.floor(np.log10(abs(val))) if val != 0 else 0.0
+    exp_err = np.floor(np.log10(abs(err))) if err != 0 else 0.0
+    exp_out = int(max(exp_val, exp_err))
+    return "%.*fe%i +- %.*fe%i" % (
+        prec, val * 10.0**-exp_out, exp_out, prec, err * 10.0**-exp_out, exp_out,
+    )
+
+
+def load_block_as_numpy(fn: str, ignores: str = "#@", newblock: str = "&"):
+    """Freeform block loader (general_scripts.py:86-143): 2D table, or 3D
+    when multiple '&'-terminated (or blank-line-separated) blocks exist.
+    'alpha' in ``ignores`` also skips lines starting with a letter."""
+    alpha = "alpha" in ignores
+    if alpha:
+        ignores = ignores.replace("alpha", "")
+    out3d, out2d = [], []
+    with open(fn) as fp:
+        for line in fp:
+            if not line.strip():
+                if not newblock and out2d:
+                    out3d.append(out2d)
+                    out2d = []
+                continue
+            c = line[0]
+            if c in ignores or (alpha and c.isalpha()):
+                continue
+            if newblock and c in newblock:
+                out3d.append(out2d)
+                out2d = []
+                continue
+            out2d.append([float(x) for x in line.split()])
+    if not out3d:
+        return np.array(out2d)
+    if out2d:
+        out3d.append(out2d)
+    if len(out3d) == 1:
+        return np.array(out3d[0])
+    return np.array(out3d)
+
+
+def load_xylist(fn: str):
+    """'&'-separated list of xy sets (general_scripts.py:145-160)."""
+    xs, ys = [], []
+    x, y = [], []
+    with open(fn) as fp:
+        for line in fp:
+            if not line.strip() or line[0] in "#@":
+                continue
+            if line[0] == "&":
+                xs.append(x)
+                ys.append(y)
+                x, y = [], []
+                continue
+            parts = line.split()
+            x.append(float(parts[0]))
+            y.append(float(parts[1]))
+    if x:
+        xs.append(x)
+        ys.append(y)
+    return xs, ys
+
+
+def load_xydylist(fn: str):
+    """'&'-separated list of xydy sets (general_scripts.py:162-180)."""
+    xs, ys, dys = [], [], []
+    x, y, dy = [], [], []
+    with open(fn) as fp:
+        for line in fp:
+            if not line.strip() or line[0] in "#@":
+                continue
+            if line[0] == "&":
+                xs.append(x)
+                ys.append(y)
+                dys.append(dy)
+                x, y, dy = [], [], []
+                continue
+            parts = line.split()
+            x.append(float(parts[0]))
+            y.append(float(parts[1]))
+            dy.append(float(parts[2]))
+    if x:
+        xs.append(x)
+        ys.append(y)
+        dys.append(dy)
+    return xs, ys, dys
+
+
+def print_R_hist(fn: str, hist, edges, header: str = ""):
+    """R-style histogram dump with bin borders per line
+    (general_scripts.py:310-325)."""
+    hist = np.asarray(hist)
+    nbins = hist.shape
+    dim = len(nbins)
+    with open(fn, "w") as fp:
+        if header:
+            print(header, file=fp)
+        print("# DIMENSIONS: %i" % dim, file=fp)
+        print(
+            "# BINWIDTH: "
+            + " ".join("%g" % ((edges[i][-1] - edges[i][0]) / nbins[i]) for i in range(dim)),
+            file=fp,
+        )
+        print("# NBINS: " + " ".join("%g" % nbins[i] for i in range(dim)), file=fp)
+        for index, val in np.ndenumerate(hist):
+            s = " ".join(
+                "%g %g" % (edges[i][index[i]], edges[i][index[i] + 1]) for i in range(dim)
+            )
+            print(s + " %g" % val, file=fp)
+
+
+def print_gplot_4d(fn: str, datablock, x, y, z, header: str = ""):
+    """Scalar field on a 3D grid as gnuplot x y z value lines
+    (general_scripts.py:383-399)."""
+    datablock = np.asarray(datablock)
+    if datablock.ndim != 3:
+        raise ValueError("print_gplot_4d requires 3D data")
+    with open(fn, "w") as fp:
+        if header:
+            print(header, file=fp)
+        for i in range(datablock.shape[0]):
+            for j in range(datablock.shape[1]):
+                for k in range(datablock.shape[2]):
+                    print(
+                        "%g %g %g %g" % (x[i], y[j], z[k], datablock[i, j, k]),
+                        file=fp,
+                    )
+
+
+def print_numpy_block(fn: str, data, header: str = "", delim: str = "&", axis: int = -1):
+    """Unformatted 2D/3D dump (general_scripts.py:401-445)."""
+    data = np.asarray(data)
+    if axis not in (0, -1):
+        raise ValueError("axis must be 0 or -1")
+    if data.ndim > 3:
+        raise ValueError("cannot deal with 4+ dimensional arrays")
+    with open(fn, "w") as fp:
+        if header:
+            print(header, file=fp)
+        if data.ndim == 2:
+            rows = data if axis == -1 else data.T
+            for row in rows:
+                print(" ".join("%g" % v for v in row), file=fp)
+        else:
+            blocks = data if axis == -1 else np.moveaxis(data, 0, -1)
+            for block in blocks:
+                for row in block:
+                    print(" ".join("%g " % v for v in row), file=fp)
+                    print("", file=fp)
+                print(delim, file=fp)

@@ -278,3 +278,46 @@ def test_xtc_roundtrip(tmp_path):
     assert dt == 4.0
     # Compression actually happened.
     assert os.path.getsize(fn) < xyz.nbytes * 0.6
+
+
+def test_xvg_utility_functions(tmp_path):
+    # format_float_with_error
+    s = xvg.format_float_with_error(0.00302, 4.52e-5, 2)
+    assert "e-3" in s and "+-" in s
+
+    # load_block_as_numpy: 2D and 3D
+    fn = str(tmp_path / "blocks.dat")
+    with open(fn, "w") as fp:
+        fp.write("# c\n1 2\n3 4\n&\n5 6\n7 8\n&\n")
+    out = xvg.load_block_as_numpy(fn)
+    assert out.shape == (2, 2, 2)
+    fn2 = str(tmp_path / "flat.dat")
+    with open(fn2, "w") as fp:
+        fp.write("1 2\n3 4\n")
+    np.testing.assert_array_equal(xvg.load_block_as_numpy(fn2), [[1, 2], [3, 4]])
+
+    # load_xylist / load_xydylist
+    fn3 = str(tmp_path / "sets.dat")
+    with open(fn3, "w") as fp:
+        fp.write("1 2 0.1\n2 3 0.2\n&\n4 5 0.3\n&\n")
+    xs, ys = xvg.load_xylist(fn3)
+    assert len(xs) == 2 and ys[0] == [2.0, 3.0]
+    xs, ys, dys = xvg.load_xydylist(fn3)
+    assert dys[1] == [0.3]
+
+    # print_R_hist / print_gplot_4d / print_numpy_block smoke + parse
+    hist = np.arange(6).reshape(2, 3).astype(float)
+    edges = [np.array([0, 1, 2.0]), np.array([0, 1, 2, 3.0])]
+    xvg.print_R_hist(str(tmp_path / "r.hist"), hist, edges)
+    m = xvg.load_matrix(str(tmp_path / "r.hist"))
+    assert m.shape == (6, 5)
+
+    xvg.print_gplot_4d(
+        str(tmp_path / "g4.dat"), np.ones((2, 2, 2)), [0, 1], [0, 1], [0, 1]
+    )
+    assert xvg.load_matrix(str(tmp_path / "g4.dat")).shape == (8, 4)
+
+    xvg.print_numpy_block(str(tmp_path / "b.dat"), np.ones((2, 3)))
+    np.testing.assert_array_equal(
+        xvg.load_matrix(str(tmp_path / "b.dat")), np.ones((2, 3))
+    )
