@@ -267,45 +267,54 @@ def analyse_dq_multi(
     replicas (nReplicas % n_chunks == 0, mirroring the reference's
     subchunks-divide-replicas requirement :481-483).
     """
-    q_arr = np.asarray(q_trajs, dtype=np.float64)  # (nRep, N, 4)
-    n_rep, n = q_arr.shape[0], q_arr.shape[1]
+    q_list = [np.asarray(q, dtype=np.float64) for q in q_trajs]
+    n_rep = len(q_list)
+    n_min = min(q.shape[0] for q in q_list)
     skip_int = max(1, int(skip_dt / delta_t))
     min_int = max(skip_int, int(min_dt / delta_t))
     max_int = int(max_dt / delta_t)
-    if max_int * delta_t > (n - 1) * delta_t / 2.0:
-        raise ValueError("max_dt exceeds half the (per-replica) trajectory")
+    if max_int * delta_t > (n_min - 1) * delta_t / 2.0:
+        raise ValueError("max_dt exceeds half the shortest replica trajectory")
     if n_chunks > 0 and n_rep % n_chunks != 0:
         raise ValueError(
             f"n_chunks ({n_chunks}) must divide nReplicas ({n_rep})"
         )
     lags = np.arange(min_int, max_int + 1, skip_int, dtype=np.int32)
+    lags_j = jnp.asarray(lags)
 
-    per_rep = [
-        dq_statistics(jnp.asarray(q_arr[r]), jnp.asarray(lags), n_chunks=0)
-        for r in range(n_rep)
-    ]
-    iso = jnp.mean(jnp.stack([s.iso for s in per_rep]), axis=0)
-    M = jnp.mean(jnp.stack([s.M for s in per_rep]), axis=0)
+    # The reference pools the delta-q SAMPLES of all replicas at each lag
+    # (calculate-dq-distribution-multi.py:529-539); per-replica means must
+    # therefore be recombined weighted by their sample counts n_r - delta,
+    # which also handles replicas of unequal length.
+    per_rep = [dq_statistics(jnp.asarray(q), lags_j, n_chunks=0) for q in q_list]
+    counts = np.stack(
+        [q.shape[0] - lags.astype(np.int64) for q in q_list]
+    )  # (nRep, L)
+    w = jnp.asarray(counts / counts.sum(axis=0, keepdims=True))
+
+    def pool(items, weights):
+        stacked = jnp.stack(items)  # (nRep, L, ...)
+        wshaped = weights.reshape(weights.shape + (1,) * (stacked.ndim - 2))
+        return jnp.sum(stacked * wshaped, axis=0)
+
+    iso = pool([s.iso for s in per_rep], w)
+    M = pool([s.M for s in per_rep], w)
     if n_chunks > 0:
         group = n_rep // n_chunks
-        iso_c = jnp.stack(
-            [
-                jnp.mean(jnp.stack([per_rep[g * group + j].iso for j in range(group)]), axis=0)
-                for g in range(n_chunks)
-            ],
-            axis=1,
-        )  # (L, nChunk)
-        M_c = jnp.stack(
-            [
-                jnp.mean(jnp.stack([per_rep[g * group + j].M for j in range(group)]), axis=0)
-                for g in range(n_chunks)
-            ],
-            axis=1,
-        )  # (L, nChunk, 3, 3)
+        iso_cs, M_cs = [], []
+        for g in range(n_chunks):
+            sel = slice(g * group, (g + 1) * group)
+            wg = jnp.asarray(
+                counts[sel] / counts[sel].sum(axis=0, keepdims=True)
+            )
+            iso_cs.append(pool([s.iso for s in per_rep[sel]], wg))
+            M_cs.append(pool([s.M for s in per_rep[sel]], wg))
+        iso_c = jnp.stack(iso_cs, axis=1)  # (L, nChunk)
+        M_c = jnp.stack(M_cs, axis=1)  # (L, nChunk, 3, 3)
     else:
         iso_c = jnp.zeros((len(lags), 0))
         M_c = jnp.zeros((len(lags), 0, 3, 3))
-    stats = DqStats(jnp.asarray(lags), iso, M, iso_c, M_c)
+    stats = DqStats(lags_j, iso, M, iso_c, M_c)
     return _finalise_dq(stats, lags, delta_t, n_chunks)
 
 

@@ -194,3 +194,24 @@ def test_full_script_parity_vs_reference(tmp_path, qtraj):
     # Same PAF quaternion up to sign.
     dot = abs(float(np.dot(res.q_frame, ref_q)))
     assert dot > 0.9999, (res.q_frame, ref_q)
+
+
+def test_multi_replica_pooling_matches_concatenated_samples(qtraj, rng):
+    """analyse_dq_multi must equal lag statistics over the POOLED delta-q
+    samples of all replicas (the reference's concatenation semantics),
+    including ragged replica lengths."""
+    q, _ = qtraj
+    reps = [q[:5000], q[5000:13000], q[13000:]]  # unequal lengths
+    lags = np.array([5, 10, 15, 20], dtype=np.int32)
+    res = dq.analyse_dq_multi(reps, 1.0, 5.0, 20.0, 5.0)
+
+    for li, delta in enumerate(lags):
+        vs = []
+        for r in reps:
+            a = r[:-delta] * np.array([1.0, -1, -1, -1])
+            dqs = np_qmult(a, r[delta:])
+            sgn = np.where(dqs[:, 0] >= 0, 1.0, -1.0)
+            vs.append(dqs[:, 1:] * sgn[:, None])
+        v = np.concatenate(vs)
+        want_iso = np.mean(1.0 - 2.0 * np.sum(v**2, axis=-1))
+        np.testing.assert_allclose(res.iso[li], want_iso, atol=1e-10)
