@@ -87,7 +87,11 @@ def read_colvar_multi(fn: str) -> Tuple[List[List[str]], np.ndarray]:
     if cur:
         chunks.append(cur)
     arrays = [np.loadtxt(c, ndmin=2) for c in chunks]
-    return field_names, np.array(arrays)
+    if len({a.shape for a in arrays}) <= 1:
+        return field_names, np.array(arrays)
+    # Ragged replica lengths: return a list; downstream (stage_dq,
+    # analyse_dq_multi) handles per-replica arrays of unequal length.
+    return field_names, arrays
 
 
 def write_colvar(fn: str, field_names: List[str], data: np.ndarray):

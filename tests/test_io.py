@@ -321,3 +321,18 @@ def test_xvg_utility_functions(tmp_path):
     np.testing.assert_array_equal(
         xvg.load_matrix(str(tmp_path / "b.dat")), np.ones((2, 3))
     )
+
+
+def test_colvar_multi_ragged(tmp_path):
+    rng = np.random.default_rng(5)
+    names = ["time", "q.w", "q.x", "q.y", "q.z"]
+    fn = str(tmp_path / "colvar-ragged")
+    lens = [4, 6, 3]
+    with open(fn, "w") as fp:
+        for n in lens:
+            fp.write("#! FIELDS " + " ".join(names) + "\n")
+            for i in range(n):
+                fp.write(" ".join("%8f" % v for v in rng.random(5)) + "\n")
+    fnames, data = colvar.read_colvar_multi(fn)
+    assert len(fnames) == 3
+    assert [d.shape for d in data] == [(4, 5), (6, 5), (3, 5)]
