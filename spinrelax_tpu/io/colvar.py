@@ -103,3 +103,26 @@ def write_colvar(fn: str, field_names: List[str], data: np.ndarray):
         print("#! FIELDS " + " ".join(field_names), file=fp)
         for i in range(data.shape[1]):
             print(" ".join("%8f" % data[j][i] for j in range(data.shape[0])), file=fp)
+
+
+def iter_colvar_chunks(fn: str, chunk_frames: int = 65536):
+    """Lazily yield (field_names, (n, nFields) array) blocks of a colvar
+    file, never holding more than chunk_frames rows in memory.  Feeds the
+    streaming Delta-q path (ops.dq.analyse_dq_streamed)."""
+    field_names: List[str] = []
+    rows: List[str] = []
+    with open(fn) as fp:
+        for line in fp:
+            if line.startswith("#"):
+                parts = line.split()
+                if len(parts) > 1 and parts[1] == "FIELDS":
+                    field_names = parts[2:]
+                continue
+            if not line.strip():
+                continue
+            rows.append(line)
+            if len(rows) == chunk_frames:
+                yield field_names, np.loadtxt(rows, ndmin=2)
+                rows = []
+    if rows:
+        yield field_names, np.loadtxt(rows, ndmin=2)

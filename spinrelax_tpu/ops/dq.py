@@ -388,3 +388,105 @@ def analyse_dq(
     lags = np.arange(min_int, max_int + 1, skip_int, dtype=np.int32)
     stats = dq_statistics(jnp.asarray(q_traj), jnp.asarray(lags), n_chunks=n_chunks)
     return _finalise_dq(stats, lags, delta_t, n_chunks)
+
+
+# ---------------------------------------------------------------------------
+# Streaming Delta-q: constant-memory statistics over chunked q(t) streams
+# (capability beyond the reference, which loads the full colvar into RAM,
+# calculate-dq-distribution.py:525-536)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("max_lag", "chunk_len"))
+def _dq_chunk_sums(buf, buf_len, chunk, chunk_valid, lags, max_lag: int, chunk_len: int):
+    """Per-lag partial sums contributed by one chunk of the stream.
+
+    buf   : (max_lag, 4) previous tail, RIGHT-aligned valid region of
+            length buf_len (garbage before it is masked out).
+    chunk : (chunk_len, 4) new frames, valid prefix of length chunk_valid.
+
+    A pair (t, t+d) is attributed to the chunk containing t+d, so each
+    pair is counted exactly once across the stream.  Returns
+    (s_iso (L,), s_M (L,3,3), cnt (L,), new_buf, new_buf_len).
+    """
+    ext = jnp.concatenate([buf, chunk], axis=0)
+    idx = jnp.arange(max_lag + chunk_len)
+    q_inv = qt.qconj(ext)
+
+    def per_lag(d):
+        v = qt.qreduce(qt.qmult(q_inv, jnp.roll(ext, -d, axis=0)))[..., 1:4]
+        lo = jnp.maximum(max_lag - buf_len, max_lag - d)
+        hi = max_lag + chunk_valid - d
+        m = ((idx >= lo) & (idx < hi)).astype(ext.dtype)
+        v2 = jnp.sum(v * v, axis=-1)
+        s_iso = jnp.sum((1.0 - 2.0 * v2) * m)
+        s_M = jnp.einsum("ij,ik,i->jk", v, v, m)
+        return s_iso, s_M, jnp.sum(m)
+
+    s_iso, s_M, cnt = jax.vmap(per_lag)(lags)
+    # New tail = last max_lag valid frames of ext: valid region ends at
+    # max_lag + chunk_valid, so the tail slice starts at chunk_valid.
+    new_buf = jax.lax.dynamic_slice(ext, (chunk_valid, 0), (max_lag, 4))
+    new_buf_len = jnp.minimum(max_lag, buf_len + chunk_valid)
+    return s_iso, s_M, cnt, new_buf, new_buf_len
+
+
+def dq_statistics_streamed(chunk_iter, lags, chunk_len: int) -> tuple:
+    """Accumulate DqStats over an iterator of (n, 4) quaternion chunks
+    without ever materialising the full trajectory.  Exact: matches
+    dq_statistics on the concatenated stream to float tolerance.
+
+    Returns (DqStats, total_frames)."""
+    lags = np.asarray(lags, dtype=np.int32)
+    max_lag = int(lags.max())
+    lags_j = jnp.asarray(lags)
+    buf = jnp.zeros((max_lag, 4))
+    buf_len = jnp.asarray(0)
+    s_iso = jnp.zeros((len(lags),))
+    s_M = jnp.zeros((len(lags), 3, 3))
+    cnt = jnp.zeros((len(lags),))
+    total = 0
+    for chunk in chunk_iter:
+        chunk = np.asarray(chunk, dtype=np.float64)
+        total += chunk.shape[0]
+        for off in range(0, chunk.shape[0], chunk_len):
+            part = chunk[off : off + chunk_len]
+            nv = part.shape[0]
+            if nv < chunk_len:
+                part = np.pad(part, ((0, chunk_len - nv), (0, 0)))
+            d_iso, d_M, d_cnt, buf, buf_len = _dq_chunk_sums(
+                buf, buf_len, jnp.asarray(part), jnp.asarray(nv), lags_j,
+                max_lag, chunk_len,
+            )
+            s_iso = s_iso + d_iso
+            s_M = s_M + d_M
+            cnt = cnt + d_cnt
+    iso = s_iso / cnt
+    M = s_M / cnt[:, None, None]
+    stats = DqStats(lags_j, iso, M, jnp.zeros((len(lags), 0)), jnp.zeros((len(lags), 0, 3, 3)))
+    return stats, total
+
+
+def analyse_dq_streamed(
+    chunk_iter,
+    delta_t: float,
+    min_dt: float,
+    max_dt: float,
+    skip_dt: float,
+    chunk_frames: int = 65536,
+) -> DqResult:
+    """analyse_dq over a lazy stream of quaternion chunks (constant memory).
+
+    Chunked uncertainty estimation (n_chunks) is not available in
+    streamed mode; use the in-memory path for that."""
+    skip_int = max(1, int(skip_dt / delta_t))
+    min_int = max(skip_int, int(min_dt / delta_t))
+    max_int = int(max_dt / delta_t)
+    lags = np.arange(min_int, max_int + 1, skip_int, dtype=np.int32)
+    stats, n = dq_statistics_streamed(chunk_iter, lags, chunk_frames)
+    if max_int * delta_t > (n - 1) * delta_t / 2.0:
+        raise ValueError(
+            f"max_dt ({max_dt}) exceeds half the streamed trajectory length "
+            f"({(n - 1) * delta_t / 2.0})"
+        )
+    return _finalise_dq(stats, lags, delta_t, 0)

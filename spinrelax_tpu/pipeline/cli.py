@@ -118,6 +118,9 @@ def cmd_dq(argv):
                    choices=("dx", "dat", "none"))
     p.add_argument("--fulltensor", action="store_true",
                    help="write all nine <q_i q_j> components per lag in the PAF")
+    p.add_argument("--stream", type=int, default=0, metavar="FRAMES",
+                   help="constant-memory streaming mode: analyse the colvar "
+                        "in blocks of FRAMES frames (no chunked errors/hists)")
     a = p.parse_args(argv)
     from .stages import stage_dq
 
@@ -125,6 +128,7 @@ def cmd_dq(argv):
         a.infn, a.outpref, a.mindt, a.maxdt, a.skip, n_chunks=a.num_chunk,
         multi=a.multi, do_hist=a.do_hist, hist_bins=a.num_bins,
         hist_format=a.out_suff, do_full_tensor=a.fulltensor,
+        stream_chunk=a.stream,
     )
     print(f"= = D_iso = {res.D_iso:.6g} s^-1 ; PAF quaternion {res.q_frame}")
 

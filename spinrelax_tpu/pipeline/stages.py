@@ -189,13 +189,35 @@ def stage_dq(
     hist_format: str = "dat",  # 'dx' | 'dat' | 'none'
     do_full_tensor: bool = False,
     force: bool = False,
+    stream_chunk: int = 0,
 ) -> dqops.DqResult:
     """Global tumbling analysis; writes {pref}-iso.dat, {pref}-aniso2.dat,
     {pref}-aniso_q.dat, {pref}-moi.xyz; optionally per-lag 3D delta-q
     histograms ({pref}-hist-<dt>ps.dx/.dat) and the full 3x3 tensor trace
-    ({pref}-tensor.dat)."""
+    ({pref}-tensor.dat).
+
+    stream_chunk > 0 enables the constant-memory streaming path: the
+    colvar is read and analysed in blocks of that many frames (no chunked
+    uncertainties or histograms in this mode)."""
     marker = out_prefix + "-aniso_q.dat"
-    if multi:
+    if stream_chunk > 0:
+        if multi or n_chunks > 0 or do_hist or do_full_tensor:
+            raise ValueError(
+                "stream_chunk is incompatible with multi/n_chunks/hist/tensor"
+            )
+        it = colvario.iter_colvar_chunks(colvar_file, stream_chunk)
+        fields0, first = next(it)
+        delta_t = float(first[1, 0] - first[0, 0])
+
+        def q_chunks():
+            yield first[:, 1:5]
+            for _, block in it:
+                yield block[:, 1:5]
+
+        res = dqops.analyse_dq_streamed(
+            q_chunks(), delta_t, min_dt, max_dt, skip_dt, chunk_frames=stream_chunk
+        )
+    elif multi:
         fields, data = colvario.read_colvar_multi(colvar_file)
         # (nReplicas, nTime, nFields): analyse per replica then aggregate
         # delta-q samples — equivalent capability to

@@ -215,3 +215,29 @@ def test_multi_replica_pooling_matches_concatenated_samples(qtraj, rng):
         v = np.concatenate(vs)
         want_iso = np.mean(1.0 - 2.0 * np.sum(v**2, axis=-1))
         np.testing.assert_allclose(res.iso[li], want_iso, atol=1e-10)
+
+
+def test_streamed_analysis_matches_in_memory(tmp_path, qtraj):
+    """--stream path: identical DqResult to the in-memory path, from an
+    actual colvar file read in small blocks."""
+    from spinrelax_tpu.pipeline.stages import stage_dq
+
+    q, _ = qtraj
+    q = q[:6000]
+    fn = str(tmp_path / "colvar-qorient")
+    with open(fn, "w") as fp:
+        fp.write("#! FIELDS time q.w q.x q.y q.z\n")
+        for t in range(q.shape[0]):
+            fp.write(" %.10f %.10f %.10f %.10f %.10f\n" % (t * 1.0, *q[t]))
+
+    res_mem = stage_dq(fn, str(tmp_path / "mem"), 5.0, 200.0, 5.0)
+    res_str = stage_dq(fn, str(tmp_path / "str"), 5.0, 200.0, 5.0,
+                       stream_chunk=700)
+    np.testing.assert_allclose(res_str.iso, res_mem.iso, atol=1e-8)
+    np.testing.assert_allclose(res_str.aniso_taus, res_mem.aniso_taus, rtol=1e-6)
+    np.testing.assert_allclose(res_str.D_axes, res_mem.D_axes, rtol=1e-6)
+    assert abs(float(np.dot(res_str.q_frame, res_mem.q_frame))) > 1 - 1e-9
+
+    with pytest.raises(ValueError):
+        stage_dq(fn, str(tmp_path / "bad"), 5.0, 200.0, 5.0,
+                 stream_chunk=700, n_chunks=4)
