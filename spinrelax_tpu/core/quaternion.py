@@ -230,11 +230,22 @@ def random_quats(key, n: int, dtype=jnp.float64, reduce: bool = True):
 
 
 def slerp(q1, q2, r):
-    """Spherical interpolation between two quaternions
-    (transforms3d_supplement.py:253-261)."""
-    qdiff = qmult(q2, qconj(q1))
-    th = 2.0 * jnp.arccos(jnp.clip(qdiff[..., 0], -1.0, 1.0))
+    """Spherical interpolation between two quaternions along the shortest
+    arc, with q=q1 at r=0 and q=q2 (up to sign) at r=1.
+
+    Covers transforms3d_supplement.py:253-261, but fixes two bugs the
+    reference itself flags with a WARNING: it doubles the arc angle
+    (2*acos of the relative-quaternion w, giving uneven interpolation)
+    and divides by sin(th)=0 for identical endpoints.  Here th is the
+    4D angle arccos(|q1.q2|); near-parallel endpoints fall back to
+    normalised lerp."""
+    dot = jnp.sum(q1 * q2, axis=-1)
+    q2s = jnp.where(dot[..., None] < 0, -q2, q2)  # shortest path
+    d = jnp.clip(jnp.abs(dot), 0.0, 1.0)
+    th = jnp.arccos(d)
     s = jnp.sin(th)
-    s = jnp.where(s == 0, 1.0, s)
-    out = (jnp.sin((1 - r) * th) / s)[..., None] * q1 + (jnp.sin(r * th) / s)[..., None] * q2
-    return qnorm(out)
+    safe = s > 1e-8
+    s_ = jnp.where(safe, s, 1.0)
+    w1 = jnp.where(safe, jnp.sin((1 - r) * th) / s_, 1.0 - r)
+    w2 = jnp.where(safe, jnp.sin(r * th) / s_, r)
+    return qnorm(w1[..., None] * q1 + w2[..., None] * q2s)
