@@ -66,10 +66,25 @@ def _eval_all(es: ExperimentSet, diso, aniso, zeta, csa):
     out = []
     vecs = None if es.vecs is None else jnp.asarray(es.vecs)
     weights = None if es.weights is None else jnp.asarray(es.weights)
+    # One batched J evaluation over the stacked omega5 grids of all UNIQUE
+    # pairs: the geometry (A) and decay (D) coefficients are field-
+    # independent, so this removes the per-experiment recomputation the
+    # reference performs (spectral_densities.py:803-818 evaluates each
+    # experiment object separately).
+    pairs = []
     for e in es.experiments:
-        rates = obs.predict_rates_newapi(
-            e.pair, diffusion, cts, vecs=vecs, weights=weights, csa=csa
-        )
+        if e.pair not in pairs:
+            pairs.append(e.pair)
+    omega_all = jnp.concatenate([jnp.asarray(p.omega5()) for p in pairs])
+    J_all = diffusion.j_combined(
+        omega_all, cts.S2, cts.C, cts.tau, mask=cts.mask, vecs=vecs, zeta=cts.zeta
+    )
+    rates_by_pair = {}
+    for i, p in enumerate(pairs):
+        J = J_all[..., 5 * i : 5 * (i + 1)]
+        rates_by_pair[p] = obs.rates_from_j_newapi(p, J, weights=weights, csa=csa)
+    for e in es.experiments:
+        rates = rates_by_pair[e.pair]
         if e.expt_type == "R1":
             v, dv = rates.R1, rates.dR1
         elif e.expt_type == "R2":

@@ -92,6 +92,13 @@ def predict_rates_newapi(
     """New-API prediction matching spinRelaxation{R1,R2,NOE}.eval():
     NOE uses the ensemble-averaged R1 (spectral_densities.py:894-907)."""
     J = compute_j(pair, diffusion, cts, vecs)
+    return rates_from_j_newapi(pair, J, weights=weights, csa=csa)
+
+
+def rates_from_j_newapi(pair: NucleusPair, J, weights=None, csa=None) -> RatesWithErrors:
+    """New-API rates from a precomputed J(omega5) — lets callers share one
+    batched J evaluation across experiments (the A/D geometry coefficients
+    depend only on vectors + tensor shape, not on the field)."""
     ensemble = J.ndim == 3
     f_dd = pair.factor_dd()
     csa_v = None if csa is None else jnp.asarray(csa)
