@@ -62,3 +62,76 @@ def load_vector_distribution(fn: str) -> Tuple[np.ndarray, np.ndarray, Optional[
         raise ValueError(f"unsupported npz datatype: {obj['dataType']}")
     vecs = np.asarray(geometry.pt_to_xyz(np.asarray(obj["data"])))
     return names, vecs, None
+
+
+class PhiThetaStreamWriter:
+    """Constant-memory writer for per-frame (phi, theta) vector samples.
+
+    The on-disk formats (save_phitheta npz / TextPhiTheta .dat,
+    calculate-Ct-from-traj.py:330-356) are residue-major, but a streaming
+    trajectory pass produces frame-major chunks.  Chunks of shape
+    (nFrames, nRes, 2) are appended to a raw temp file; close() performs
+    the transpose residue-by-residue through memmaps and assembles the
+    final artefact without ever materialising the full array in RAM.
+    """
+
+    def __init__(self, fn: str, names, fmt: str = "npz"):
+        if fmt not in ("npz", "text"):
+            raise ValueError(f"unknown PhiTheta format {fmt!r}")
+        self.fn, self.names, self.fmt = fn, list(names), fmt
+        self._tmp = fn + ".stream.tmp"
+        self._fh = open(self._tmp, "wb")
+        self._n = 0
+
+    def append(self, pt: np.ndarray):
+        """pt: (nFrames, nRes, 2) float array for one chunk."""
+        pt = np.ascontiguousarray(pt, dtype=np.float64)
+        if pt.ndim != 3 or pt.shape[1] != len(self.names) or pt.shape[2] != 2:
+            raise ValueError(f"bad chunk shape {pt.shape}")
+        pt.tofile(self._fh)
+        self._n += pt.shape[0]
+
+    def close(self):
+        import os
+        import zipfile
+        import io as _io
+
+        self._fh.close()
+        n_res = len(self.names)
+        src = np.memmap(
+            self._tmp, dtype=np.float64, mode="r", shape=(self._n, n_res, 2)
+        )
+        try:
+            if self.fmt == "npz":
+                datafile = self.fn + ".data.npy"
+                out = np.lib.format.open_memmap(
+                    datafile, mode="w+", dtype=np.float64, shape=(n_res, self._n, 2)
+                )
+                for i in range(n_res):
+                    out[i] = src[:, i, :]
+                out.flush()
+                del out
+                meta = {
+                    "names": np.asarray(self.names),
+                    "dataType": np.asarray("PhiTheta"),
+                    "axisLabels": np.asarray(["phi", "theta"]),
+                    "bHistogram": np.asarray(False),
+                }
+                with zipfile.ZipFile(self.fn, "w", zipfile.ZIP_DEFLATED) as z:
+                    for k, v in meta.items():
+                        buf = _io.BytesIO()
+                        np.save(buf, v)
+                        z.writestr(k + ".npy", buf.getvalue())
+                    z.write(datafile, "data.npy")  # streamed from disk
+                os.remove(datafile)
+            else:
+                with open(self.fn, "w") as fp:
+                    for i, rid in enumerate(self.names):
+                        print('@s%d legend "%s"' % (i, rid), file=fp)
+                        col = np.asarray(src[:, i, :])
+                        for j in range(col.shape[0]):
+                            print("%g %g" % (col[j, 0], col[j, 1]), file=fp)
+                        print("&", file=fp)
+        finally:
+            del src
+            os.remove(self._tmp)

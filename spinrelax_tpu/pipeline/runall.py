@@ -45,6 +45,10 @@ def main(argv=None):
     p.add_argument("-D2O_Exp", type=float, default=0.09)
     p.add_argument("-Bfields", nargs="+", type=float, default=[600.133], help="[MHz]")
     p.add_argument("-num_chunks", type=int, default=4)
+    p.add_argument("-stream", type=int, default=0, metavar="GROUPS",
+                   help="constant-memory C(t) stage: stream trajectories "
+                        "in GROUPS Palmer chunks per device step "
+                        "(supports all -vecstorage modes)")
     p.add_argument("-vecstorage", default="Histogram",
                    choices=("Histogram", "PhiTheta", "TextPhiTheta"))
     p.add_argument("-fitatoms", default="occupancy > 0")
@@ -188,11 +192,18 @@ def main(argv=None):
         outpref, "ct", trajs + refs, [vec_file, outpref + "_Ctint.dat"],
         params=ct_params,
     ):
-        stages.stage_ct(
-            trajs, refs, outpref, a.tau_mem,
-            q_rot=quat, fit_sel=a.fitatoms, zeta=a.zeta,
-            vec_storage=a.vecstorage, force=a.force,
-        )
+        if a.stream > 0:
+            stages.stage_ct_streamed(
+                trajs, refs, outpref, a.tau_mem,
+                chunk_groups=a.stream, q_rot=quat, fit_sel=a.fitatoms,
+                zeta=a.zeta, vec_storage=a.vecstorage,
+            )
+        else:
+            stages.stage_ct(
+                trajs, refs, outpref, a.tau_mem,
+                q_rot=quat, fit_sel=a.fitatoms, zeta=a.zeta,
+                vec_storage=a.vecstorage, force=a.force,
+            )
         record_stage(outpref, "ct", trajs + refs, params=ct_params)
     else:
         print(" = = = Note: Pre-existing C(t)/vector files found, skipping.")

@@ -865,6 +865,7 @@ def stage_ct_streamed(
     acc = {}
     n_chunks_total = 0
     q_rot_j = None if q_rot is None else jnp.asarray(q_rot)
+    pt_writer = None  # lazy PhiTheta stream writer (storage != Histogram)
 
     hist_nb_x, hist_nb_y = hist_bins, hist_bins // 2
 
@@ -903,10 +904,25 @@ def stage_ct_streamed(
             upd("vec_sum", jnp.sum(flat, axis=0))
 
         if do_vec_dist:
-            per_res = jnp.swapaxes(flat, 0, 1)  # (nBonds, frames, 3)
-            h, ep, ec = geometry.lambert_histogram(per_res, hist_nb_x, hist_nb_y)
-            upd("hist", h)
-            acc.setdefault("edges", (np.asarray(ep), np.asarray(ec)))
+            if vec_storage == "Histogram":
+                per_res = jnp.swapaxes(flat, 0, 1)  # (nBonds, frames, 3)
+                h, ep, ec = geometry.lambert_histogram(per_res, hist_nb_x, hist_nb_y)
+                upd("hist", h)
+                acc.setdefault("edges", (np.asarray(ep), np.asarray(ec)))
+            else:
+                nonlocal pt_writer
+                if pt_writer is None:
+                    if vec_storage == "PhiTheta":
+                        pt_writer = vecio.PhiThetaStreamWriter(
+                            out_prefix + "_vecPhiTheta.npz", res_ids, fmt="npz"
+                        )
+                    elif vec_storage == "TextPhiTheta":
+                        pt_writer = vecio.PhiThetaStreamWriter(
+                            out_prefix + "_vecPhiTheta.dat", res_ids, fmt="text"
+                        )
+                    else:
+                        raise ValueError(f"unknown vec_storage {vec_storage!r}")
+                pt_writer.append(np.asarray(geometry.xyz_to_pt(flat)))
         n_chunks_total += g
 
     for trj_fn, ref_fn in zip(traj_files, ref_pdbs):
@@ -977,13 +993,14 @@ def stage_ct_streamed(
         out["avgvec"] = avg
 
     if do_vec_dist:
-        hist = np.asarray(acc["hist"])
-        ep, ec = acc["edges"]
         if vec_storage == "Histogram":
+            hist = np.asarray(acc["hist"])
+            ep, ec = acc["edges"]
             vecio.save_histogram(out_prefix + "_vecHistogram.npz", res_ids, hist, ep, ec)
             out["vec_file"] = out_prefix + "_vecHistogram.npz"
-        else:
-            raise ValueError("streamed stage supports Histogram storage only")
+        elif pt_writer is not None:
+            pt_writer.close()
+            out["vec_file"] = pt_writer.fn
 
     if do_s2:
         s2 = np.asarray(acc["s2_s"]) / R

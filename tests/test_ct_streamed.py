@@ -71,3 +71,32 @@ def test_streamed_npy_memmap(tmp_path, rng):
     np.testing.assert_allclose(
         np.asarray(out["Ct"]), np.asarray(full["Ct"]), atol=2e-5
     )
+
+
+@pytest.mark.slow
+def test_streamed_phitheta_matches_inmemory(tmp_path, rng):
+    """vec_storage=PhiTheta through the streamed stage: npz artefact must
+    equal the in-memory stage's output despite the frame-major transpose
+    buffering. Note the streamed stage drops partial tail chunks, so use
+    a frame count that is an exact multiple of the Palmer chunk."""
+    ref_fn, trj_fn, _ = build_synthetic_system(tmp_path, rng, n_res=4, n_frames=1600)
+
+    full = stage_ct(
+        [trj_fn], [ref_fn], str(tmp_path / "full"), tau_memory=400.0,
+        vec_storage="PhiTheta",
+    )
+    streamed = stage_ct_streamed(
+        [trj_fn], [ref_fn], str(tmp_path / "str"), tau_memory=400.0,
+        chunk_groups=2, vec_storage="PhiTheta",
+    )
+    a = np.load(str(tmp_path / "full_vecPhiTheta.npz"), allow_pickle=True)
+    b = np.load(str(tmp_path / "str_vecPhiTheta.npz"), allow_pickle=True)
+    assert list(a["names"]) == list(b["names"])
+    np.testing.assert_allclose(b["data"], a["data"], atol=1e-12)
+
+    # Text variant writes the same numbers in the xmgrace layout.
+    stage_ct_streamed(
+        [trj_fn], [ref_fn], str(tmp_path / "txt"), tau_memory=400.0,
+        chunk_groups=2, vec_storage="TextPhiTheta",
+    )
+    assert os.path.exists(str(tmp_path / "txt_vecPhiTheta.dat"))

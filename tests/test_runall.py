@@ -194,3 +194,33 @@ def test_run_all_end_to_end(tmp_path, rng):
     )
     assert out2.returncode == 0, out2.stderr[-3000:]
     assert "skipping" in out2.stdout.lower() or "Skipping" in out2.stdout
+
+
+@pytest.mark.slow
+def test_runall_streamed_ct(tmp_path, rng):
+    """run-all with -stream: the streamed C(t) stage slots into the full
+    pipeline and produces the same fitted-Ct artefacts."""
+    import subprocess
+
+    ref_fn, trj_fn, _ = build_synthetic_system(
+        tmp_path, rng, n_res=4, n_frames=1600
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "from spinrelax_tpu.pipeline.cli import main; main()",
+         "run-all", "-out", "sr",
+         "-sxtc", trj_fn, "-refpdb", ref_fn,
+         "-qfile", str(tmp_path / "colvar-qorient"),
+         "-t_mem", "400", "-stream", "2", "-vecstorage", "PhiTheta",
+         "-Temp_MD", "297", "-Temp_Exp", "297", "-D2O_Exp", "0"],
+        env=env, capture_output=True, text=True, timeout=1200,
+        cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-3000:]
+    import glob
+    assert glob.glob(str(tmp_path / "sr*_vecPhiTheta.npz")), os.listdir(tmp_path)
+    assert glob.glob(str(tmp_path / "sr*_fittedCt.dat"))
