@@ -100,13 +100,19 @@ def _dft_constants(n_frames: int, n_deltas: int, dtype_name: str):
     """
     import numpy as np
 
+    # The matmul DFT needs no smoothness — any nfft >= nFrames + nDeltas
+    # avoids circular aliasing in lags 1..nDeltas.  Round up to a multiple
+    # of 128 (lane width) and take the most-square factorisation: smaller
+    # nfft directly cuts the HBM traffic of every intermediate (the chain
+    # is bandwidth-bound, see docs/PERF.md).
     n_min = n_frames + n_deltas
-    nfft = 1
-    while nfft < n_min:
-        nfft *= 2
-    log2 = nfft.bit_length() - 1
-    N1 = 1 << ((log2 + 1) // 2)
+    nfft = ((n_min + 127) // 128) * 128
+    N1 = int(np.sqrt(nfft))
+    while nfft % N1 != 0:
+        N1 += 1
     N2 = nfft // N1
+    if N1 < N2:
+        N1, N2 = N2, N1
     dt = np.dtype(dtype_name)
     k1 = np.arange(N1)
     W1 = np.exp(-2j * np.pi * np.outer(k1, np.arange(N1)) / N1)
@@ -147,19 +153,34 @@ def _acf_sums(vecs, n_deltas: int):
         w * vecs[..., i] * vecs[..., j]
         for i, j, w in zip(_PAIR_I, _PAIR_J, _PAIR_W)
     ]
-    w6 = jnp.stack(comps, axis=-2)  # (..., 6, nF)
-    x = jnp.concatenate(
-        [w6, jnp.zeros(w6.shape[:-1] + (nfft - n_frames,), w6.dtype)], axis=-1
-    ).reshape(w6.shape[:-1] + (N1, N2))  # n = N2*n1 + n2
-    Ar = ein("kn,...ns->...ks", W1r, x)
-    Ai = ein("kn,...ns->...ks", W1i, x)
+    # Pack the 6 real signals into 3 complex ones (classic 2-for-1 real
+    # FFT packing): for z = a + ib, |A[k]|^2 + |B[k]|^2 =
+    # (|Z[k]|^2 + |Z[-k]|^2)/2, and the cosine inverse matrix is
+    # symmetric under k -> nfft-k, so summing CINV against |Z|^2 directly
+    # yields the same lag sums while HALVING every DFT intermediate
+    # (the chain is HBM-bound; measured 14.2 -> 10.6 ms at the canonical
+    # workload before the nfft shrink).
+    xr = jnp.stack(comps[0::2], axis=-2)  # (..., 3, nF)
+    xi = jnp.stack(comps[1::2], axis=-2)
+
+    def pad_split(t):
+        t = jnp.concatenate(
+            [t, jnp.zeros(t.shape[:-1] + (nfft - n_frames,), t.dtype)], axis=-1
+        )
+        return t.reshape(t.shape[:-1] + (N1, N2))  # n = N2*n1 + n2
+
+    xr, xi = pad_split(xr), pad_split(xi)
+    Ar = ein("kn,...ns->...ks", W1r, xr) - ein("kn,...ns->...ks", W1i, xi)
+    Ai = ein("kn,...ns->...ks", W1i, xr) + ein("kn,...ns->...ks", W1r, xi)
     Br = Ar * TWr - Ai * TWi
     Bi = Ar * TWi + Ai * TWr
     Xr = ein("...ks,sm->...km", Br, W2r) - ein("...ks,sm->...km", Bi, W2i)
     Xi = ein("...ks,sm->...km", Br, W2i) + ein("...ks,sm->...km", Bi, W2r)
-    power = jnp.sum(Xr**2 + Xi**2, axis=-3)  # sum over the 6 components
+    power = jnp.sum(Xr**2 + Xi**2, axis=-3)  # sum over the 3 packed signals
     Pf = power.reshape(power.shape[:-2] + (nfft,))
-    return ein("dk,...k->...d", CINV, Pf)
+    flat = Pf.reshape((-1, nfft))
+    out = jnp.matmul(flat, CINV.T, precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(Pf.shape[:-1] + (n_deltas,))
 
 
 def _acf_sums_mxu(vecs, n_deltas: int, block: int = 128):
