@@ -132,7 +132,30 @@ def _dft_constants(n_frames: int, n_deltas: int, dtype_name: str):
     )
 
 
+# ACF backend selection: "auto" uses the fused Pallas kernel for f32 on
+# TPU (36% faster than the XLA matmul-DFT, see docs/PERF.md) and the XLA
+# path everywhere else; set to "xla" or "pallas" to force one.
+ACF_IMPL = "auto"
+
+
 def _acf_sums(vecs, n_deltas: int):
+    """Sum_t (v(t).v(t+delta))^2 for delta = 1..n_deltas.
+
+    Dispatches between the fused Pallas TPU kernel (pallas_acf.py) and
+    the XLA matmul-DFT chain below according to ``ACF_IMPL``."""
+    use_pallas = ACF_IMPL == "pallas" or (
+        ACF_IMPL == "auto"
+        and vecs.dtype == jnp.float32
+        and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from .pallas_acf import acf_sums_pallas
+
+        return acf_sums_pallas(vecs, n_deltas)
+    return _acf_sums_xla(vecs, n_deltas)
+
+
+def _acf_sums_xla(vecs, n_deltas: int):
     """Sum_t (v(t).v(t+delta))^2 for delta = 1..n_deltas — matmul-DFT path.
 
     Implements the correlation as a two-stage Cooley-Tukey DFT expressed
