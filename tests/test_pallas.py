@@ -46,3 +46,31 @@ def test_rejects_bad_tile(rng):
     with pytest.raises(ValueError):
         acf_sums_pallas(jnp.swapaxes(jnp.asarray(vecs), 1, 2), 50, res_tile=8,
                         interpret=True)
+
+
+def test_pallas_acf_interpret_matches_xla():
+    """The fused ACF kernel (TPU-only in production) must match the XLA
+    matmul-DFT in pallas interpret mode, including batch/lag padding."""
+    from unittest import mock
+
+    import jax
+    from jax.experimental import pallas as pl
+
+    from spinrelax_tpu.ops import autocorr as ac
+    from spinrelax_tpu.ops import pallas_acf
+
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=(3, 150, 40, 3)).astype(np.float32)  # B=450 (pad to 512)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    n_deltas = 20
+
+    real_call = pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        return real_call(*args, **kw)
+
+    with mock.patch.object(pallas_acf.pl, "pallas_call", interp_call):
+        got = np.asarray(pallas_acf.acf_sums_pallas(jnp.asarray(v), n_deltas))
+    want = np.asarray(ac._acf_sums_xla(jnp.asarray(v), n_deltas))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
