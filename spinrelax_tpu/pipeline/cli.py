@@ -162,7 +162,7 @@ def cmd_ct(argv):
     p.add_argument("--split", type=int, dest="split_groups", default=-1,
                    help="stream the trajectory N Palmer chunks at a time "
                         "(true streaming, replaces the reference's memory "
-                        "workaround; requires --vecHist storage)")
+                        "workaround; all vector-storage modes supported)")
     p.add_argument("--timestep", type=float, default=None,
                    help="frame spacing [ps] for bare .npy trajectories")
     a = p.parse_args(argv)
