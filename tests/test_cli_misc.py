@@ -158,3 +158,24 @@ def test_dq_hist_and_tensor(tmp_path, rng):
     data, dims, orig, abc = read_dx(str(tmp_path / hists[0]), units="nm")
     assert tuple(dims) == (21, 21, 21)
     assert np.all(np.isfinite(data))
+
+
+def test_dq_stream_cli_flag(tmp_path, rng):
+    """'spinrelax dq --stream N' end-to-end through the CLI parser."""
+    import numpy as np
+    from spinrelax_tpu.pipeline import cli
+
+    n = 3000
+    th = np.cumsum(rng.normal(scale=0.05, size=n))
+    q = np.stack([np.cos(th/2), np.sin(th/2)*0.6, np.sin(th/2)*0.8, np.zeros(n)], axis=1)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    fn = str(tmp_path / "colvar-qorient")
+    with open(fn, "w") as fp:
+        fp.write("#! FIELDS time q.w q.x q.y q.z\n")
+        for t in range(n):
+            fp.write(" %f %f %f %f %f\n" % (t*1.0, *q[t]))
+    cli.main(["dq", "-f", fn, "-o", str(tmp_path / "out"),
+              "--mindt", "5", "--maxdt", "100", "--skip", "5",
+              "--stream", "700"])
+    assert (tmp_path / "out-iso.dat").exists()
+    assert (tmp_path / "out-aniso2.dat").exists()
