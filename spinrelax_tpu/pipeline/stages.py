@@ -200,19 +200,39 @@ def stage_dq(
     colvar is read and analysed in blocks of that many frames (no chunked
     uncertainties or histograms in this mode)."""
     marker = out_prefix + "-aniso_q.dat"
+
+    def _load_q(fn):
+        """(delta_t, q (N,4)) from a PLUMED colvar or a GROMACS
+        ``gmx rotmat`` .xvg (rotation matrices -> INVERSE quaternions,
+        calculate-dq-distribution.py:389-407,490-495)."""
+        if fn.endswith(".xvg"):
+            t, ys = xvg.load_xys(fn)
+            R = np.asarray(ys, dtype=np.float64).reshape(len(t), 3, 3)
+            q = np.asarray(qt.qconj(qt.mat_to_quat(jnp.asarray(R))))
+            return float(t[1] - t[0]), q
+        fields, data = colvario.read_colvar(fn)
+        return float(data[0, 1] - data[0, 0]), data[1:5].T.astype(np.float64)
+
     if stream_chunk > 0:
         if multi or n_chunks > 0 or do_hist or do_full_tensor:
             raise ValueError(
                 "stream_chunk is incompatible with multi/n_chunks/hist/tensor"
             )
-        it = colvario.iter_colvar_chunks(colvar_file, stream_chunk)
-        fields0, first = next(it)
-        delta_t = float(first[1, 0] - first[0, 0])
+        if colvar_file.endswith(".xvg"):
+            delta_t, q_all = _load_q(colvar_file)
 
-        def q_chunks():
-            yield first[:, 1:5]
-            for _, block in it:
-                yield block[:, 1:5]
+            def q_chunks():
+                for off in range(0, q_all.shape[0], stream_chunk):
+                    yield q_all[off : off + stream_chunk]
+        else:
+            it = colvario.iter_colvar_chunks(colvar_file, stream_chunk)
+            fields0, first = next(it)
+            delta_t = float(first[1, 0] - first[0, 0])
+
+            def q_chunks():
+                yield first[:, 1:5]
+                for _, block in it:
+                    yield block[:, 1:5]
 
         res = dqops.analyse_dq_streamed(
             q_chunks(), delta_t, min_dt, max_dt, skip_dt, chunk_frames=stream_chunk
@@ -228,9 +248,7 @@ def stage_dq(
         delta_t = float(data[0][1, 0] - data[0][0, 0])
         res = dqops.analyse_dq_multi(qs, delta_t, min_dt, max_dt, skip_dt, n_chunks)
     else:
-        fields, data = colvario.read_colvar(colvar_file)
-        delta_t = float(data[0, 1] - data[0, 0])
-        q = data[1:5].T.astype(np.float64)
+        delta_t, q = _load_q(colvar_file)
         res = dqops.analyse_dq(q, delta_t, min_dt, max_dt, skip_dt, n_chunks)
 
     iso_hdr, aniso_hdr = _format_dq_headers(res)
@@ -280,8 +298,6 @@ def stage_dq(
     if do_full_tensor:
         # <(Rv)(Rv)^T> components per lag in the locked PAF
         # (calculate-dq-distribution.py:610-611,722-723).
-        from ..core import quaternion as qt
-
         q_traj = (
             np.asarray(colvario.read_colvar(colvar_file)[1][1:5].T, dtype=np.float64)
             if not multi

@@ -241,3 +241,31 @@ def test_streamed_analysis_matches_in_memory(tmp_path, qtraj):
     with pytest.raises(ValueError):
         stage_dq(fn, str(tmp_path / "bad"), 5.0, 200.0, 5.0,
                  stream_chunk=700, n_chunks=4)
+
+
+def test_rotmat_xvg_input_matches_colvar(tmp_path, qtraj):
+    """stage_dq on a gmx-rotmat .xvg (rotation matrices) must equal the
+    colvar path fed the INVERSE quaternions
+    (calculate-dq-distribution.py:389-407,490-495)."""
+    from spinrelax_tpu.core import quaternion as qt_
+    from spinrelax_tpu.pipeline.stages import stage_dq
+
+    q, _ = qtraj
+    q = q[:4000]
+    R = np.asarray(qt_.quat_to_mat(jnp.asarray(q)))  # (N,3,3)
+    xvg_fn = str(tmp_path / "rotmat.xvg")
+    with open(xvg_fn, "w") as fp:
+        fp.write("@ title \"Fit matrix\"\n")
+        for t in range(q.shape[0]):
+            fp.write(" ".join(["%f" % (t * 1.0)] + ["%.12f" % v for v in R[t].ravel()]) + "\n")
+    q_inv = np.asarray(qt_.qconj(jnp.asarray(q)))
+    colvar_fn = str(tmp_path / "colvar-qorient")
+    with open(colvar_fn, "w") as fp:
+        fp.write("#! FIELDS time q.w q.x q.y q.z\n")
+        for t in range(q.shape[0]):
+            fp.write(" %f %.12f %.12f %.12f %.12f\n" % (t * 1.0, *q_inv[t]))
+
+    res_x = stage_dq(xvg_fn, str(tmp_path / "xv"), 5.0, 100.0, 5.0)
+    res_c = stage_dq(colvar_fn, str(tmp_path / "cv"), 5.0, 100.0, 5.0)
+    np.testing.assert_allclose(res_x.iso, res_c.iso, atol=1e-7)
+    np.testing.assert_allclose(res_x.aniso_taus, res_c.aniso_taus, rtol=1e-4)
