@@ -111,6 +111,10 @@ def cmd_dq(argv):
     p.add_argument("--skip", type=float, default=0.0)
     p.add_argument("--num_chunk", type=int, default=0)
     p.add_argument("--multi", action="store_true", help="aggregate colvar with repeated FIELDS headers")
+    p.add_argument("--iso", action="store_true",
+                   help="write the isotropic decay analysis (-iso.dat)")
+    p.add_argument("--aniso", action="store_true",
+                   help="write the anisotropic analysis (-aniso2.dat, -aniso_q.dat, -moi.xyz)")
     p.add_argument("--hist", dest="do_hist", action="store_true",
                    help="write per-lag 3D delta-q histograms")
     p.add_argument("-n", "--num_bins", type=int, default=101)
@@ -124,11 +128,17 @@ def cmd_dq(argv):
     a = p.parse_args(argv)
     from .stages import stage_dq
 
+    # Reference semantics (calculate-dq-distribution.py:435-439,658-679):
+    # each analysis is opt-in; for convenience, giving NEITHER flag writes
+    # both (the common run-all invocation passes --iso --aniso anyway).
+    do_iso, do_aniso = a.iso, a.aniso
+    if not (a.iso or a.aniso):
+        do_iso = do_aniso = True
     res = stage_dq(
         a.infn, a.outpref, a.mindt, a.maxdt, a.skip, n_chunks=a.num_chunk,
         multi=a.multi, do_hist=a.do_hist, hist_bins=a.num_bins,
         hist_format=a.out_suff, do_full_tensor=a.fulltensor,
-        stream_chunk=a.stream,
+        stream_chunk=a.stream, do_iso=do_iso, do_aniso=do_aniso,
     )
     print(f"= = D_iso = {res.D_iso:.6g} s^-1 ; PAF quaternion {res.q_frame}")
 

@@ -190,6 +190,8 @@ def stage_dq(
     do_full_tensor: bool = False,
     force: bool = False,
     stream_chunk: int = 0,
+    do_iso: bool = True,
+    do_aniso: bool = True,
 ) -> dqops.DqResult:
     """Global tumbling analysis; writes {pref}-iso.dat, {pref}-aniso2.dat,
     {pref}-aniso_q.dat, {pref}-moi.xyz; optionally per-lag 3D delta-q
@@ -254,7 +256,9 @@ def stage_dq(
     iso_hdr, aniso_hdr = _format_dq_headers(res)
     x = res.lag_times
     iso_model = np.asarray(dqops.isotropic_decay(jnp.asarray(x), res.iso_tau))
-    if res.iso_chunks.size:
+    if not do_iso:
+        pass
+    elif res.iso_chunks.size:
         groups = [np.stack([res.iso, iso_model])]
         for i in range(res.iso_chunks.shape[0]):
             cm = np.asarray(
@@ -265,37 +269,38 @@ def stage_dq(
     else:
         _print_graphs(out_prefix + "-iso.dat", iso_hdr, x, [np.stack([res.iso, iso_model])])
 
-    aniso_models = np.asarray(
-        dqops.anisotropic_decay(jnp.asarray(x)[None, :], jnp.asarray(res.aniso_taus)[:, None])
-    )
-    if res.aniso_chunks.size:
-        groups = [np.concatenate([res.aniso, aniso_models])]
-        for i in range(res.aniso_chunks.shape[0]):
-            cm = np.asarray(
-                dqops.anisotropic_decay(
-                    jnp.asarray(x)[None, :], jnp.asarray(res.aniso_tau_chunks[i])[:, None]
-                )
-            )
-            groups.append(np.concatenate([res.aniso_chunks[i], cm]))
-        _print_graphs(out_prefix + "-aniso2.dat", aniso_hdr, x, groups)
-    else:
-        _print_graphs(
-            out_prefix + "-aniso2.dat", aniso_hdr, x,
-            [np.concatenate([res.aniso, aniso_models])],
+    if do_aniso:
+        aniso_models = np.asarray(
+            dqops.anisotropic_decay(jnp.asarray(x)[None, :], jnp.asarray(res.aniso_taus)[:, None])
         )
+        if res.aniso_chunks.size:
+            groups = [np.concatenate([res.aniso, aniso_models])]
+            for i in range(res.aniso_chunks.shape[0]):
+                cm = np.asarray(
+                    dqops.anisotropic_decay(
+                        jnp.asarray(x)[None, :], jnp.asarray(res.aniso_tau_chunks[i])[:, None]
+                    )
+                )
+                groups.append(np.concatenate([res.aniso_chunks[i], cm]))
+            _print_graphs(out_prefix + "-aniso2.dat", aniso_hdr, x, groups)
+        else:
+            _print_graphs(
+                out_prefix + "-aniso2.dat", aniso_hdr, x,
+                [np.concatenate([res.aniso, aniso_models])],
+            )
 
-    # Per-lag PAF quaternions; first line carries the locked PAF, which
-    # run-all extracts with `head -n 1 ... | awk '{print $2,$3,$4,$5}'`.
-    xvg.print_xylist(out_prefix + "-aniso_q.dat", x, res.q_per_lag.T, cols=True)
+        # Per-lag PAF quaternions; first line carries the locked PAF, which
+        # run-all extracts with `head -n 1 ... | awk '{print $2,$3,$4,$5}'`.
+        xvg.print_xylist(out_prefix + "-aniso_q.dat", x, res.q_per_lag.T, cols=True)
 
-    with open(out_prefix + "-moi.xyz", "w") as fp:
-        for axes in res.axes_per_lag:
-            print("3", file=fp)
-            print("AXES", file=fp)
-            for lab, row in zip("XYZ", axes):
-                print("%s %g %g %g" % (lab, row[0], row[1], row[2]), file=fp)
+        with open(out_prefix + "-moi.xyz", "w") as fp:
+            for axes in res.axes_per_lag:
+                print("3", file=fp)
+                print("AXES", file=fp)
+                for lab, row in zip("XYZ", axes):
+                    print("%s %g %g %g" % (lab, row[0], row[1], row[2]), file=fp)
 
-    if do_full_tensor:
+    if do_full_tensor and do_aniso:
         # <(Rv)(Rv)^T> components per lag in the locked PAF
         # (calculate-dq-distribution.py:610-611,722-723).
         q_traj = (

@@ -179,3 +179,26 @@ def test_dq_stream_cli_flag(tmp_path, rng):
               "--stream", "700"])
     assert (tmp_path / "out-iso.dat").exists()
     assert (tmp_path / "out-aniso2.dat").exists()
+
+
+def test_dq_iso_aniso_gating(tmp_path, rng):
+    """--iso alone writes only -iso.dat (reference flag semantics)."""
+    import numpy as np
+    from spinrelax_tpu.pipeline import cli
+
+    n = 2000
+    th = np.cumsum(rng.normal(scale=0.05, size=n))
+    q = np.stack([np.cos(th/2), np.sin(th/2), np.zeros(n), np.zeros(n)], axis=1)
+    fn = str(tmp_path / "colvar-qorient")
+    with open(fn, "w") as fp:
+        fp.write("#! FIELDS time q.w q.x q.y q.z\n")
+        for t in range(n):
+            fp.write(" %f %f %f %f %f\n" % (t*1.0, *q[t]))
+    cli.main(["dq", "-f", fn, "-o", str(tmp_path / "i"),
+              "--mindt", "5", "--maxdt", "50", "--skip", "5", "--iso"])
+    assert (tmp_path / "i-iso.dat").exists()
+    assert not (tmp_path / "i-aniso2.dat").exists()
+    cli.main(["dq", "-f", fn, "-o", str(tmp_path / "b"),
+              "--mindt", "5", "--maxdt", "50", "--skip", "5"])
+    assert (tmp_path / "b-iso.dat").exists()
+    assert (tmp_path / "b-aniso2.dat").exists()
