@@ -241,6 +241,20 @@ def cmd_relax(argv):
     p.add_argument("-f", "--infn", dest="in_ct", required=True)
     p.add_argument("-o", "--outpref", default="out")
     p.add_argument("--distfn", default=None)
+    p.add_argument("-v", "--vecfn", default=None,
+                   help="average X-H vectors as an xvg table (takes "
+                        "precedence over --distfn)")
+    p.add_argument("--ref", dest="reffn", default=None,
+                   help="reference PDB to take vectors from directly "
+                        "(no fitting); combine with --traj for an ensemble")
+    p.add_argument("--refHsel", default="name H")
+    p.add_argument("--refXsel", default="name N and not resname PRO")
+    p.add_argument("--traj", dest="trjfn", default=None)
+    p.add_argument("--rXH", type=float, default=None,
+                   help="effective X-H bond length [Angs]; alternative to "
+                        "--zeta via zeta=(1.02/rXH)^6 (the reference parses "
+                        "but never applies this flag; implemented as "
+                        "documented)")
     p.add_argument("-q", "--q_rot", default="")
     p.add_argument("-n", "--nuclei", default="NH")
     p.add_argument("-B", "--B0", type=float, default=None)
@@ -291,13 +305,16 @@ def cmd_relax(argv):
     names = fctio.read_fittedct(a.in_ct).names
     csa = _parse_csa(a.csa, names)
     q_rot = np.array(_split_floats(a.q_rot)) if a.q_rot else None
+    zeta = a.zeta if a.rXH is None else (1.02 / a.rXH) ** 6
     stage_relax(
         a.in_ct, a.outpref, diffusion,
         vec_file=a.distfn, q_rot=q_rot, freq_mhz=freq_mhz, nuclei=a.nuclei,
-        time_unit=a.time_unit, zeta=a.zeta, csa=csa, jomega=a.Jomega,
+        time_unit=a.time_unit, zeta=zeta, csa=csa, jomega=a.Jomega,
         shift_res=a.shiftres,
         expt_file=a.expfn, opt_mode=a.opt, max_cycles=a.cycles, tol=a.tol,
         opt_method=a.method,
+        vec_avg_file=a.vecfn, ref_pdb=a.reffn, traj_file=a.trjfn,
+        ref_hsel=a.refHsel, ref_xsel=a.refXsel,
     )
     print(" = = Completed Relaxation calculations.")
 
@@ -313,6 +330,9 @@ def cmd_multifield(argv):
     p.add_argument("-f", "--infn", dest="in_ct", required=True)
     p.add_argument("-o", "--outpref", default="out")
     p.add_argument("--distfn", default=None)
+    p.add_argument("--refpdb", default=None,
+                   help="take one X-H vector per residue from this PDB "
+                        "instead of a --distfn distribution")
     p.add_argument("--tau", type=float, default=None)
     p.add_argument("--aniso", type=float, default=None)
     p.add_argument("-D", "--DTensor", dest="D", default=None)
@@ -334,7 +354,7 @@ def cmd_multifield(argv):
         a.in_ct, a.expFiles, a.outpref, diffusion,
         vec_file=a.distfn, zeta=a.zeta, csa=csa, opt_params=opt,
         max_cycles=a.cycles, tol=a.tol, method=a.method,
-        include_expt=opt is not None,
+        include_expt=opt is not None, ref_pdb=a.refpdb,
     )
     if final["chisq"] is not None:
         print(

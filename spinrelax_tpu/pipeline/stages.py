@@ -569,9 +569,20 @@ def stage_relax(
     tol: float = 1e-6,
     opt_method: str = "powell",
     force: bool = False,
+    vec_avg_file: Optional[str] = None,
+    ref_pdb: Optional[str] = None,
+    traj_file: Optional[str] = None,
+    ref_hsel: str = "name H",
+    ref_xsel: str = "name N and not resname PRO",
 ):
     """Predict R1/R2/NOE/rho (or J(w)) at one field; writes
     {pref}_R1.dat, _R2.dat, _NOE.dat, _rho.dat or _Jw.dat.
+
+    Vector sources, in reference precedence
+    (calculate-relaxations-from-Ct.py:636-656): ``vec_avg_file`` (-v,
+    average X-H vectors as an xvg table), then ``vec_file`` (--distfn
+    npz distribution), then ``ref_pdb`` [+ ``traj_file``] (vectors taken
+    directly from structure/trajectory, no fitting).
 
     With ``expt_file`` + ``opt_mode``, first fits global parameters
     against a 3/6-column experimental table (legacy modes Diso / DisoS2 /
@@ -584,15 +595,39 @@ def stage_relax(
     )
 
     vecs = weights = None
-    if vec_file is not None and diffusion.kind != "isotropic":
-        names, vecs, weights = vecio.load_vector_distribution(vec_file)
-        names = [str(int(x) + shift_res) for x in names]
-        if names != cts.names:
-            raise ValueError(
-                "resid mismatch between fittedCt and vector distribution"
-            )
-        if q_rot is not None:
-            vecs = np.asarray(qt.rotate_vector(jnp.asarray(vecs), jnp.asarray(q_rot)))
+    if diffusion.kind != "isotropic":
+        names = None
+        if vec_avg_file is not None:
+            res_v, block = xvg.load_xys(vec_avg_file)
+            names = [str(int(x) + shift_res) for x in res_v]
+            vecs = np.asarray(block[:, :3], dtype=np.float64)
+            vecs /= np.linalg.norm(vecs, axis=-1, keepdims=True)
+        elif vec_file is not None:
+            names, vecs, weights = vecio.load_vector_distribution(vec_file)
+            names = [str(int(x) + shift_res) for x in names]
+        elif ref_pdb is not None:
+            # Vectors straight from the structure (no fitting); with a
+            # trajectory, every frame contributes an ensemble sample
+            # (reference's extract_vectors_from_structure, :44-69 — left
+            # unreachable there by a bug referencing an undefined `ref`;
+            # implemented as intended here).
+            top, ref_xyz = pdbio.read_pdb(ref_pdb)
+            idx_h, idx_x, res_h = pdbio.bond_indices(top, ref_hsel, ref_xsel)
+            if traj_file is not None:
+                xyz, _ = trajio.load_trajectory(traj_file, top_fn=ref_pdb)
+            else:
+                xyz = ref_xyz
+            v = xyz[:, idx_h, :] - xyz[:, idx_x, :]
+            v /= np.linalg.norm(v, axis=-1, keepdims=True)
+            names = [str(int(x) + shift_res) for x in res_h]
+            vecs = v[0] if v.shape[0] == 1 else np.swapaxes(v, 0, 1)
+        if vecs is not None:
+            if names != cts.names:
+                raise ValueError(
+                    "resid mismatch between fittedCt and vector source"
+                )
+            if q_rot is not None:
+                vecs = np.asarray(qt.rotate_vector(jnp.asarray(vecs), jnp.asarray(q_rot)))
 
     sim_resid = cts.names
     opt_header = ""
@@ -732,9 +767,14 @@ def stage_multifield(
     tol: float = 1e-6,
     method: str = "powell",
     include_expt: bool = False,
+    ref_pdb: Optional[str] = None,
 ):
     """Fit global parameters against N experiments and export per-experiment
-    xvg predictions (+ optimised CSA table when rsCSA is fitted)."""
+    xvg predictions (+ optimised CSA table when rsCSA is fitted).
+
+    ``ref_pdb`` is the --refpdb alternative vector source (single X-H
+    vector per residue straight from the structure,
+    calculate-relaxations-multi-field.py:126-129)."""
     from ..fit.globalfit import (
         EXPORT_SCALING,
         EXPORT_UNITS,
@@ -748,6 +788,12 @@ def stage_multifield(
     vecs = weights = vec_names = None
     if vec_file is not None:
         vec_names, vecs, weights = vecio.load_vector_distribution(vec_file)
+    elif ref_pdb is not None:
+        top, ref_xyz = pdbio.read_pdb(ref_pdb)
+        idx_h, idx_x, res_h = pdbio.bond_indices(top)
+        v = ref_xyz[0, idx_h, :] - ref_xyz[0, idx_x, :]
+        vecs = v / np.linalg.norm(v, axis=-1, keepdims=True)
+        vec_names = np.asarray(res_h)
     expts = [read_experiment(f) for f in expt_files]
     es = ExperimentSet.build(
         expts, cts, diffusion, vecs=vecs, weights=weights,
