@@ -175,6 +175,19 @@ def cmd_ct(argv):
                         "workaround; all vector-storage modes supported)")
     p.add_argument("--timestep", type=float, default=None,
                    help="frame spacing [ps] for bare .npy trajectories")
+    p.add_argument("--help_sel", action="store_true",
+                   help="display help for selection texts and exit")
+    if "--help_sel" in argv:
+        print(
+            "Selection syntax (io/pdb.Topology.select):\n"
+            "  name H | name N CA       atom-name match (multiple allowed)\n"
+            "  resname PRO              residue-name match\n"
+            "  occupancy > 0            occupancy threshold\n"
+            "  not <clause>             negation\n"
+            "  <clause> and <clause>    conjunction\n"
+            "Examples: 'name N and not resname PRO', 'name CA and occupancy > 0'"
+        )
+        return
     a = p.parse_args(argv)
     from .stages import stage_ct, stage_ct_streamed
 
