@@ -1,1 +1,1 @@
-from . import lm, expfit  # noqa: F401
+from . import lm, expfit, legacy_expfit  # noqa: F401

@@ -254,14 +254,22 @@ class GlobalFitter:
                         gsel.append(float(gc))
                 return f, np.array(gsel)
 
-            # Scale parameters so L-BFGS sees O(1) magnitudes.
+            # Scale parameters so L-BFGS sees O(1) magnitudes.  jac=True
+            # hands scipy the (f, g) pair from ONE forward+grad evaluation
+            # instead of separate fun/jac callbacks that would recompute
+            # the chi-square graph twice per iterate.
             scales = np.array(
                 [abs(v) if abs(v) > 0 else 1.0 for v in x0], dtype=float
             )
+
+            def fg_scaled(z):
+                f, g = f_and_g(z * scales)
+                return f, g * scales
+
             res = minimize(
-                lambda z: f_and_g(z * scales)[0],
+                fg_scaled,
                 x0 / scales,
-                jac=lambda z: f_and_g(z * scales)[1] * scales,
+                jac=True,
                 method="L-BFGS-B",
             )
             xbest, fbest = res.x * scales, res.fun
@@ -271,10 +279,18 @@ class GlobalFitter:
         self.state.chisq = float(fbest)
         return self.state.chisq
 
-    def local_step(self, half_width: float = 150e-6, n_iter: int = 90):
+    def local_step(self, half_width: float = 150e-6, n_iter: int = 90,
+                   max_expand: int = 8):
         """Batched rsCSA: golden-section over each residue's CSA in a
         bracket around the current value; residues decouple so one
-        vectorised search replaces nRes sequential Powell fits."""
+        vectorised search replaces nRes sequential Powell fits.
+
+        The reference's per-residue Powell (spectral_densities.py:1371-1382)
+        is unbounded, so the bracket must not silently clamp a far-off
+        optimum: residues whose minimiser lands at (or outside) the bracket
+        edge get their half-width doubled and re-searched, up to
+        ``max_expand`` doublings (+-38 000 ppm at the defaults — far past
+        any physical CSA)."""
         s = self.state
         csa0 = jnp.asarray(s.csa)
         covered = np.asarray(self.es.coverage_counts()) > 0
@@ -286,9 +302,20 @@ class GlobalFitter:
         def fv(cand):
             return f(cand)
 
-        lo = csa0 - half_width
-        hi = csa0 + half_width
-        best = golden_vec(fv, lo, hi, n_iter=n_iter)
+        hw = jnp.full_like(csa0, half_width)
+        best = csa0
+        for _ in range(max_expand):
+            lo = best - hw
+            hi = best + hw
+            best = golden_vec(fv, lo, hi, n_iter=n_iter)
+            # Edge detection in units of the bracket width: golden-section
+            # converges interior minima well inside the bracket, so a
+            # result within 1% of an edge means the true optimum may lie
+            # outside -> re-centre there and double the width.
+            at_edge = jnp.minimum(best - lo, hi - best) < 0.01 * hw
+            if not bool(jnp.any(at_edge & jnp.asarray(covered))):
+                break
+            hw = jnp.where(at_edge, 2.0 * hw, hw)
         new = np.asarray(best)
         # Residues with no experimental coverage keep their CSA
         # (reference skips them: nExpts>0 check, :1375-1377).

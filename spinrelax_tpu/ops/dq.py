@@ -84,9 +84,15 @@ def dq_statistics(q, lag_frames, n_chunks: int = 0) -> DqStats:
         M = jnp.einsum("ij,ik->jk", v, v) / cnt
         if n_chunks > 0:
             # Reference chunking: nblock = ceil(ndat/nchunk) over the
-            # *valid* length ndat = n - delta (:128-144).  With masking we
-            # approximate by chunking the fixed-length array; parity is
-            # maintained by computing per-chunk counts from the mask.
+            # *valid* length ndat = n - delta (:128-144).  Chunk membership
+            # idx // nblock over the fixed-length array with mask-derived
+            # counts reproduces that blocking EXACTLY: valid indices
+            # (idx < ndat) satisfy idx // nblock <= n_chunks - 1, and each
+            # chunk mean divides by the masked count, matching the
+            # reference's mean over [nblock*i, min(ndat, nblock*(i+1))).
+            # (When ndat < nblock*i a chunk is empty; the reference takes
+            # np.mean of an empty slice -> NaN, and the masked 0/0 here
+            # yields the same NaN.)
             ndat = n - delta
             nblock = jnp.ceil(ndat / n_chunks).astype(jnp.int32)
             idx = jnp.arange(n)

@@ -80,10 +80,27 @@ def test_dq_statistics_matches_numpy(qtraj):
     np.testing.assert_allclose(np.asarray(stats.M), want_M, atol=1e-10)
 
 
-def test_chunked_statistics_match_reference_chunking(qtraj):
+@pytest.mark.parametrize(
+    "n_frames,lag_list,n_chunks",
+    [
+        (24000, [3, 7], 4),
+        # Long lags where ndat shrinks far below n, uneven division:
+        (24000, [11000, 23900, 23993], 4),
+        (24000, [23950], 7),
+        # Tiny trajectory, lag leaves ndat barely above n_chunks:
+        (64, [30, 55, 59], 5),
+    ],
+)
+def test_chunked_statistics_match_reference_chunking(
+    qtraj, n_frames, lag_list, n_chunks
+):
+    """The masked idx//nblock chunking must reproduce the reference's
+    ceil(ndat/nchunk) blocking (calculate-dq-distribution.py:128-144)
+    EXACTLY at every lag, including long lags where ndat is small and
+    divides unevenly — both the iso decays and the anisotropy tensors."""
     q, _ = qtraj
-    lags = np.array([3, 7], dtype=np.int32)
-    n_chunks = 4
+    q = q[:n_frames]
+    lags = np.array(lag_list, dtype=np.int32)
     stats = dq.dq_statistics(jnp.asarray(q), jnp.asarray(lags), n_chunks=n_chunks)
     for li, delta in enumerate(lags):
         a = q[:-delta] * np.array([1.0, -1, -1, -1])
@@ -94,9 +111,14 @@ def test_chunked_statistics_match_reference_chunking(qtraj):
         nblock = int(np.ceil(ndat / n_chunks))
         for c in range(n_chunks):
             seg = v[nblock * c : min(ndat, nblock * (c + 1))]
-            want = np.mean(1.0 - 2.0 * np.sum(seg**2, axis=-1))
+            assert len(seg) > 0, "test config produced an empty chunk"
+            want_iso = np.mean(1.0 - 2.0 * np.sum(seg**2, axis=-1))
+            want_M = np.einsum("ij,ik->jk", seg, seg) / len(seg)
             np.testing.assert_allclose(
-                float(stats.iso_chunks[li, c]), want, atol=1e-10
+                float(stats.iso_chunks[li, c]), want_iso, atol=1e-10
+            )
+            np.testing.assert_allclose(
+                np.asarray(stats.M_chunks[li, c]), want_M, atol=1e-10
             )
 
 

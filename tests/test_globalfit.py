@@ -122,6 +122,41 @@ def test_rscsa_local_recovery(rng):
     np.testing.assert_allclose(state.csa, csa_true, rtol=1e-3)
 
 
+def test_rscsa_far_outside_initial_bracket(rng):
+    """The reference's per-residue Powell is unbounded
+    (spectral_densities.py:1371-1382): a true rsCSA 300+ ppm from the
+    start value must still be recovered, not silently clamped to the
+    edge of the golden-section bracket (bracket-expansion path)."""
+    names, cts, diff, v, w = make_setup(rng, n_res=4)
+    # Start value is the 15N default -170 ppm; put truths far outside the
+    # +-150 ppm initial bracket on both sides.
+    # (chi-square is even in csa, so magnitudes must exceed the 320 ppm
+    # initial bracket edge to force at least one expansion per residue)
+    csa_true = np.array([-520e-6, 440e-6, -470e-6, 610e-6])
+    expts = []
+    for f in (600.133, 850.13):
+        pair = NucleusPair(B0=field_from_mhz(f), time_unit="ps")
+        rates = obs.predict_rates_newapi(pair, diff, cts, vecs=v, weights=w, csa=csa_true)
+        for t, vals, errs in (("R1", rates.R1, rates.dR1), ("R2", rates.R2, rates.dR2)):
+            expts.append(
+                ExperimentData(
+                    expt_type=t, nuclei_a="15N", nuclei_b="1H", frequency=f,
+                    freq_unit="MHz", names=np.array(names),
+                    values=np.asarray(vals).copy(),
+                    errors=np.maximum(np.asarray(errs), 1e-3),
+                )
+            )
+    es = ExperimentSet.build(expts, cts, diff, vecs=v, weights=w)
+    fitter = GlobalFitter(es, ["rsCSA"])
+    state = fitter.run()
+    # chi-square is even in the sign of the CSA-squared term only through
+    # csa^2 in R1/R2; both signs contribute linearly via f_csa^2*csa^2 --
+    # the objective may admit the mirrored solution, so compare |csa|.
+    np.testing.assert_allclose(
+        np.abs(state.csa), np.abs(csa_true), rtol=1e-3
+    )
+
+
 def test_alternating_diso_rscsa(rng):
     names, cts, diff, v, w = make_setup(rng, n_res=5, diso=4e-5)
     csa_true = rng.uniform(-185e-6, -155e-6, 5)

@@ -1,17 +1,20 @@
-"""Fused Pallas autocorrelation kernel: interpret-mode correctness vs the
-XLA matmul-DFT path (same factor matrices, same statistics)."""
+"""Fused Pallas ACF kernel (ops/pallas_acf.py): interpret-mode correctness
+vs the XLA matmul-DFT path (same factor matrices, same statistics).
+
+This is the production TPU fast path selected by ``autocorr.ACF_IMPL``
+("auto" routes f32-on-TPU here); on the CPU test backend it runs via the
+pallas interpreter.
+"""
+
+import contextlib
+from unittest import mock
 
 import numpy as np
-import pytest
 
 import jax.numpy as jnp
 
-from spinrelax_tpu.ops.autocorr import ct_palmer
-from spinrelax_tpu.ops.pallas_autocorr import (
-    _pallas_dft_constants,
-    acf_sums_pallas,
-    ct_palmer_pallas,
-)
+from spinrelax_tpu.ops import autocorr as ac
+from spinrelax_tpu.ops import pallas_acf
 
 
 def make_vecs(rng, n_rep=2, n_frames=100, n_res=16):
@@ -19,50 +22,10 @@ def make_vecs(rng, n_rep=2, n_frames=100, n_res=16):
     return v / np.linalg.norm(v, axis=-1, keepdims=True)
 
 
-def test_constants_layout():
-    nfft, N1, W1r, W1i, TWr, TWi, W2r, W2i, CINV_T = _pallas_dft_constants(1000, 500)
-    assert nfft == N1 * 128 and nfft >= 1500
-    assert W1r.shape == (N1, N1)
-    assert CINV_T.shape == (nfft, 500)
-
-
-def test_matches_xla_dft(rng):
-    vecs = make_vecs(rng)
-    c1, d1 = ct_palmer(jnp.asarray(vecs))
-    c2, d2 = ct_palmer_pallas(jnp.asarray(vecs), res_tile=8, interpret=True)
-    np.testing.assert_allclose(np.asarray(c2), np.asarray(c1), atol=5e-6)
-    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=5e-6)
-
-
-def test_res_tile_variants(rng):
-    vecs = make_vecs(rng, n_res=16)
-    c8, _ = ct_palmer_pallas(jnp.asarray(vecs), res_tile=8, interpret=True)
-    c4, _ = ct_palmer_pallas(jnp.asarray(vecs), res_tile=4, interpret=True)
-    np.testing.assert_allclose(np.asarray(c8), np.asarray(c4), atol=1e-6)
-
-
-def test_rejects_bad_tile(rng):
-    vecs = make_vecs(rng, n_res=10)
-    with pytest.raises(ValueError):
-        acf_sums_pallas(jnp.swapaxes(jnp.asarray(vecs), 1, 2), 50, res_tile=8,
-                        interpret=True)
-
-
-def test_pallas_acf_interpret_matches_xla():
-    """The fused ACF kernel (TPU-only in production) must match the XLA
-    matmul-DFT in pallas interpret mode, including batch/lag padding."""
-    from unittest import mock
-
-    import jax
+@contextlib.contextmanager
+def interpreted_pallas():
+    """Force pallas_call into interpret mode (no TPU on the test backend)."""
     from jax.experimental import pallas as pl
-
-    from spinrelax_tpu.ops import autocorr as ac
-    from spinrelax_tpu.ops import pallas_acf
-
-    rng = np.random.default_rng(3)
-    v = rng.normal(size=(3, 150, 40, 3)).astype(np.float32)  # B=450 (pad to 512)
-    v /= np.linalg.norm(v, axis=-1, keepdims=True)
-    n_deltas = 20
 
     real_call = pl.pallas_call
 
@@ -71,6 +34,47 @@ def test_pallas_acf_interpret_matches_xla():
         return real_call(*args, **kw)
 
     with mock.patch.object(pallas_acf.pl, "pallas_call", interp_call):
+        yield
+
+
+def test_constants_layout():
+    (nfft, N1, N2, nd_pad, W1r, W1i, twr, twi, W2rt, W2it, CINV) = (
+        pallas_acf._kernel_constants(1000, 500, "float32")
+    )
+    assert nfft == N1 * N2 and nfft >= 1500 and nfft % 128 == 0
+    assert W1r.shape == (N1, N1) and W2rt.shape == (N2, N2)
+    assert twr.shape == (N1, N2 * 128)
+    assert nd_pad % 8 == 0 and CINV.shape == (nd_pad, nfft)
+    # Rows past n_deltas are zero padding.
+    assert not CINV[500:].any() and CINV[:500].any()
+
+
+def test_pallas_acf_interpret_matches_xla():
+    """The fused ACF kernel must match the XLA matmul-DFT in interpret
+    mode, including batch/lag padding (B=450 pads to 512)."""
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=(3, 150, 40, 3)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    n_deltas = 20
+
+    with interpreted_pallas():
         got = np.asarray(pallas_acf.acf_sums_pallas(jnp.asarray(v), n_deltas))
     want = np.asarray(ac._acf_sums_xla(jnp.asarray(v), n_deltas))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_ct_palmer_dispatch_pallas_matches_xla(rng):
+    """ct_palmer with ACF_IMPL='pallas' (interpreted) equals the XLA path
+    end-to-end through the Palmer statistics."""
+    vecs = jnp.asarray(make_vecs(rng))
+    old = ac.ACF_IMPL
+    try:
+        ac.ACF_IMPL = "xla"
+        c1, d1 = ac.ct_palmer(vecs)
+        ac.ACF_IMPL = "pallas"
+        with interpreted_pallas():
+            c2, d2 = ac.ct_palmer(vecs)
+    finally:
+        ac.ACF_IMPL = old
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c1), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=5e-6)
