@@ -320,15 +320,26 @@ def ct_palmer(vecs):
     return Ct.T, dCt.T
 
 
-def ct_palmer_scan(vecs, batch: int = 1):
+def ct_palmer_scan(vecs, batch: int = 1, mesh=None):
     """Replicate-streamed variant for trajectories too large for one fused
     FFT buffer.  Scans over the replicate axis, accumulating per-lag sum and
     sum-of-squares; numerically equivalent to :func:`ct_palmer` (population
     std via E[x^2]-E[x]^2).
 
     vecs : (nReplicates, nFrames, nResidues, 3); nReplicates % batch == 0.
+    mesh : optional ("rep", "res") jax Mesh — shards each replicate group
+        over the mesh via the production sharded stream
+        (parallel/streamed.py) instead of the single-device scan.
     """
     vecs = jnp.asarray(vecs)
+    if mesh is not None:
+        from ..parallel.streamed import ShardedCtStream
+
+        n_rep_m, n_frames_m, n_res_m, _ = vecs.shape
+        stream = ShardedCtStream(mesh, n_frames_m, n_res_m, dtype=vecs.dtype)
+        for off in range(0, n_rep_m, batch):
+            stream.update(vecs[off : off + batch])
+        return stream.finalize()
     n_rep, n_frames, n_res, _ = vecs.shape
     n_deltas = n_frames // 2
     if n_rep % batch != 0:
@@ -356,7 +367,7 @@ def ct_palmer_scan(vecs, batch: int = 1):
     return mean.T, dCt.T
 
 
-def ct_palmer_streamed(chunk_iter, n_frames_per_chunk: int):
+def ct_palmer_streamed(chunk_iter, n_frames_per_chunk: int, mesh=None):
     """Streaming C(t): consume an iterator of Palmer-chunk groups without
     ever holding the full trajectory (the >HBM path used by the
     north-star driver, tools/bench_northstar.py).
@@ -364,7 +375,26 @@ def ct_palmer_streamed(chunk_iter, n_frames_per_chunk: int):
     chunk_iter yields (g, n_frames_per_chunk, nRes, 3) arrays (g may vary);
     per-chunk lag means accumulate into running sum / sum-of-squares so
     the result equals :func:`ct_palmer` over the concatenated chunks.
+
+    mesh : optional ("rep", "res") jax Mesh — shard each group's chunk
+        axis over "rep" and the residue axis over "res"
+        (parallel/streamed.ShardedCtStream; one psum over ICI per group).
     """
+    if mesh is not None:
+        from ..parallel.streamed import ShardedCtStream
+
+        stream = None
+        for group in chunk_iter:
+            if stream is None:
+                stream = ShardedCtStream(
+                    mesh, n_frames_per_chunk, group.shape[2],
+                    dtype=jnp.asarray(group).dtype,
+                )
+            stream.update(group)
+        if stream is None:
+            raise ValueError("empty chunk iterator")
+        return stream.finalize()
+
     n_deltas = n_frames_per_chunk // 2
     acc_s = acc_s2 = None
     n_rep = 0

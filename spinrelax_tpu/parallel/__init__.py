@@ -1,1 +1,1 @@
-from . import mesh, pipeline  # noqa: F401
+from . import ingest, mesh, pipeline, streamed  # noqa: F401

@@ -1,0 +1,139 @@
+"""Multi-host ingest skeleton (ARCHITECTURE.md "Multi-host ingest").
+
+Trajectories larger than one host's disk/RAM bandwidth shard by REPLICA
+(Palmer chunk group) — chunk groups are statistically independent, so
+hosts never exchange frame data.  Each host streams only its local
+replica slice into fixed-size running sums; the ONLY cross-host traffic
+is one reduction of those accumulators at finalisation (a few MB over
+DCN once per run).
+
+Because this container has a single host, hosts are *simulated*: each
+"host" owns a disjoint chunk iterator and produces a :class:`CtPartial`.
+The pooled statistics are exactly associative under (sum, sumsq, count)
+addition — the same property a real multi-host deployment relies on —
+and the reduction is ALSO expressed as a jax collective
+(:func:`reduce_partials_collective`: partials laid out on the "rep" mesh
+axis, one ``psum``), which is byte-for-byte the program a multi-host
+mesh would run over DCN.
+
+Reference scope note: the reference has no distributed computing at all
+(SURVEY §2.5) — its closest analogue is multi-replica file aggregation
+(calculate-fitted-Ct.py:113-147).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, NamedTuple, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops import autocorr
+
+
+class CtPartial(NamedTuple):
+    """One host's streamed contribution: per-(residue, lag) running sums.
+
+    acc_s/acc_s2 : (nRes, nDeltas) sum and sum-of-squares of per-chunk
+                   lag means; count: () chunks ingested.
+    """
+
+    acc_s: np.ndarray
+    acc_s2: np.ndarray
+    count: np.ndarray
+
+
+def host_stream(chunk_iter: Iterable, n_frames_per_chunk: int) -> CtPartial:
+    """Run one (simulated) host's ingest loop: stream local Palmer-chunk
+    groups through the device, return the accumulator triple.
+
+    Mirrors stage_ct_streamed's C(t) accumulation; on a real multi-host
+    deployment this is the per-process loop feeding the local mesh slice
+    via jax.make_array_from_process_local_data."""
+    n_deltas = n_frames_per_chunk // 2
+    acc_s = acc_s2 = None
+    count = 0
+    step = jax.jit(
+        lambda v: autocorr._acf_sums(jnp.swapaxes(v, 1, 2), n_deltas)
+    )
+    n_vals = None
+    for group in chunk_iter:
+        group = jnp.asarray(group)
+        if group.shape[1] != n_frames_per_chunk:
+            raise ValueError(
+                f"chunk group has {group.shape[1]} frames, "
+                f"expected {n_frames_per_chunk}"
+            )
+        if n_vals is None:
+            n_vals = n_frames_per_chunk - jnp.arange(
+                1, n_deltas + 1, dtype=group.dtype
+            )
+        per = -0.5 + 1.5 * step(group) / n_vals
+        s, s2 = jnp.sum(per, axis=0), jnp.sum(per**2, axis=0)
+        acc_s = s if acc_s is None else acc_s + s
+        acc_s2 = s2 if acc_s2 is None else acc_s2 + s2
+        count += group.shape[0]
+    if acc_s is None:
+        raise ValueError("host ingested no chunks")
+    return CtPartial(
+        np.asarray(acc_s), np.asarray(acc_s2), np.asarray(float(count))
+    )
+
+
+def _pooled_stats(acc_s, acc_s2, count):
+    mean = acc_s / count
+    var = np.maximum(acc_s2 / count - mean**2, 0.0)
+    denom = np.sqrt(count) - 1.0
+    dct = np.sqrt(var) / denom if denom > 0 else np.zeros_like(mean)
+    return mean.T, dct.T
+
+
+def reduce_partials(partials: Sequence[CtPartial]):
+    """Host-side tree reduction of per-host partials -> (Ct, dCt).
+
+    (sum, sumsq, count) addition is associative and weight-correct: a
+    host that ingested fewer chunks (truncated file, slow disk)
+    contributes exactly its share."""
+    acc_s = np.sum([p.acc_s for p in partials], axis=0)
+    acc_s2 = np.sum([p.acc_s2 for p in partials], axis=0)
+    count = float(np.sum([p.count for p in partials]))
+    return _pooled_stats(acc_s, acc_s2, count)
+
+
+def reduce_partials_collective(partials: Sequence[CtPartial], mesh: Mesh):
+    """The same reduction expressed as the jax collective a multi-host
+    mesh would execute: per-host partials laid out along the "rep" axis,
+    ONE psum over "rep" (the DCN hop), result replicated.
+
+    len(partials) must equal the "rep" axis size (one partial per host
+    row; a real deployment gets this layout for free from
+    process-local data placement)."""
+    ax = dict(zip(mesh.axis_names, mesh.devices.shape))
+    if len(partials) != ax["rep"]:
+        raise ValueError(
+            f"need one partial per 'rep' row: {len(partials)} partials "
+            f"vs rep={ax['rep']}"
+        )
+    stacked_s = jnp.stack([jnp.asarray(p.acc_s) for p in partials])
+    stacked_s2 = jnp.stack([jnp.asarray(p.acc_s2) for p in partials])
+    counts = jnp.asarray([float(p.count) for p in partials])
+
+    def reduce_local(s, s2, c):
+        # s: (1, nRes, nDeltas) local slice on each rep row.
+        return (
+            jax.lax.psum(jnp.sum(s, axis=0), "rep"),
+            jax.lax.psum(jnp.sum(s2, axis=0), "rep"),
+            jax.lax.psum(jnp.sum(c), "rep"),
+        )
+
+    mapped = shard_map(
+        reduce_local,
+        mesh=mesh,
+        in_specs=(P("rep"), P("rep"), P("rep")),
+        out_specs=(P(), P(), P()),
+    )
+    acc_s, acc_s2, count = jax.jit(mapped)(stacked_s, stacked_s2, counts)
+    return _pooled_stats(np.asarray(acc_s), np.asarray(acc_s2), float(count))

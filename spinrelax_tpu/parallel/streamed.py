@@ -1,0 +1,252 @@
+"""Sharded STREAMING C(t) pipeline — the production multi-chip path.
+
+The real >HBM workload (SURVEY §2.5 rows 1-2; reference scale target
+BASELINE.md "10^4 x 10^6") streams groups of Palmer chunks through
+running (sum, sum-of-squares, count) accumulators.  Here each group is
+sharded over the ("rep", "res") device mesh:
+
+- chunk axis  -> mesh axis "rep" (replica/data parallel; the reference's
+  per-replica averaging, calculate-fitted-Ct.py:113-147)
+- residue axis -> mesh axis "res" (the reference's broadcast axis,
+  calculate-Ct-from-traj.py:225)
+
+The per-group step is a ``shard_map``: every device runs the fused ACF
+kernel (Pallas on TPU) on its LOCAL (g/rep, F, res/res, 3) block — a
+hand-written kernel cannot be auto-partitioned by GSPMD, so manual
+partitioning is the correct TPU idiom here — and the only communication
+is one ``psum`` of the (res_local, nDeltas) partial sums over "rep",
+riding ICI.  Accumulators live sharded over "res" and are donated, so
+chip memory stays constant for arbitrarily long streams.
+
+The downstream "finish" (multi-exp fit -> J(omega) -> R1/R2/NOE) is a
+single jit with residues sharded over ALL devices (residues are
+embarrassingly parallel there).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops import autocorr
+from ..ops import relaxation as rx
+from ..ops.jomega import j_combine_isotropic
+from ..fit.lm import fit_multiexp
+from ..constants import NucleusPair
+
+
+def _pad_to(n: int, mult: int) -> int:
+    return (-(-n // mult)) * mult
+
+
+class ShardedCtStream:
+    """Streaming Palmer C(t) accumulator over a ("rep", "res") mesh.
+
+    Equivalent statistics to :func:`ops.autocorr.ct_palmer` /
+    ``ct_palmer_streamed`` — per-chunk lag means pooled by running
+    sum / sum-of-squares with the reference's sqrt(n)-1 SEM denominator
+    (calculate-Ct-from-traj.py:228).
+
+    Groups fed to :meth:`update` may have any chunk count g: they are
+    zero-padded to a multiple of the "rep" mesh dim with zero WEIGHTS, so
+    padding never contaminates the statistics.  The residue axis is
+    zero-padded once to a multiple of the "res" dim and sliced off at
+    :meth:`finalize`.
+    """
+
+    def __init__(self, mesh: Mesh, n_frames_per_chunk: int, n_res: int,
+                 dtype=jnp.float32):
+        self.mesh = mesh
+        self.n_frames = int(n_frames_per_chunk)
+        self.n_deltas = self.n_frames // 2
+        self.n_res = int(n_res)
+        ax = dict(zip(mesh.axis_names, mesh.devices.shape))
+        self.rep_dim = ax["rep"]
+        self.res_dim = ax["res"]
+        self.n_res_pad = _pad_to(self.n_res, self.res_dim)
+        self.dtype = dtype
+
+        self.reset()
+        self._steps = {}  # g_pad -> compiled step
+        self._ones_w = {}  # g -> device weight vector of ones
+        self._group_sharding = NamedSharding(mesh, P("rep", None, "res", None))
+        self._w_sharding = NamedSharding(mesh, P("rep"))
+
+    def reset(self) -> None:
+        """Zero the accumulators (keeps compiled steps — used by warm-up
+        loops that must not pollute the statistics)."""
+        shard_res = NamedSharding(self.mesh, P("res", None))
+        self._acc_s = jax.device_put(
+            jnp.zeros((self.n_res_pad, self.n_deltas), self.dtype), shard_res
+        )
+        self._acc_s2 = jax.device_put(
+            jnp.zeros((self.n_res_pad, self.n_deltas), self.dtype), shard_res
+        )
+        self._count = jax.device_put(
+            jnp.zeros((), self.dtype), NamedSharding(self.mesh, P())
+        )
+
+    def _make_step(self, g_pad: int):
+        n_deltas = self.n_deltas
+        n_vals = self.n_frames - jnp.arange(1, n_deltas + 1, dtype=self.dtype)
+
+        def local_step(v_loc, w_loc, acc_s, acc_s2, count):
+            # v_loc: (g/rep, F, res/res, 3); w_loc: (g/rep,)
+            s = autocorr._acf_sums(jnp.swapaxes(v_loc, 1, 2), n_deltas)
+            per = -0.5 + 1.5 * s / n_vals  # (g_loc, res_loc, nDeltas)
+            w = w_loc[:, None, None]
+            ps = jax.lax.psum(jnp.sum(w * per, axis=0), "rep")
+            ps2 = jax.lax.psum(jnp.sum(w * per**2, axis=0), "rep")
+            cnt = jax.lax.psum(jnp.sum(w_loc), "rep")
+            return acc_s + ps, acc_s2 + ps2, count + cnt
+
+        mapped = shard_map(
+            local_step,
+            mesh=self.mesh,
+            in_specs=(P("rep", None, "res", None), P("rep"),
+                      P("res", None), P("res", None), P()),
+            out_specs=(P("res", None), P("res", None), P()),
+            check_vma=False,  # psum makes outputs rep-invariant; the
+            # opaque Pallas call defeats the varying-axis checker.
+        )
+        return jax.jit(mapped, donate_argnums=(2, 3, 4))
+
+    def update(self, group) -> None:
+        """group: (g, n_frames_per_chunk, n_res, 3) host or device array.
+
+        Device arrays already shaped (g % rep == 0, F, n_res_pad, 3) take
+        the zero-copy fast path (at most a reshard onto the mesh) — this
+        is how the streaming north-star driver feeds device-generated
+        groups without a host round-trip."""
+        g, F, N = group.shape[0], group.shape[1], group.shape[2]
+        if F != self.n_frames:
+            raise ValueError(f"group has {F} frames/chunk, expected {self.n_frames}")
+        g_pad = _pad_to(g, self.rep_dim)
+        if isinstance(group, jax.Array) and g_pad == g and N == self.n_res_pad:
+            vd = jax.device_put(group, self._group_sharding)
+            wd = self._ones_w.get(g)
+            if wd is None:
+                wd = self._ones_w[g] = jax.device_put(
+                    jnp.ones(g, self.dtype), self._w_sharding
+                )
+        else:
+            if N != self.n_res:
+                raise ValueError(f"group has {N} residues, expected {self.n_res}")
+            group = np.asarray(group, dtype=np.dtype(self.dtype))
+            w = np.zeros(g_pad, dtype=group.dtype)
+            w[:g] = 1.0
+            if g_pad != g or self.n_res_pad != N:
+                padded = np.zeros((g_pad, F, self.n_res_pad, 3), dtype=group.dtype)
+                padded[:g, :, :N] = group
+                group = padded
+            vd = jax.device_put(jnp.asarray(group), self._group_sharding)
+            wd = jax.device_put(jnp.asarray(w), self._w_sharding)
+        step = self._steps.get(g_pad)
+        if step is None:
+            step = self._steps[g_pad] = self._make_step(g_pad)
+        self._acc_s, self._acc_s2, self._count = step(
+            vd, wd, self._acc_s, self._acc_s2, self._count
+        )
+
+    @property
+    def n_chunks(self) -> int:
+        return int(self._count)
+
+    def accumulators(self):
+        """(acc_s, acc_s2, count) — padded residue rows included; the
+        cross-host DCN reduction point (ARCHITECTURE.md 'Multi-host
+        ingest': these sums are the ONLY state that crosses hosts)."""
+        return self._acc_s, self._acc_s2, self._count
+
+    def finalize(self):
+        """-> (Ct, dCt) of shape (nDeltas, nRes), identical statistics to
+        ct_palmer over the concatenated stream."""
+        acc_s, acc_s2, count = self.accumulators()
+        mean = np.asarray(acc_s)[: self.n_res] / float(count)
+        var = np.maximum(np.asarray(acc_s2)[: self.n_res] / float(count) - mean**2, 0.0)
+        denom = np.sqrt(float(count)) - 1.0
+        dct = np.sqrt(var) / denom if denom > 0 else np.zeros_like(mean)
+        return mean.T, dct.T
+
+
+class StreamedRates(NamedTuple):
+    Ct: jnp.ndarray  # (nRes, nDeltas)
+    dCt: jnp.ndarray
+    S2: jnp.ndarray  # (nRes,)
+    C: jnp.ndarray
+    tau: jnp.ndarray
+    R1: jnp.ndarray
+    R2: jnp.ndarray
+    NOE: jnp.ndarray
+    rho: jnp.ndarray
+
+
+def make_sharded_finish(mesh: Mesh, delta_t: float = 1.0,
+                        tau_iso: float = 4242.0, n_components: int = 2,
+                        pair: Optional[NucleusPair] = None,
+                        zeta: float = 1.0):
+    """The post-stream stage as ONE jitted program with residues sharded
+    over every device (both mesh axes): multi-exponential LM fit ->
+    J(omega) -> R1/R2/NOE/rho.  Takes the streamed accumulators
+    (acc_s, acc_s2, count) exactly as :meth:`ShardedCtStream.accumulators`
+    produces them, so the whole production pipeline is stream -> finish
+    with no host round-trip of the C(t) matrix."""
+    pair = pair or NucleusPair(time_unit="ps")
+    omega = jnp.asarray(pair.omega5())
+    f_dd = pair.factor_dd()
+    f_csa = pair.factor_csa()
+    tf = pair.time_fact
+    gr = pair.gamma_b / pair.gamma_a
+
+    res_sharding = NamedSharding(mesh, P(("rep", "res"), None))
+
+    def finish(acc_s, acc_s2, count):
+        acc_s = jax.lax.with_sharding_constraint(acc_s, res_sharding)
+        mean = acc_s / count  # (nResPad, nDeltas)
+        var = jnp.maximum(acc_s2 / count - mean**2, 0.0)
+        dct = jnp.sqrt(var) / (jnp.sqrt(count) - 1.0)
+        n_deltas = mean.shape[1]
+        dt = (jnp.arange(n_deltas, dtype=mean.dtype) + 1.0) * delta_t
+        fit = fit_multiexp(dt, mean, jnp.ones_like(mean), K=n_components,
+                           s2_free=True)
+        J = j_combine_isotropic(
+            omega.astype(mean.dtype), tau_iso, fit.S2, fit.C, fit.tau,
+            zeta=zeta,
+        )
+        R1 = rx.r1_from_j(J, f_dd, f_csa, tf)
+        R2 = rx.r2_from_j(J, f_dd, f_csa, tf)
+        NOE = rx.noe_from_j(J, f_dd, tf, gr, R1)
+        rho = rx.rho_from_j(J)
+        return StreamedRates(mean, dct, fit.S2, fit.C, fit.tau, R1, R2, NOE, rho)
+
+    return jax.jit(finish)
+
+
+def run_streamed_pipeline(chunk_iter, mesh: Mesh, n_frames_per_chunk: int,
+                          n_res: int, delta_t: float = 1.0,
+                          tau_iso: float = 4242.0, n_components: int = 2,
+                          dtype=None) -> StreamedRates:
+    """End-to-end sharded streaming run: consume an iterator of
+    (g, F, nRes, 3) Palmer-chunk groups, then fit + predict rates.
+    dtype defaults to the first group's (f64 in CPU parity mode, f32 on
+    TPU).  Returns host-ready StreamedRates sliced to the true n_res."""
+    stream = None
+    for group in chunk_iter:
+        if stream is None:
+            dt_eff = dtype or jnp.asarray(group).dtype
+            stream = ShardedCtStream(mesh, n_frames_per_chunk, n_res,
+                                     dtype=dt_eff)
+        stream.update(group)
+    if stream is None:
+        raise ValueError("empty chunk iterator")
+    finish = make_sharded_finish(
+        mesh, delta_t=delta_t, tau_iso=tau_iso, n_components=n_components
+    )
+    out = finish(*stream.accumulators())
+    return StreamedRates(*(np.asarray(x)[:n_res] for x in out))

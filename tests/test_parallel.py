@@ -53,6 +53,76 @@ def test_sharded_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(out.NOE), np.asarray(ref.NOE), rtol=1e-6)
 
 
+def test_streamed_sharded_matches_single_device(rng):
+    """The PRODUCTION path: ShardedCtStream over the 8-device mesh with
+    uneven groups and non-divisible residue count must equal single-device
+    ct_palmer, and the sharded finish must equal the fused forward's
+    rates."""
+    from spinrelax_tpu.ops.autocorr import ct_palmer, ct_palmer_streamed
+    from spinrelax_tpu.parallel.streamed import (
+        ShardedCtStream, make_sharded_finish, run_streamed_pipeline,
+    )
+
+    vecs = make_vecs(rng, n_rep=10, n_frames=64, n_res=11)
+    ref_ct, ref_dct = ct_palmer(jnp.asarray(vecs))
+
+    mesh = make_mesh(8)
+    groups = [vecs[:3], vecs[3:9], vecs[9:]]  # 3 + 6 + 1 chunks
+    Ct, dCt = ct_palmer_streamed(iter(groups), 64, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(Ct), np.asarray(ref_ct), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(dCt), np.asarray(ref_dct), atol=1e-10)
+
+    # Full streamed pipeline vs the fused single-device forward.
+    out = run_streamed_pipeline(iter(groups), mesh, 64, 11, tau_iso=500.0)
+    fwd = jax.jit(make_forward(tau_iso=500.0))
+    ref = fwd(jnp.asarray(vecs))
+    np.testing.assert_allclose(out.R1, np.asarray(ref.R1), rtol=1e-6)
+    np.testing.assert_allclose(out.NOE, np.asarray(ref.NOE), rtol=1e-6)
+    # S2 of these fast-decorrelating walks fits to ~0; compare absolutely.
+    np.testing.assert_allclose(out.S2, np.asarray(ref.S2), atol=1e-6)
+
+
+def test_ct_palmer_scan_mesh(rng):
+    from spinrelax_tpu.ops.autocorr import ct_palmer, ct_palmer_scan
+
+    vecs = make_vecs(rng, n_rep=8, n_frames=32, n_res=8)
+    ref_ct, ref_dct = ct_palmer(jnp.asarray(vecs))
+    mesh = make_mesh(8)
+    Ct, dCt = ct_palmer_scan(jnp.asarray(vecs), batch=4, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(Ct), np.asarray(ref_ct), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(dCt), np.asarray(ref_dct), atol=1e-10)
+
+
+def test_multihost_ingest_pools_to_single_host(rng):
+    """Two simulated hosts each stream half the replicas; the pooled
+    accumulators (host-side reduction AND the psum-expressed DCN
+    reduction) must equal the single-host result exactly."""
+    from spinrelax_tpu.ops.autocorr import ct_palmer
+    from spinrelax_tpu.parallel.ingest import (
+        host_stream, reduce_partials, reduce_partials_collective,
+    )
+
+    vecs = make_vecs(rng, n_rep=6, n_frames=32, n_res=5)
+    ref_ct, ref_dct = ct_palmer(jnp.asarray(vecs))
+
+    # Host A gets 4 chunks (in two groups), host B gets 2.
+    pa = host_stream(iter([vecs[:2], vecs[2:4]]), 32)
+    pb = host_stream(iter([vecs[4:]]), 32)
+    Ct, dCt = reduce_partials([pa, pb])
+    np.testing.assert_allclose(Ct, np.asarray(ref_ct), atol=1e-12)
+    np.testing.assert_allclose(dCt, np.asarray(ref_dct), atol=1e-12)
+
+    # Collective form needs one partial per "rep" row: 4-host mesh row.
+    mesh = make_mesh(8)  # (4, 2): rep=4
+    pc = host_stream(iter([vecs[0:1]]), 32)
+    pd = host_stream(iter([vecs[1:3]]), 32)
+    pe = host_stream(iter([vecs[3:5]]), 32)
+    pf = host_stream(iter([vecs[5:]]), 32)
+    Ct2, dCt2 = reduce_partials_collective([pc, pd, pe, pf], mesh)
+    np.testing.assert_allclose(Ct2, np.asarray(ref_ct), atol=1e-12)
+    np.testing.assert_allclose(dCt2, np.asarray(ref_dct), atol=1e-12)
+
+
 def test_graft_entry_compiles():
     import importlib.util, os
 
