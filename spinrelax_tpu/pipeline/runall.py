@@ -7,6 +7,11 @@ relaxation predictions per field -> optional multi-field optimisation.
 Stage resume follows the reference's output-file-existence convention;
 ``--force`` reruns everything (run-all.bash:139,185).  The temperature /
 viscosity / D2O correction of D_iso reproduces run-all.bash:15-28.
+
+Configuration is the typed :class:`~spinrelax_tpu.pipeline.config.WorkflowConfig`
+(single source of truth for flags AND defaults, SURVEY §5);
+:func:`run_workflow` is the importable library entry point and
+:func:`main` is its thin argparse shim.
 """
 
 from __future__ import annotations
@@ -17,8 +22,8 @@ import sys
 
 import numpy as np
 
-from ..constants import DEFAULT_ZETA
 from ..models import Diffusion
+from .config import WorkflowConfig, add_workflow_args, config_from_namespace
 from .corrections import convert_diso
 from .manifest import record_stage, stage_is_current
 from . import stages
@@ -34,51 +39,31 @@ def main(argv=None):
         description="Full MD-to-spin-relaxation workflow.",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
-    p.add_argument("-out", "--outpref", dest="opref", default="rotdif")
-    p.add_argument("-folders", default=None, help="file listing replica folders")
-    p.add_argument("-sxtc", default="solute.npz", help="solute trajectory per folder (npz/pdb/xtc)")
-    p.add_argument("-refpdb", default="reference.pdb")
-    p.add_argument("-qfile", default="colvar-qorient")
-    p.add_argument("-t_mem", dest="tau_mem", type=float, default=10000.0, help="memory time [ps]")
-    p.add_argument("-Temp_MD", type=float, default=300.0)
-    p.add_argument("-Temp_Exp", type=float, default=297.0)
-    p.add_argument("-D2O_Exp", type=float, default=0.09)
-    p.add_argument("-Bfields", nargs="+", type=float, default=[600.133], help="[MHz]")
-    p.add_argument("-num_chunks", type=int, default=4)
-    p.add_argument("-stream", type=int, default=0, metavar="GROUPS",
-                   help="constant-memory C(t) stage: stream trajectories "
-                        "in GROUPS Palmer chunks per device step "
-                        "(supports all -vecstorage modes)")
-    p.add_argument("-vecstorage", default="Histogram",
-                   choices=("Histogram", "PhiTheta", "TextPhiTheta"))
-    p.add_argument("-fitatoms", default="occupancy > 0")
-    p.add_argument("-zeta", type=float, default=DEFAULT_ZETA)
-    p.add_argument("-csafile", default=None)
-    p.add_argument("-fit", nargs="+", default=None,
-                   help="optimisation modes, e.g. Diso Diso,rsCSA")
-    p.add_argument("-expfiles", nargs="+", default=None)
-    p.add_argument("-D_ext", nargs="+", type=float, default=None,
-                   help="external Diso [aniso [rhomb]] in ps^-1")
-    p.add_argument("-tau_ext", type=float, default=None, help="external tau_iso [ps]")
-    p.add_argument("-q_ext", nargs=4, type=float, default=None)
-    p.add_argument("-Jw", action="store_true")
-    p.add_argument("-bForce", "--force", dest="force", action="store_true")
-    a = p.parse_args(argv)
+    add_workflow_args(p)
+    ns = p.parse_args(argv)
+    try:
+        cfg = config_from_namespace(ns)
+    except ValueError as exc:
+        sys.exit(f"= = ERROR: {exc}!")
+    run_workflow(cfg)
 
-    if a.fit and not a.expfiles:
-        sys.exit("= = ERROR: -fit selected, but no experimental file has been given!")
 
-    tau_ns = a.tau_mem / 1000.0
-    outpref = f"{a.opref}-{tau_ns:g}ns"
-    t100 = a.tau_mem / 100.0
+def run_workflow(cfg: WorkflowConfig):
+    """Run the full workflow from a typed config (no CLI involved)."""
+    cfg.validate()
+    io, tum, phy, exp = cfg.io, cfg.tumbling, cfg.physics, cfg.experiments
+
+    tau_ns = tum.tau_mem / 1000.0
+    outpref = f"{io.outpref}-{tau_ns:g}ns"
+    t100 = tum.tau_mem / 100.0
 
     folders = ["."]
-    if a.folders:
-        with open(a.folders) as fp:
+    if io.folders_file:
+        with open(io.folders_file) as fp:
             folders = [l.strip() for l in fp if l.strip()]
     multi = len(folders) > 1
 
-    d_fact = convert_diso(1.0, a.Temp_MD, a.Temp_Exp, a.D2O_Exp)
+    d_fact = convert_diso(1.0, phy.temp_md, phy.temp_exp, phy.d2o_exp)
     print(
         "= = Diso conversion factor (T/viscosity/D2O): %g" % d_fact
     )
@@ -87,25 +72,25 @@ def main(argv=None):
     print("= Step 1: Orientation quaternions (colvar-qorient)...")
     qfiles = []
     for path in folders:
-        qfile_loc = os.path.join(path, a.qfile)
-        sxtc_loc = os.path.join(path, a.sxtc)
-        ref_loc = a.refpdb if os.path.isabs(a.refpdb) else os.path.join(path, a.refpdb)
-        if not os.path.exists(ref_loc) and os.path.exists(a.refpdb):
-            ref_loc = a.refpdb
-        if a.force or not stage_is_current(
+        qfile_loc = os.path.join(path, io.qfile)
+        sxtc_loc = os.path.join(path, io.traj)
+        ref_loc = io.refpdb if os.path.isabs(io.refpdb) else os.path.join(path, io.refpdb)
+        if not os.path.exists(ref_loc) and os.path.exists(io.refpdb):
+            ref_loc = io.refpdb
+        if cfg.force or not stage_is_current(
             outpref, f"orient:{path}", [sxtc_loc, ref_loc], [qfile_loc],
-            params=dict(fitsel=a.fitatoms),
+            params=dict(fitsel=phy.fit_atoms),
         ):
             stages.stage_orientation(
-                [sxtc_loc], ref_loc, qfile_loc, fit_sel=a.fitatoms, force=True
+                [sxtc_loc], ref_loc, qfile_loc, fit_sel=phy.fit_atoms, force=True
             )
             record_stage(outpref, f"orient:{path}", [sxtc_loc, ref_loc],
-                         params=dict(fitsel=a.fitatoms))
+                         params=dict(fitsel=phy.fit_atoms))
         else:
             print(" = = = Note: Pre-existing quaternion file found, skipping.")
         qfiles.append(qfile_loc)
     if multi:
-        qfile_agg = a.qfile + "-aggregate"
+        qfile_agg = io.qfile + "-aggregate"
         with open(qfile_agg, "w") as out:
             for qf in qfiles:
                 with open(qf) as src:
@@ -116,25 +101,24 @@ def main(argv=None):
     # ------------------------------------------------------------------
     print("= Step 2: Global rotational diffusion...")
     use_ext = (
-        a.q_ext is not None and a.D_ext is not None and len(a.D_ext) >= 2
+        tum.q_ext is not None and tum.d_ext is not None and len(tum.d_ext) >= 2
     )
     if use_ext:
-        quat = np.array(a.q_ext)
-        diso, dani = a.D_ext[0], a.D_ext[1]
+        quat = np.array(tum.q_ext)
+        diso, dani = tum.d_ext[0], tum.d_ext[1]
     else:
-        dq_params = dict(t100=t100, tau=a.tau_mem, chunks=a.num_chunks, multi=multi)
-        if a.force or not stage_is_current(
+        dq_params = dict(t100=t100, tau=tum.tau_mem, chunks=tum.num_chunks, multi=multi)
+        if cfg.force or not stage_is_current(
             outpref, "dq", [qfile_agg],
             [outpref + "-aniso_q.dat", outpref + "-aniso2.dat"], params=dq_params,
         ):
-            res = stages.stage_dq(
-                qfile_agg, outpref, min_dt=t100, max_dt=a.tau_mem, skip_dt=t100,
-                n_chunks=a.num_chunks, multi=multi, force=a.force,
+            stages.stage_dq(
+                qfile_agg, outpref, min_dt=t100, max_dt=tum.tau_mem, skip_dt=t100,
+                n_chunks=tum.num_chunks, multi=multi, force=cfg.force,
             )
             record_stage(outpref, "dq", [qfile_agg], params=dq_params)
         else:
             print(" = = = Note: Pre-existing rotdif data found, skipping.")
-            res = None
         # Extract from artefacts (so resume works identically).
         with open(outpref + "-aniso_q.dat") as fp:
             quat = np.array([float(x) for x in fp.readline().split()[1:5]])
@@ -149,10 +133,10 @@ def main(argv=None):
                 for key in ("Dani_L", "Drho_L", "Dani_S", "Drho_S"):
                     if key in line:
                         hdr[key] = float(parts[4])
-        if a.tau_ext is not None:
-            diso = 1.0 / (6.0 * a.tau_ext)
-        elif a.D_ext:
-            diso = a.D_ext[0]
+        if tum.tau_ext is not None:
+            diso = 1.0 / (6.0 * tum.tau_ext)
+        elif tum.d_ext:
+            diso = tum.d_ext[0]
         else:
             diso = hdr["Diso"]
         # Prolate/oblate unique-axis rule (run-all.bash:404-435).
@@ -164,10 +148,10 @@ def main(argv=None):
             dani = hdr["Dani_S"]
         else:
             sys.exit("= = = ERROR: neither Drho value is below one.")
-        if a.D_ext and len(a.D_ext) >= 2:
-            dani = a.D_ext[1]
-        if a.q_ext is not None:
-            quat = np.array(a.q_ext)
+        if tum.d_ext and len(tum.d_ext) >= 2:
+            dani = tum.d_ext[1]
+        if tum.q_ext is not None:
+            quat = np.array(tum.q_ext)
     print(f"= = Global Diffusion used: Diso={diso:g} ps^-1, Daniso={dani:g}")
     print(f"= = PAF quaternion used: {quat}")
 
@@ -178,37 +162,37 @@ def main(argv=None):
         "PhiTheta": outpref + "_vecPhiTheta.npz",
         "TextPhiTheta": outpref + "_vecPhiTheta.dat",
     }
-    vec_file = vec_files[a.vecstorage]
-    trajs = [os.path.join(path, a.sxtc) for path in folders]
+    vec_file = vec_files[io.vec_storage]
+    trajs = [os.path.join(path, io.traj) for path in folders]
     refs = []
     for path in folders:
-        rl = a.refpdb if os.path.isabs(a.refpdb) else os.path.join(path, a.refpdb)
-        if not os.path.exists(rl) and os.path.exists(a.refpdb):
-            rl = a.refpdb
+        rl = io.refpdb if os.path.isabs(io.refpdb) else os.path.join(path, io.refpdb)
+        if not os.path.exists(rl) and os.path.exists(io.refpdb):
+            rl = io.refpdb
         refs.append(rl)
-    ct_params = dict(tau=a.tau_mem, quat=[float(x) for x in quat],
-                     storage=a.vecstorage, zeta=a.zeta)
-    if a.force or not stage_is_current(
+    ct_params = dict(tau=tum.tau_mem, quat=[float(x) for x in quat],
+                     storage=io.vec_storage, zeta=phy.zeta)
+    if cfg.force or not stage_is_current(
         outpref, "ct", trajs + refs, [vec_file, outpref + "_Ctint.dat"],
         params=ct_params,
     ):
-        if a.stream > 0:
+        if io.stream_groups > 0:
             stages.stage_ct_streamed(
-                trajs, refs, outpref, a.tau_mem,
-                chunk_groups=a.stream, q_rot=quat, fit_sel=a.fitatoms,
-                zeta=a.zeta, vec_storage=a.vecstorage,
+                trajs, refs, outpref, tum.tau_mem,
+                chunk_groups=io.stream_groups, q_rot=quat, fit_sel=phy.fit_atoms,
+                zeta=phy.zeta, vec_storage=io.vec_storage,
             )
         else:
             stages.stage_ct(
-                trajs, refs, outpref, a.tau_mem,
-                q_rot=quat, fit_sel=a.fitatoms, zeta=a.zeta,
-                vec_storage=a.vecstorage, force=a.force,
+                trajs, refs, outpref, tum.tau_mem,
+                q_rot=quat, fit_sel=phy.fit_atoms, zeta=phy.zeta,
+                vec_storage=io.vec_storage, force=cfg.force,
             )
         record_stage(outpref, "ct", trajs + refs, params=ct_params)
     else:
         print(" = = = Note: Pre-existing C(t)/vector files found, skipping.")
 
-    if a.force or not stage_is_current(
+    if cfg.force or not stage_is_current(
         outpref, "fit-ct", [outpref + "_Ctint.dat"], [outpref + "_fittedCt.dat"]
     ):
         stages.stage_fit_ct([outpref + "_Ctint.dat"], outpref)
@@ -216,7 +200,7 @@ def main(argv=None):
     else:
         print(" = = = Note: Pre-existing fitted-Ct file found, skipping.")
 
-    if not _exists(outpref + "_fittedCt.pdf") or a.force:
+    if not _exists(outpref + "_fittedCt.pdf") or cfg.force:
         try:
             from .plotting import main as plot_main
 
@@ -225,17 +209,17 @@ def main(argv=None):
             print(f"= = = NOTE: plotting skipped ({exc})")
 
     # ------------------------------------------------------------------
-    print(f"= Step 4: Relaxations for B fields {a.Bfields} ...")
+    print(f"= Step 4: Relaxations for B fields {list(exp.bfields_mhz)} ...")
     diffusion = Diffusion.axisymmetric(diso=diso, aniso=dani)
     from .cli import _parse_csa
     from ..io import fittedct as fctio
 
     names = fctio.read_fittedct(outpref + "_fittedCt.dat").names
-    csa = _parse_csa(a.csafile, names)
-    for bf in a.Bfields:
+    csa = _parse_csa(phy.csa_file, names)
+    for bf in exp.bfields_mhz:
         of = f"{outpref}-{int(bf)}"
-        relax_params = dict(bf=bf, diso=float(diso), dani=float(dani), zeta=a.zeta)
-        if a.force or not stage_is_current(
+        relax_params = dict(bf=bf, diso=float(diso), dani=float(dani), zeta=phy.zeta)
+        if cfg.force or not stage_is_current(
             outpref, f"relax:{bf}",
             [outpref + "_fittedCt.dat", vec_file],
             [of + "_R1.dat", of + "_R2.dat"],
@@ -243,25 +227,25 @@ def main(argv=None):
         ):
             stages.stage_relax(
                 outpref + "_fittedCt.dat", of, diffusion,
-                vec_file=vec_file, freq_mhz=bf, zeta=a.zeta, csa=csa,
+                vec_file=vec_file, freq_mhz=bf, zeta=phy.zeta, csa=csa,
             )
             record_stage(outpref, f"relax:{bf}",
                          [outpref + "_fittedCt.dat", vec_file], params=relax_params)
         else:
             print(f" = = = Note: relaxations at {bf} already done. Skipping.")
-        if a.Jw and (not _exists(of + "_Jw.dat") or a.force):
+        if exp.do_jomega and (not _exists(of + "_Jw.dat") or cfg.force):
             stages.stage_relax(
                 outpref + "_fittedCt.dat", of, diffusion,
-                vec_file=vec_file, freq_mhz=bf, zeta=a.zeta, jomega=True,
+                vec_file=vec_file, freq_mhz=bf, zeta=phy.zeta, jomega=True,
             )
 
-    if a.fit:
-        for mode in a.fit:
+    if exp.fit_modes:
+        for mode in exp.fit_modes:
             opt = mode.split(",")
             stages.stage_multifield(
-                outpref + "_fittedCt.dat", a.expfiles,
+                outpref + "_fittedCt.dat", list(exp.exp_files),
                 f"{outpref}-opt{mode.replace(',', '_')}",
-                diffusion, vec_file=vec_file, zeta=a.zeta, csa=csa,
+                diffusion, vec_file=vec_file, zeta=phy.zeta, csa=csa,
                 opt_params=opt, include_expt=True,
             )
     print("= = run-all complete.")

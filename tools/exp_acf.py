@@ -1,0 +1,129 @@
+"""ACF kernel experiment harness: ms/step + accuracy for kernel variants.
+
+Timing per docs/PERF.md rules: chained dependent dispatches (pipelined
+through the axon relay), device-side scalar accumulator, ONE final fetch,
+warm-up round discarded.
+
+Usage: python tools/exp_acf.py v1 v2h v2s
+"""
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+N_REP, N_FRAMES, N_RES = 8, 1000, 1024
+N_DELTAS = N_FRAMES // 2
+
+
+def variants():
+    from spinrelax_tpu.ops.pallas_acf import acf_sums_pallas
+    from spinrelax_tpu.ops.pallas_acf2 import acf_sums_pallas2
+    from spinrelax_tpu.ops.autocorr import _acf_sums_xla
+
+    return {
+        "xla": _acf_sums_xla,
+        "v1": acf_sums_pallas,
+        "v2h": lambda v, d: acf_sums_pallas2(v, d, mode="highest"),
+        "v2s": lambda v, d: acf_sums_pallas2(v, d, mode="split3"),
+        "v3": lambda v, d: acf_sums_pallas2(v, d, mode="split3c"),
+        # accuracy levers on the CINV contraction
+        "v3p": lambda v, d: acf_sums_pallas2(v, d, mode="split3c",
+                                             pcenter=True),
+        "v3p4": lambda v, d: acf_sums_pallas2(v, d, mode="split3c",
+                                              pcenter=True, cinv="split4"),
+        "v3hc": lambda v, d: acf_sums_pallas2(v, d, mode="split3c",
+                                              cinv="highest"),
+        # radix sweep at the best accuracy config
+        "v3p4_64": lambda v, d: acf_sums_pallas2(v, d, mode="split3c",
+                                                 pcenter=True, cinv="split4",
+                                                 n1=64),
+        "v3p4_96": lambda v, d: acf_sums_pallas2(v, d, mode="split3c",
+                                                 pcenter=True, cinv="split4",
+                                                 n1=96),
+        # ablation ladder of v3 (timing only; accuracy is meaningless)
+        **{f"abl{k}": (lambda k=k: lambda v, d: acf_sums_pallas2(
+            v, d, mode="split3c", ablate=k))() for k in range(1, 6)},
+        "abl0": lambda v, d: acf_sums_pallas2(v, d, mode="split3",
+                                              ablate=-1),
+        "abl1nc": lambda v, d: acf_sums_pallas2(v, d, mode="split3",
+                                                ablate=1),
+        # all-HIGHEST at better radix
+        "vh96": lambda v, d: acf_sums_pallas2(v, d, mode="highest", n1=96),
+        "vh128": lambda v, d: acf_sums_pallas2(v, d, mode="highest", n1=128),
+        # split3 at radix 96 without centering (speed reference)
+        "v2s_96": lambda v, d: acf_sums_pallas2(v, d, mode="split3", n1=96),
+        # K-packed compensated dots (split terms ride the K padding)
+        "v4": lambda v, d: acf_sums_pallas2(v, d, mode="cat3c",
+                                            cinv="split4", pcenter=True),
+        "v5": lambda v, d: acf_sums_pallas2(v, d, mode="cat6c",
+                                            cinv="split4", pcenter=True),
+        "v5nc": lambda v, d: acf_sums_pallas2(v, d, mode="cat6c",
+                                              cinv="split4"),
+        # cat6 WITHOUT time-domain centering (cat6 handles the DC at
+        # HIGHEST-like quality on its own)
+        "v6": lambda v, d: acf_sums_pallas2(v, d, mode="cat6",
+                                            cinv="split4", pcenter=True),
+    }
+
+
+def bench(fn, iters=40):
+    @jax.jit
+    def gen(key):
+        v = jax.random.normal(key, (N_REP, N_FRAMES, N_RES, 3),
+                              dtype=jnp.float32)
+        return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+    @jax.jit
+    def step(x, acc):
+        s = fn(jnp.swapaxes(x, 1, 2), N_DELTAS)
+        return acc + s[0, 0, 0] + s[-1, -1, -1]
+
+    x = gen(jax.random.PRNGKey(int(time.time()) & 0x7FFFFFFF))
+    acc = step(x, jnp.zeros((), jnp.float32))
+    for _ in range(10):
+        acc = step(x, acc)
+    float(acc)  # warm-up + steady state
+    t0 = time.perf_counter()
+    acc = jnp.zeros((), jnp.float32)
+    for _ in range(iters):
+        acc = step(x, acc)
+    float(acc)
+    return (time.perf_counter() - t0) / iters
+
+
+def accuracy(fn):
+    """Max abs error vs f64 direct lag sums on a small workload."""
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=(256, 200, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    d = 100
+    # f64 reference on host
+    ref = np.zeros((256, d))
+    for delta in range(1, d + 1):
+        dots = np.einsum("bfi,bfi->bf", v[:, :-delta], v[:, delta:])
+        ref[:, delta - 1] = np.sum(dots**2, axis=1)
+    got = np.asarray(fn(jnp.asarray(v, jnp.float32), d))
+    # C(t)-scale error: the statistic is -0.5 + 1.5*s/n_vals
+    n_vals = 200 - np.arange(1, d + 1)
+    return np.abs(1.5 * (got - ref) / n_vals).max()
+
+
+def main():
+    names = sys.argv[1:] or ["v1", "v2h", "v2s"]
+    vs = variants()
+    for name in names:
+        fn = vs[name]
+        err = float("nan") if name.startswith("abl") else accuracy(fn)
+        ms = bench(fn) * 1e3
+        fv = N_REP * N_FRAMES * N_RES / (ms / 1e3)
+        print(f"{name}: {ms:.2f} ms/step  {fv:.3g} fv/s  Ct_err={err:.2e}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
