@@ -106,6 +106,10 @@ def _dot4(a, b):
 # ride along "for free" — one matmul of K = T*K0 replaces T separate
 # passes.  Term pairs (w_term, x_term) with terms ordered hi, mid, lo:
 _PAIRS_CAT3 = ((0, 0), (0, 1), (1, 0))                      # ~2^-18 error
+# cat4 adds the lo*lo term: K = 4*K0 pads to the SAME number of 128-wide
+# MXU K-tiles as 3*K0 for K0 in {48, 32} — strictly better accuracy at
+# identical matmul cost.
+_PAIRS_CAT4 = ((0, 0), (0, 1), (1, 0), (1, 1))
 _PAIRS_CAT6 = ((0, 0), (1, 0), (2, 0), (0, 1), (1, 1), (0, 2))  # ~HIGHEST
 
 
@@ -157,9 +161,9 @@ def _acf_kernel2(v_ref, w1r_ref, w1i_ref, twr_ref, twi_ref, w2rt_ref,
                  tri_ref=None, nd_pad=None, cinv_mode="same",
                  pcenter=False, ablate=0):
     f32 = v_ref.dtype
-    cat_pairs = {"cat3c": _PAIRS_CAT3, "cat6c": _PAIRS_CAT6,
-                 "cat6": _PAIRS_CAT6}.get(mode)
-    centered = mode in ("split3c", "cat3c", "cat6c")
+    cat_pairs = {"cat3c": _PAIRS_CAT3, "cat4c": _PAIRS_CAT4,
+                 "cat6c": _PAIRS_CAT6, "cat6": _PAIRS_CAT6}.get(mode)
+    centered = mode in ("split3c", "cat3c", "cat4c", "cat6c")
     hi_dot = lambda a, b: jnp.dot(a, b, precision=_HI)  # noqa: E731
     if cat_pairs:
         # bf16 LHS (pre-cat) x bf16 RHS with f32 accumulation.
@@ -317,15 +321,15 @@ def acf_sums_pallas2(vecs, n_deltas: int, mode: str = "highest",
     # (B, F, 3) -> (nTiles, 3, F, 128): contiguous 3*F*128*4B per tile.
     v = jnp.transpose(v.reshape(n_tiles, 128, n_frames, 3), (0, 3, 2, 1))
 
-    pairs = {"cat3c": _PAIRS_CAT3, "cat6c": _PAIRS_CAT6,
-             "cat6": _PAIRS_CAT6}.get(mode)
+    pairs = {"cat3c": _PAIRS_CAT3, "cat4c": _PAIRS_CAT4,
+             "cat6c": _PAIRS_CAT6, "cat6": _PAIRS_CAT6}.get(mode)
     if pairs:
         W1r = _cat_lhs_np(W1r, pairs)
         W1i = _cat_lhs_np(W1i, pairs)
         W2rt = _cat_lhs_np(W2rt, pairs)
         W2it = _cat_lhs_np(W2it, pairs)
     const_arrays = [W1r, W1i, twr, twi, W2rt, W2it, CINV]
-    if mode in ("split3c", "cat3c", "cat6c"):
+    if mode in ("split3c", "cat3c", "cat4c", "cat6c"):
         if n_frames < nd_pad:
             raise ValueError(
                 f"split3c needs nFrames ({n_frames}) >= padded lag rows "
@@ -345,7 +349,7 @@ def acf_sums_pallas2(vecs, n_deltas: int, mode: str = "highest",
     ]
 
     def kernel(v_ref, w1r, w1i, twr_, twi_, w2rt, w2it, cinv, *rest):
-        if mode in ("split3c", "cat3c", "cat6c"):
+        if mode in ("split3c", "cat3c", "cat4c", "cat6c"):
             tri_ref, out_ref = rest
         else:
             tri_ref, out_ref = None, rest[0]

@@ -1,8 +1,15 @@
-"""PBC unwrap helper and the D_iso viscosity/temperature correction."""
+"""PBC repair (unwrap, cluster pipeline) and the D_iso correction."""
 
 import numpy as np
 
-from spinrelax_tpu.ops.pbc import minimum_image_distance, unwrap_and_center
+from spinrelax_tpu.io.pdb import Topology
+from spinrelax_tpu.ops.pbc import (
+    center_solute,
+    minimum_image_distance,
+    molecule_ids,
+    solute_mask,
+    unwrap_and_center,
+)
 from spinrelax_tpu.pipeline.corrections import convert_diso, water_viscosity
 
 
@@ -32,6 +39,100 @@ def test_minimum_image():
     b = np.array([0.1, 0.0, 0.0])
     d = np.asarray(minimum_image_distance(a, b, box))
     np.testing.assert_allclose(d, [-0.2, 0.0, 0.0], atol=1e-12)
+
+
+def _dimer_system(rng):
+    """Two protein chains (a dimer) + waters + an ion in a 6 nm box.
+
+    Returns (top, xyz_true (nAtoms, 3) whole/clustered, box).  Chain B
+    sits 1.5 nm from chain A, so the clustered dimer spans < half box.
+    """
+    box = np.array([6.0, 6.0, 6.0])
+    chain_a = np.cumsum(rng.normal(scale=0.08, size=(30, 3)), axis=0)
+    chain_b = chain_a[::-1] + np.array([1.5, 0.2, -0.1])
+    waters = []
+    for k in range(40):
+        o = rng.uniform(0, 6.0, size=3)
+        waters.append(np.stack([o, o + [0.08, 0.02, 0], o + [0, 0.08, 0.02]]))
+    ion = rng.uniform(0, 6.0, size=(1, 3))
+    xyz = np.concatenate([chain_a, chain_b] + waters + [ion], axis=0)
+    names = (
+        ["CA"] * 60
+        + [n for _ in range(40) for n in ("OW", "HW1", "HW2")]
+        + ["NA"]
+    )
+    resn = (
+        ["ALA"] * 60 + [r for _ in range(40) for r in ("SOL",) * 3] + ["NA"]
+    )
+    res_seqs = np.concatenate(
+        [
+            np.repeat(np.arange(1, 31), 1),
+            np.repeat(np.arange(1, 31), 1),
+            np.repeat(np.arange(100, 140), 3),
+            [500],
+        ]
+    )
+    chains = ["A"] * 30 + ["B"] * 30 + ["W"] * 120 + ["I"]
+    top = Topology(
+        atom_names=names,
+        res_seqs=res_seqs,
+        res_names=resn,
+        chain_ids=chains,
+        occupancies=np.ones(len(names)),
+        elements=[""] * len(names),
+    )
+    return top, xyz, box
+
+
+def test_molecule_inference():
+    rng = np.random.default_rng(3)
+    top, _, _ = _dimer_system(rng)
+    mol = molecule_ids(top)
+    # chain A, chain B, 40 waters, 1 ion = 43 molecules.
+    assert mol.max() + 1 == 43
+    assert len(np.unique(mol[:30])) == 1 and len(np.unique(mol[30:60])) == 1
+    sol = solute_mask(top)
+    assert sol[:60].all() and not sol[60:].any()
+
+
+def test_center_solute_pipeline():
+    """Native 3-stage repair (center-solute-gromacs.bash:70-80): scatter a
+    dimer system across periodic images, then check every molecule is
+    whole, the dimer is clustered (chain B's nearest image relation holds
+    WITHOUT wrapping), the solute is centred, and all molecules are
+    compact around the box centre."""
+    rng = np.random.default_rng(7)
+    top, xyz_true, box = _dimer_system(rng)
+    mol = molecule_ids(top)
+    # Break it: wrap atoms into the primary cell (splits molecules) after
+    # shifting chain B by a whole box (splits the cluster).
+    broken = xyz_true.copy()
+    broken[30:60] += box * np.array([1.0, -1.0, 0.0])
+    broken = np.mod(broken, box)
+    frames = np.stack([broken, broken + 0.0])  # 2 identical frames
+    out = center_solute(frames, box, top=top)
+    assert out.shape == frames.shape
+    x = out[0]
+    # (1) every molecule whole: intra-molecule deltas need no wrapping.
+    for m in range(mol.max() + 1):
+        idx = np.where(mol == m)[0]
+        d = x[idx] - x[idx[0]]
+        np.testing.assert_allclose(
+            d, np.asarray(minimum_image_distance(x[idx], x[idx[0]], box)),
+            atol=1e-5,
+        )
+    # (2) cluster: the dimer geometry matches the true (unwrapped) one.
+    dimer = x[:60] - x[:60].mean(axis=0)
+    want = xyz_true[:60] - xyz_true[:60].mean(axis=0)
+    np.testing.assert_allclose(dimer, want, atol=1e-5)
+    # (3) solute centred at box/2.
+    np.testing.assert_allclose(x[:60].mean(axis=0), box / 2, atol=1e-5)
+    # (4) compact: every molecule centre within the cell around box/2.
+    for m in range(mol.max() + 1):
+        com = x[mol == m].mean(axis=0)
+        assert np.all(np.abs(com - box / 2) <= box / 2 + 1e-6)
+    # Both frames identical in == identical out.
+    np.testing.assert_allclose(out[1], out[0], atol=0)
 
 
 def test_viscosity_correction():

@@ -60,6 +60,23 @@ def variants():
         # K-packed compensated dots (split terms ride the K padding)
         "v4": lambda v, d: acf_sums_pallas2(v, d, mode="cat3c",
                                             cinv="split4", pcenter=True),
+        # cat4 = cat3 + lo*lo term: same K-tile count (192 pads like 144)
+        "v7": lambda v, d: acf_sums_pallas2(v, d, mode="cat4c",
+                                            cinv="split4", pcenter=True),
+        "v7h": lambda v, d: acf_sums_pallas2(v, d, mode="cat4c",
+                                             cinv="highest", pcenter=True),
+        "v7_64": lambda v, d: acf_sums_pallas2(v, d, mode="cat4c",
+                                               cinv="split4", pcenter=True,
+                                               n1=64),
+        "v7_96": lambda v, d: acf_sums_pallas2(v, d, mode="cat4c",
+                                               cinv="split4", pcenter=True,
+                                               n1=96),
+        # ablation ladder of the cat4c production candidate
+        **{f"cabl{k}": (lambda k=k: lambda v, d: acf_sums_pallas2(
+            v, d, mode="cat4c", cinv="split4", ablate=k))()
+           for k in range(1, 6)},
+        "cabl0": lambda v, d: acf_sums_pallas2(v, d, mode="cat4c",
+                                               ablate=-1),
         "v5": lambda v, d: acf_sums_pallas2(v, d, mode="cat6c",
                                             cinv="split4", pcenter=True),
         "v5nc": lambda v, d: acf_sums_pallas2(v, d, mode="cat6c",
