@@ -156,37 +156,67 @@ def _make_cat_dot(pairs):
     return cat_dot
 
 
+# mode -> (stage1 pairs, stage2 pairs, centered); None pairs = HIGHEST /
+# split3 handled separately.  Mixed modes exist because the two stages
+# limit accuracy differently: stage-2 operates on the spectral output of
+# stage 1 whose magnitudes are ~sqrt(F) larger, so its bf16 operand
+# residual dominates — cat46c upgrades only stage 2 to the 3-term split.
+_CAT_MODES = {
+    "cat3c": (_PAIRS_CAT3, _PAIRS_CAT3, True),
+    "cat4c": (_PAIRS_CAT4, _PAIRS_CAT4, True),
+    "cat6c": (_PAIRS_CAT6, _PAIRS_CAT6, True),
+    "cat6": (_PAIRS_CAT6, _PAIRS_CAT6, False),
+    "cat46c": (_PAIRS_CAT4, _PAIRS_CAT6, True),
+    "cat64c": (_PAIRS_CAT6, _PAIRS_CAT4, True),
+}
+
+
 def _acf_kernel2(v_ref, w1r_ref, w1i_ref, twr_ref, twi_ref, w2rt_ref,
                  w2it_ref, cinv_ref, out_ref, *, N1, N2, nfft, F, mode,
                  tri_ref=None, nd_pad=None, cinv_mode="same",
-                 pcenter=False, ablate=0):
+                 pcenter=False, ablate=0, fuse_transpose=False):
     f32 = v_ref.dtype
-    cat_pairs = {"cat3c": _PAIRS_CAT3, "cat4c": _PAIRS_CAT4,
-                 "cat6c": _PAIRS_CAT6, "cat6": _PAIRS_CAT6}.get(mode)
-    centered = mode in ("split3c", "cat3c", "cat4c", "cat6c")
+    pairs1, pairs2, centered = _CAT_MODES.get(
+        mode, (None, None, mode == "split3c")
+    )
     hi_dot = lambda a, b: jnp.dot(a, b, precision=_HI)  # noqa: E731
-    if cat_pairs:
+    if pairs1:
         # bf16 LHS (pre-cat) x bf16 RHS with f32 accumulation.
         dot = lambda a, b: jnp.dot(  # noqa: E731
             a, b, preferred_element_type=jnp.float32
         )
+        dot2 = dot
     else:
         dot = _dot3 if mode in ("split3", "split3c") else hi_dot
-    cinv_dot = {"same": _dot3 if cat_pairs else dot, "highest": hi_dot,
+        dot2 = dot
+    cinv_dot = {"same": _dot3 if pairs1 else dot, "highest": hi_dot,
                 "split4": _dot4}[cinv_mode]
 
     # ablate (perf diagnosis only): truncate the chain after stage
     # -1=input DMA only, 1=comps, 2=+stage1 dots, 3=+twiddle,
     # 4=+transpose, 5=+stage2 dots; partial results are sum-reduced into
     # the output so nothing is DCE'd.
-    if ablate == -1:
-        out_ref[...] = (jnp.zeros((nd_pad, 128), f32)
-                        + jnp.sum(v_ref[0, 0]) + jnp.sum(v_ref[0, 1])
-                        + jnp.sum(v_ref[0, 2]))
-        return
-    vx = v_ref[0, 0]  # (F, 128)
-    vy = v_ref[0, 1]
-    vz = v_ref[0, 2]
+    if fuse_transpose:
+        # Input block is the free (128, 3F) view of 128 bonds' (F, 3)
+        # rows; one in-VMEM transpose replaces the whole-array XLA
+        # pre-pass (which the ablation showed costs ~half the step).
+        x2d = jnp.swapaxes(v_ref[0], 0, 1)  # (3F, 128)
+        if ablate == -1:
+            out_ref[...] = jnp.zeros((nd_pad, 128), f32) + jnp.sum(x2d)
+            return
+        x3 = x2d.reshape(F, 3, 128)  # leading-dim split: free view
+        vx = x3[:, 0, :]
+        vy = x3[:, 1, :]
+        vz = x3[:, 2, :]
+    else:
+        if ablate == -1:
+            out_ref[...] = (jnp.zeros((nd_pad, 128), f32)
+                            + jnp.sum(v_ref[0, 0]) + jnp.sum(v_ref[0, 1])
+                            + jnp.sum(v_ref[0, 2]))
+            return
+        vx = v_ref[0, 0]  # (F, 128)
+        vy = v_ref[0, 1]
+        vz = v_ref[0, 2]
     comp_planes = {0: vx * vx, 1: vy * vy, 2: vz * vz}
     prods = {(0, 1): vx * vy, (1, 2): vy * vz, (0, 2): vx * vz}
 
@@ -225,9 +255,9 @@ def _acf_kernel2(v_ref, w1r_ref, w1i_ref, twr_ref, twi_ref, w2rt_ref,
         if ablate == 1:
             abl_acc = abl_acc + jnp.sum(xr) + jnp.sum(xi)
             return None
-        if cat_pairs:
-            xr_rhs = _cat_rhs(xr, cat_pairs)
-            xi_rhs = _cat_rhs(xi, cat_pairs)
+        if pairs1:
+            xr_rhs = _cat_rhs(xr, pairs1)
+            xi_rhs = _cat_rhs(xi, pairs1)
             ar = dot(w1r, xr_rhs) - dot(w1i, xi_rhs)
             ai = dot(w1i, xr_rhs) + dot(w1r, xi_rhs)
         else:
@@ -246,14 +276,14 @@ def _acf_kernel2(v_ref, w1r_ref, w1i_ref, twr_ref, twi_ref, w2rt_ref,
         if ablate == 4:
             abl_acc = abl_acc + jnp.sum(brt) + jnp.sum(bit)
             return None
-        if cat_pairs:
-            brt_rhs = _cat_rhs(brt, cat_pairs)
-            bit_rhs = _cat_rhs(bit, cat_pairs)
-            xr2 = dot(w2rt, brt_rhs) - dot(w2it, bit_rhs)
-            xi2 = dot(w2it, brt_rhs) + dot(w2rt, bit_rhs)
+        if pairs2:
+            brt_rhs = _cat_rhs(brt, pairs2)
+            bit_rhs = _cat_rhs(bit, pairs2)
+            xr2 = dot2(w2rt, brt_rhs) - dot2(w2it, bit_rhs)
+            xi2 = dot2(w2it, brt_rhs) + dot2(w2rt, bit_rhs)
         else:
-            xr2 = dot(w2rt, brt) - dot(w2it, bit)
-            xi2 = dot(w2it, brt) + dot(w2rt, bit)
+            xr2 = dot2(w2rt, brt) - dot2(w2it, bit)
+            xi2 = dot2(w2it, brt) + dot2(w2rt, bit)
         if ablate == 5:
             abl_acc = abl_acc + jnp.sum(xr2) + jnp.sum(xi2)
             return None
@@ -301,7 +331,7 @@ def _acf_kernel2(v_ref, w1r_ref, w1i_ref, twr_ref, twi_ref, w2rt_ref,
 
 def acf_sums_pallas2(vecs, n_deltas: int, mode: str = "highest",
                      n1: int = 0, cinv: str = "same", pcenter: bool = False,
-                     ablate: int = 0):
+                     ablate: int = 0, fuse_transpose: bool = False):
     """vecs : (..., nFrames, 3) -> (..., n_deltas)."""
     lead = vecs.shape[:-2]
     n_frames = vecs.shape[-2]
@@ -318,18 +348,29 @@ def acf_sums_pallas2(vecs, n_deltas: int, mode: str = "highest",
         v = jnp.concatenate(
             [v, jnp.zeros((b_pad - B, n_frames, 3), dtype)], axis=0
         )
-    # (B, F, 3) -> (nTiles, 3, F, 128): contiguous 3*F*128*4B per tile.
-    v = jnp.transpose(v.reshape(n_tiles, 128, n_frames, 3), (0, 3, 2, 1))
+    if fuse_transpose:
+        # Free row-major view: (B, F, 3) -> (nTiles, 128, F*3); the
+        # kernel transposes each tile in VMEM (one XLU pass) instead of
+        # XLA materialising the transposed copy in HBM.
+        v = v.reshape(n_tiles, 128, n_frames * 3)
+        v_spec = pl.BlockSpec(
+            (1, 128, n_frames * 3), lambda i: (i, 0, 0)
+        )
+    else:
+        # (B, F, 3) -> (nTiles, 3, F, 128): contiguous 3*F*128*4B/tile.
+        v = jnp.transpose(v.reshape(n_tiles, 128, n_frames, 3), (0, 3, 2, 1))
+        v_spec = pl.BlockSpec(
+            (1, 3, n_frames, 128), lambda i: (i, 0, 0, 0)
+        )
 
-    pairs = {"cat3c": _PAIRS_CAT3, "cat4c": _PAIRS_CAT4,
-             "cat6c": _PAIRS_CAT6, "cat6": _PAIRS_CAT6}.get(mode)
-    if pairs:
-        W1r = _cat_lhs_np(W1r, pairs)
-        W1i = _cat_lhs_np(W1i, pairs)
-        W2rt = _cat_lhs_np(W2rt, pairs)
-        W2it = _cat_lhs_np(W2it, pairs)
+    pairs1, pairs2, _ = _CAT_MODES.get(mode, (None, None, None))
+    if pairs1:
+        W1r = _cat_lhs_np(W1r, pairs1)
+        W1i = _cat_lhs_np(W1i, pairs1)
+        W2rt = _cat_lhs_np(W2rt, pairs2)
+        W2it = _cat_lhs_np(W2it, pairs2)
     const_arrays = [W1r, W1i, twr, twi, W2rt, W2it, CINV]
-    if mode in ("split3c", "cat3c", "cat4c", "cat6c"):
+    if mode in ("split3c", "cat3c", "cat4c", "cat6c", "cat46c", "cat64c"):
         if n_frames < nd_pad:
             raise ValueError(
                 f"split3c needs nFrames ({n_frames}) >= padded lag rows "
@@ -349,20 +390,21 @@ def acf_sums_pallas2(vecs, n_deltas: int, mode: str = "highest",
     ]
 
     def kernel(v_ref, w1r, w1i, twr_, twi_, w2rt, w2it, cinv, *rest):
-        if mode in ("split3c", "cat3c", "cat4c", "cat6c"):
+        if mode in ("split3c", "cat3c", "cat4c", "cat6c", "cat46c",
+                    "cat64c"):
             tri_ref, out_ref = rest
         else:
             tri_ref, out_ref = None, rest[0]
         _acf_kernel2(v_ref, w1r, w1i, twr_, twi_, w2rt, w2it, cinv, out_ref,
                      N1=N1, N2=N2, nfft=nfft, F=n_frames, mode=mode,
                      tri_ref=tri_ref, nd_pad=nd_pad, cinv_mode=cinv_mode,
-                     pcenter=pcenter, ablate=ablate)
+                     pcenter=pcenter, ablate=ablate,
+                     fuse_transpose=fuse_transpose)
 
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec((1, 3, n_frames, 128), lambda i: (i, 0, 0, 0))]
-        + const_specs,
+        in_specs=[v_spec] + const_specs,
         out_specs=pl.BlockSpec((nd_pad, 128), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((nd_pad, b_pad), dtype),
     )(v, *consts)

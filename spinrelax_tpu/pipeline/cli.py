@@ -1,6 +1,7 @@
 """Command-line entry points mirroring the reference's stage scripts plus
 the run-all orchestrator (SURVEY §2.3-2.4).
 
+    spinrelax center      <- center-solute-gromacs.bash (native trjconv)
     spinrelax orient      <- PLUMED QUATERNION + gmx steps (now native)
     spinrelax dq          <- calculate-dq-distribution[-multi].py
     spinrelax ct          <- calculate-Ct-from-traj.py / calculate-S2.py
@@ -450,6 +451,82 @@ def cmd_rotate(argv):
     print(f"= = = Done. Output file {a.fileOutput} has been written.")
 
 
+def cmd_center(argv):
+    """Native center-solute-gromacs.bash: make molecules whole, cluster
+    the solute across periodic images, centre it, and re-pack the solvent
+    compactly (3-stage trjconv pipeline, center-solute-gromacs.bash:70-80)
+    — no GROMACS required."""
+    p = argparse.ArgumentParser(
+        prog="spinrelax center",
+        description="PBC-repair a solvated trajectory: -pbc mol, "
+        "-pbc cluster -center on the solute, -pbc mol (native trjconv).",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("-f", "--infn", required=True, help="trajectory (npz/xtc/trr/pdb)")
+    p.add_argument("-s", "--topfn", required=True, help="topology PDB (molecule inference)")
+    p.add_argument("-o", "--outfn", default="centered.npz", help="output (npz or xtc)")
+    p.add_argument("--box", default=None,
+                   help='"x,y,z" box lengths [nm] when the file has none')
+    p.add_argument("--solute", default=None,
+                   help="solute selection expr (default: not water/ions)")
+    p.add_argument("--output-group", choices=["system", "solute"],
+                   default="system",
+                   help="atoms written out (the reference keeps Solute)")
+    p.add_argument("--batch", type=int, default=256, help="frames per device dispatch")
+    a = p.parse_args(argv)
+    from ..io import pdb as pdbio
+    from ..io import trajectory as trjio
+    from ..ops.pbc import center_solute
+
+    top, _ = pdbio.read_pdb(a.topfn)
+    boxes = None
+    if a.infn.endswith(".xtc"):
+        from ..io import native
+
+        xyz, boxes33, times = native.read_xtc(a.infn)
+        boxes = np.einsum("fii->fi", boxes33)  # orthorhombic diagonals
+        dt = float(times[1] - times[0]) if len(times) > 1 else 1.0
+    elif a.infn.endswith(".trr"):
+        from ..io import gmx
+
+        xyz, boxes33, times = gmx.read_trr(a.infn)
+        boxes = np.einsum("fii->fi", boxes33)
+        dt = float(times[1] - times[0]) if len(times) > 1 else 1.0
+    else:
+        xyz, dt = trjio.load_trajectory(a.infn, top_fn=a.topfn)
+        if a.infn.endswith(".npz"):
+            obj = np.load(a.infn)
+            if "box" in obj:
+                boxes = np.asarray(obj["box"])
+    if a.box is not None:
+        boxes = np.asarray(_split_floats(a.box))
+    if boxes is None:
+        raise SystemExit("= = No box in input; pass --box x,y,z [nm].")
+    solute = None
+    if a.solute is not None:
+        mask = np.zeros(top.n_atoms, dtype=bool)
+        mask[top.select(a.solute)] = True
+        solute = mask
+    print(f"= = Repairing PBC for {xyz.shape[0]} frames x {xyz.shape[1]} atoms...")
+    out = center_solute(xyz, boxes, top=top, solute=solute, batch=a.batch)
+    if a.output_group == "solute":
+        from ..ops.pbc import solute_mask as _smask
+
+        keep = solute if solute is not None else _smask(top)
+        out = out[:, keep]
+    if a.outfn.endswith(".xtc"):
+        from ..io import native
+
+        nf = out.shape[0]
+        b = np.broadcast_to(boxes, (nf, 3)) if np.ndim(boxes) == 1 else boxes
+        boxes33 = np.zeros((nf, 3, 3), dtype=np.float32)
+        boxes33[:, [0, 1, 2], [0, 1, 2]] = b
+        native.write_xtc(a.outfn, out, times=np.arange(nf) * dt, boxes=boxes33)
+    else:
+        trjio.save_trajectory_npz(a.outfn, out, timestep=dt)
+    print(f"= = Wrote {a.outfn}")
+
+
 def cmd_run_all(argv):
     from .runall import main as runall_main
 
@@ -541,6 +618,7 @@ def cmd_check(argv):
 
 
 COMMANDS = {
+    "center": cmd_center,
     "orient": cmd_orient,
     "dq": cmd_dq,
     "ct": cmd_ct,

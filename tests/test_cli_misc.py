@@ -202,3 +202,48 @@ def test_dq_iso_aniso_gating(tmp_path, rng):
               "--mindt", "5", "--maxdt", "50", "--skip", "5"])
     assert (tmp_path / "b-iso.dat").exists()
     assert (tmp_path / "b-aniso2.dat").exists()
+
+
+def test_cli_center(tmp_path, rng):
+    """spinrelax center: native center-solute-gromacs.bash over npz+PDB."""
+    from spinrelax_tpu.io.pdb import Topology, write_pdb
+    from spinrelax_tpu.ops.pbc import minimum_image_distance, molecule_ids
+    from spinrelax_tpu.pipeline import cli
+
+    box = np.array([5.0, 5.0, 5.0])
+    chain = np.cumsum(rng.normal(scale=0.1, size=(20, 3)), axis=0) + 4.8
+    waters = np.concatenate(
+        [np.stack([o, o + [0.08, 0, 0], o + [0, 0.08, 0]])
+         for o in rng.uniform(0, 5, size=(10, 3))]
+    )
+    xyz = np.mod(np.concatenate([chain, waters]), box)
+    top = Topology(
+        atom_names=["CA"] * 20 + [n for _ in range(10) for n in ("OW", "HW1", "HW2")],
+        res_seqs=np.concatenate([np.arange(1, 21), np.repeat(np.arange(50, 60), 3)]),
+        res_names=["GLY"] * 20 + ["SOL"] * 30,
+        chain_ids=["A"] * 20 + ["W"] * 30,
+        occupancies=np.ones(50),
+        elements=[""] * 50,
+    )
+    write_pdb(str(tmp_path / "top.pdb"), top, xyz[None])
+    np.savez(tmp_path / "in.npz", xyz=np.stack([xyz, xyz]),
+             time=np.array([0.0, 1.0]), box=np.stack([box, box]))
+    cli.main(["center", "-f", str(tmp_path / "in.npz"),
+              "-s", str(tmp_path / "top.pdb"),
+              "-o", str(tmp_path / "out.npz")])
+    out = np.load(tmp_path / "out.npz")["xyz"]
+    assert out.shape == (2, 50, 3)
+    x = out[0]
+    mol = molecule_ids(top)
+    for m in range(mol.max() + 1):
+        idx = np.where(mol == m)[0]
+        d = x[idx] - x[idx[0]]
+        np.testing.assert_allclose(
+            d, np.asarray(minimum_image_distance(x[idx], x[idx[0]], box)),
+            atol=1e-5)
+    np.testing.assert_allclose(x[:20].mean(axis=0), box / 2, atol=1e-5)
+    # solute-only output group (the reference's stage-1 Solute selection)
+    cli.main(["center", "-f", str(tmp_path / "in.npz"),
+              "-s", str(tmp_path / "top.pdb"), "--output-group", "solute",
+              "-o", str(tmp_path / "sol.npz")])
+    assert np.load(tmp_path / "sol.npz")["xyz"].shape == (2, 20, 3)

@@ -77,6 +77,22 @@ def variants():
            for k in range(1, 6)},
         "cabl0": lambda v, d: acf_sums_pallas2(v, d, mode="cat4c",
                                                ablate=-1),
+        # fused in-kernel input transpose (kills the XLA pre-pass)
+        "v7t": lambda v, d: acf_sums_pallas2(v, d, mode="cat4c",
+                                             cinv="split4", pcenter=True,
+                                             fuse_transpose=True),
+        # per-stage split: cat4 stage-1, cat6 stage-2 (accuracy limiter)
+        "v8nt": lambda v, d: acf_sums_pallas2(v, d, mode="cat46c",
+                                              cinv="split4", pcenter=True),
+        "v8": lambda v, d: acf_sums_pallas2(v, d, mode="cat46c",
+                                            cinv="split4", pcenter=True,
+                                            fuse_transpose=True),
+        "v8h": lambda v, d: acf_sums_pallas2(v, d, mode="highest",
+                                             fuse_transpose=True),
+        # DMA + in-kernel transpose only
+        "tabl0": lambda v, d: acf_sums_pallas2(v, d, mode="cat4c",
+                                               ablate=-1,
+                                               fuse_transpose=True),
         "v5": lambda v, d: acf_sums_pallas2(v, d, mode="cat6c",
                                             cinv="split4", pcenter=True),
         "v5nc": lambda v, d: acf_sums_pallas2(v, d, mode="cat6c",
