@@ -114,8 +114,13 @@ def _dft_constants(n_frames: int, n_deltas: int, dtype_name: str):
     if N1 < N2:
         N1, N2 = N2, N1
     dt = np.dtype(dtype_name)
+    # Stage-1 truncation: with the row-major (n1, n2) split the zero
+    # padding fills whole trailing n1 rows, so the first contraction
+    # only needs K1 = ceil(F/N2) of its N1 terms (1/3 less MXU work at
+    # the canonical 1000-frame chunk).
+    K1 = int(np.ceil(n_frames / N2))
     k1 = np.arange(N1)
-    W1 = np.exp(-2j * np.pi * np.outer(k1, np.arange(N1)) / N1)
+    W1 = np.exp(-2j * np.pi * np.outer(k1, np.arange(K1)) / N1)
     W2 = np.exp(-2j * np.pi * np.outer(np.arange(N2), np.arange(N2)) / N2)
     TW = np.exp(-2j * np.pi * np.outer(k1, np.arange(N2)) / nfft)
     d = np.arange(1, n_deltas + 1)
@@ -124,7 +129,7 @@ def _dft_constants(n_frames: int, n_deltas: int, dtype_name: str):
     # Return host numpy arrays: they embed as fresh constants in each
     # trace (caching device arrays created inside a trace leaks tracers).
     return (
-        nfft, N1, N2,
+        nfft, N1, N2, K1,
         W1.real.astype(dt), W1.imag.astype(dt),
         TW.real.astype(dt), TW.imag.astype(dt),
         W2.real.astype(dt), W2.imag.astype(dt),
@@ -133,22 +138,29 @@ def _dft_constants(n_frames: int, n_deltas: int, dtype_name: str):
 
 
 # ACF backend selection: "auto" uses the fused Pallas kernel for f32 on
-# TPU (36% faster than the XLA matmul-DFT, see docs/PERF.md) and the XLA
-# path everywhere else; set to "xla" or "pallas" to force one.
+# TPU (2.1x the XLA matmul-DFT at the canonical workload, docs/PERF.md)
+# and the XLA path everywhere else; set to "xla" or "pallas" to force one.
 ACF_IMPL = "auto"
+
+
+def _use_pallas(vecs, n_deltas: int) -> bool:
+    from .pallas_acf import supports
+
+    return ACF_IMPL == "pallas" or (
+        ACF_IMPL == "auto"
+        and vecs.dtype == jnp.float32
+        and jax.default_backend() == "tpu"
+        and supports(vecs.shape[-2], n_deltas)
+    )
 
 
 def _acf_sums(vecs, n_deltas: int):
     """Sum_t (v(t).v(t+delta))^2 for delta = 1..n_deltas.
 
     Dispatches between the fused Pallas TPU kernel (pallas_acf.py) and
-    the XLA matmul-DFT chain below according to ``ACF_IMPL``."""
-    use_pallas = ACF_IMPL == "pallas" or (
-        ACF_IMPL == "auto"
-        and vecs.dtype == jnp.float32
-        and jax.default_backend() == "tpu"
-    )
-    if use_pallas:
+    the XLA matmul-DFT chain below according to ``ACF_IMPL``; shapes
+    whose VMEM working set exceeds the scoped budget fall back to XLA."""
+    if _use_pallas(vecs, n_deltas):
         from .pallas_acf import acf_sums_pallas
 
         return acf_sums_pallas(vecs, n_deltas)
@@ -168,7 +180,7 @@ def _acf_sums_xla(vecs, n_deltas: int):
     vecs : (..., nFrames, 3) -> (..., n_deltas)
     """
     n_frames = vecs.shape[-2]
-    (nfft, N1, N2, W1r, W1i, TWr, TWi, W2r, W2i, CINV) = _dft_constants(
+    (nfft, N1, N2, K1, W1r, W1i, TWr, TWi, W2r, W2i, CINV) = _dft_constants(
         n_frames, n_deltas, jnp.dtype(vecs.dtype).name
     )
     ein = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
@@ -188,9 +200,10 @@ def _acf_sums_xla(vecs, n_deltas: int):
 
     def pad_split(t):
         t = jnp.concatenate(
-            [t, jnp.zeros(t.shape[:-1] + (nfft - n_frames,), t.dtype)], axis=-1
+            [t, jnp.zeros(t.shape[:-1] + (K1 * N2 - n_frames,), t.dtype)],
+            axis=-1,
         )
-        return t.reshape(t.shape[:-1] + (N1, N2))  # n = N2*n1 + n2
+        return t.reshape(t.shape[:-1] + (K1, N2))  # n = N2*n1 + n2
 
     xr, xi = pad_split(xr), pad_split(xi)
     Ar = ein("kn,...ns->...ks", W1r, xr) - ein("kn,...ns->...ks", W1i, xi)
@@ -308,12 +321,28 @@ def ct_palmer(vecs):
         replicates.
     """
     vecs = jnp.asarray(vecs)
-    n_rep, n_frames = vecs.shape[0], vecs.shape[1]
+    n_rep, n_frames, n_res = vecs.shape[0], vecs.shape[1], vecs.shape[2]
     n_deltas = n_frames // 2
-    # (nRep, nRes, nF, 3) for FFT along a trailing-adjacent axis
+    # (nRep, nRes, nF, 3) for the DFT along a trailing-adjacent axis
     v = jnp.swapaxes(vecs, 1, 2)
-    s = _acf_sums(v, n_deltas)  # (nRep, nRes, nDeltas)
     n_vals = n_frames - jnp.arange(1, n_deltas + 1, dtype=vecs.dtype)
+    if _use_pallas(v, n_deltas):
+        # Lag-leading fast path: the kernel's native output is
+        # (nDeltas, B); (nDeltas, nRep, nRes) is a free view of it, the
+        # replicate statistics reduce its middle axis, and the result is
+        # already (nDeltas, nRes) — no XLA transposes at all.
+        from .pallas_acf import acf_sums_pallas
+
+        s = acf_sums_pallas(v, n_deltas, transpose_out=False)
+        per_rep = -0.5 + 1.5 * s.reshape(n_deltas, n_rep, n_res) / n_vals[
+            :, None, None
+        ]
+        Ct = jnp.mean(per_rep, axis=1)
+        dCt = jnp.std(per_rep, axis=1) / (
+            jnp.sqrt(jnp.asarray(n_rep, vecs.dtype)) - 1.0
+        )
+        return Ct, dCt
+    s = _acf_sums(v, n_deltas)  # (nRep, nRes, nDeltas)
     per_rep = -0.5 + 1.5 * s / n_vals  # (nRep, nRes, nDeltas)
     Ct = jnp.mean(per_rep, axis=0)
     dCt = jnp.std(per_rep, axis=0) / (jnp.sqrt(jnp.asarray(n_rep, vecs.dtype)) - 1.0)

@@ -1,26 +1,25 @@
-"""Fully-fused Pallas TPU kernel for the P2 autocorrelation lag sums.
+"""Fused Pallas ACF kernel — the production TPU fast path for the
+Palmer C(t) lag sums (selected by ``autocorr.ACF_IMPL``; replaces the
+reference's O(nDeltas*nFrames) einsum lag loop,
+calculate-Ct-from-traj.py:200-238).
 
-Computes the same quantity as :func:`autocorr._acf_sums` — the matmul-DFT
-correlation of the six outer-product components, complex-packed into
-three signals — but keeps the ENTIRE chain (outer products, two-stage
-DFT, twiddles, power spectrum, cosine inverse) in VMEM for one batch
-tile of 128 bond vectors.  The XLA version materialises ~5 GB of f32
-intermediates in HBM per canonical step (measured bandwidth-bound,
-docs/PERF.md); here HBM traffic is just the input read + lag-sum write.
-
-Dataflow per grid cell (one tile of 128 batch rows, batch on LANES):
-    v     (3, nfft, 128)  component planes, frames on sublanes
-    x     (nfft, 128) -> view (N1, N2*128): n = n1*N2 + n2 is a pure
-                         row-major alias, no data movement
-    A     = W1 @ x        contraction over n1        (N1, N2*128)
-    B     = A * twiddle   (k1, n2) factors pre-broadcast over lanes
-    B'    (N2, N1*128)    sublane-block transpose
-    X     = W2^T @ B'     contraction over n2        (N2, N1*128)
-    P    += |X|^2         accumulated over the 3 packed signals
-    out   = CINV_K @ P    cosine inverse on the (k2, k1) frequency
-                          order, straight to lags    (nD, 128)
-
-Reference for the quantity: calculate-Ct-from-traj.py:200-238.
+Design (one 128-bond tile per grid program, whole chain in VMEM):
+- input layout (nTiles, 3, F, 128): each tile CONTIGUOUS in HBM, frames
+  NOT nfft-padded in HBM (the kernel zero-pads in VMEM), cutting input
+  traffic by nfft/F (~1.5x);
+- two-stage Cooley-Tukey matmul DFT with the 2-for-1 complex packing
+  (6 real outer-product signals -> 3 complex DFTs);
+- stage-1 contraction truncated to K1 = ceil(F/N2) rows (the zero pad
+  fills whole trailing rows of the row-major (n1, n2) split);
+- complex multiplies as single stacked [W_r; W_i] @ [X_r | X_i] dots;
+- compensated bf16 MXU dots: operands split into bf16 hi/mid/lo terms
+  CONCATENATED along the contraction axis (the split terms ride the
+  MXU's K-padding for free — modes cat3c/cat4c/cat6c/cat64c/cat46c
+  choose the term-pair set per stage), with exact mean-centering and
+  closed-form corrections to keep the DC-heavy signals accurate;
+- the production default ``cat64c + split4 CINV + pcenter`` measures
+  3.0 ms/step at the canonical 8x1000x1024 workload (2.7e9 fv/s) with
+  9.7e-7 max C(t) error vs float64 (docs/PERF.md, tools/exp_acf.py).
 """
 
 from __future__ import annotations
@@ -38,28 +37,41 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 @functools.lru_cache(maxsize=8)
-def _kernel_constants(n_frames: int, n_deltas: int, dtype_name: str):
-    """Host numpy constants for the fused kernel (lane-broadcast twiddles,
-    (k2, k1)-ordered cosine inverse, lag rows padded to a sublane
-    multiple)."""
+def _kernel_constants(n_frames: int, n_deltas: int, dtype_name: str,
+                      n1: int = 0):
+    """Host numpy constants (lane-broadcast twiddles, (k2, k1)-ordered
+    cosine inverse, lag rows padded to a sublane multiple).  ``n1``
+    overrides the near-square radix split (must divide nfft)."""
     dt = np.dtype(dtype_name)
     n_min = n_frames + n_deltas
     nfft = ((n_min + 127) // 128) * 128
-    N1 = int(np.sqrt(nfft))
-    while nfft % N1 != 0:
-        N1 += 1
+    if n1:
+        if nfft % n1 != 0:
+            # grow nfft to the next multiple of lcm(128, n1)
+            import math
+
+            step = 128 * n1 // math.gcd(128, n1)
+            nfft = ((n_min + step - 1) // step) * step
+        N1 = n1
+    else:
+        N1 = int(np.sqrt(nfft))
+        while nfft % N1 != 0:
+            N1 += 1
     N2 = nfft // N1
-    if N1 < N2:
+    if not n1 and N1 < N2:
         N1, N2 = N2, N1
+    # Stage-1 contraction truncation: with the row-major (n1, n2) split
+    # (n = N2*n1 + n2), the zero-padded tail t >= nFrames fills WHOLE
+    # trailing rows n1 >= ceil(F/N2) — those columns of W1 multiply
+    # zeros, so the stage-1 DFT only needs K1 = ceil(F/N2) of its N1
+    # contraction terms (a 1/3 MXU cut at the canonical 1000/1536 shape).
+    K1 = int(np.ceil(n_frames / N2))
     k1 = np.arange(N1)
-    W1 = np.exp(-2j * np.pi * np.outer(k1, np.arange(N1)) / N1)
+    W1 = np.exp(-2j * np.pi * np.outer(k1, np.arange(K1)) / N1)
     W2 = np.exp(-2j * np.pi * np.outer(np.arange(N2), np.arange(N2)) / N2)
     TW = np.exp(-2j * np.pi * np.outer(k1, np.arange(N2)) / nfft)
-    # Lane-broadcast twiddles: (k1, n2) -> (k1, n2*128)
     twr = np.repeat(TW.real, 128, axis=1).astype(dt)
     twi = np.repeat(TW.imag, 128, axis=1).astype(dt)
-    # Cosine inverse on the kernel's (k2, k1) flattened frequency order:
-    # position q = k2*N1 + k1 holds frequency f = k1 + N1*k2.
     d = np.arange(1, n_deltas + 1)
     kk = (np.arange(N1)[None, :] + N1 * np.arange(N2)[:, None]).reshape(-1)
     nd_pad = ((n_deltas + 7) // 8) * 8
@@ -74,12 +86,137 @@ def _kernel_constants(n_frames: int, n_deltas: int, dtype_name: str):
     )
 
 
-def _acf_kernel(v_ref, w1r_ref, w1i_ref, twr_ref, twi_ref, w2rt_ref,
-                w2it_ref, cinv_ref, out_ref, *, N1, N2, nfft):
-    f32 = v_ref.dtype
-    vx = v_ref[0]
-    vy = v_ref[1]
-    vz = v_ref[2]
+def _split_bf16(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(a, b):
+    """3-pass compensated bf16 matmul ~= f32 dot at half HIGHEST cost."""
+    ah, al = _split_bf16(a)
+    bh, bl = _split_bf16(b)
+    f32 = jnp.float32
+    return (
+        jnp.dot(ah, bh, preferred_element_type=f32)
+        + jnp.dot(ah, bl, preferred_element_type=f32)
+        + jnp.dot(al, bh, preferred_element_type=f32)
+    )
+
+
+def _dot4(a, b):
+    """4-pass split: keeps the lo*lo term (one extra bit of headroom)."""
+    ah, al = _split_bf16(a)
+    bh, bl = _split_bf16(b)
+    f32 = jnp.float32
+    return (
+        jnp.dot(ah, bh, preferred_element_type=f32)
+        + jnp.dot(ah, bl, preferred_element_type=f32)
+        + jnp.dot(al, bh, preferred_element_type=f32)
+        + jnp.dot(al, bl, preferred_element_type=f32)
+    )
+
+
+# Compensated splits packed into the CONTRACTION dimension: on K < 128
+# contractions the MXU pads K to a full tile, so the extra split terms
+# ride along "for free" — one matmul of K = T*K0 replaces T separate
+# passes.  Term pairs (w_term, x_term) with terms ordered hi, mid, lo:
+_PAIRS_CAT3 = ((0, 0), (0, 1), (1, 0))                      # ~2^-18 error
+# cat4 adds the lo*lo term: K = 4*K0 pads to the SAME number of 128-wide
+# MXU K-tiles as 3*K0 for K0 in {48, 32} — strictly better accuracy at
+# identical matmul cost.
+_PAIRS_CAT4 = ((0, 0), (0, 1), (1, 0), (1, 1))
+_PAIRS_CAT6 = ((0, 0), (1, 0), (2, 0), (0, 1), (1, 1), (0, 2))  # ~HIGHEST
+
+
+def _split_terms_np(W, n):
+    """Host-side n-term bf16 decomposition of an f32 constant matrix."""
+    import ml_dtypes
+
+    terms = []
+    r = W.astype(np.float32)
+    for _ in range(n):
+        h = r.astype(ml_dtypes.bfloat16)
+        terms.append(h)
+        r = r - h.astype(np.float32)
+    return terms
+
+
+def _cat_lhs_np(W, pairs):
+    """Pre-concatenated LHS for the K-packed compensated dot:
+    (M, K) f32 -> (M, T*K) bf16 with one block per term pair."""
+    n_w = max(wi for wi, _ in pairs) + 1
+    terms = _split_terms_np(np.asarray(W), n_w)
+    return np.concatenate([terms[wi] for wi, _ in pairs], axis=1)
+
+
+def _cat_rhs(x, pairs):
+    """In-kernel RHS: (K, N) f32 -> (T*K, N) bf16 stacked split terms."""
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    n_x = max(xi for _, xi in pairs) + 1
+    terms = []
+    r = x
+    for _ in range(n_x):
+        h = r.astype(bf16)
+        terms.append(h)
+        r = r - h.astype(f32)
+    return jnp.concatenate([terms[xi] for _, xi in pairs], axis=0)
+
+
+def _make_cat_dot(pairs):
+    def cat_dot(w_cat_ref_value, x_rhs):
+        return jnp.dot(w_cat_ref_value, x_rhs,
+                       preferred_element_type=jnp.float32)
+
+    return cat_dot
+
+
+# mode -> (stage1 pairs, stage2 pairs, centered); None pairs = HIGHEST /
+# split3 handled separately.  Mixed modes exist because the two stages
+# limit accuracy differently: stage-2 operates on the spectral output of
+# stage 1 whose magnitudes are ~sqrt(F) larger, so its bf16 operand
+# residual dominates — cat46c upgrades only stage 2 to the 3-term split.
+_CAT_MODES = {
+    "cat3c": (_PAIRS_CAT3, _PAIRS_CAT3, True),
+    "cat4c": (_PAIRS_CAT4, _PAIRS_CAT4, True),
+    "cat6c": (_PAIRS_CAT6, _PAIRS_CAT6, True),
+    "cat6": (_PAIRS_CAT6, _PAIRS_CAT6, False),
+    "cat46c": (_PAIRS_CAT4, _PAIRS_CAT6, True),
+    "cat64c": (_PAIRS_CAT6, _PAIRS_CAT4, True),
+}
+
+
+def _acf_kernel2(vx, vy, vz, w1r_ref, w1i_ref, twr_ref, twi_ref, w2rt_ref,
+                 w2it_ref, cinv_ref, *, N1, N2, nfft, F, mode,
+                 tri_ref=None, nd_pad=None, cinv_mode="same",
+                 pcenter=False, ablate=0):
+    """One 128-bond tile's full chain: (F, 128) component planes ->
+    (nd_pad, 128) lag sums (pure value function; refs only for consts)."""
+    f32 = vx.dtype
+    pairs1, pairs2, centered = _CAT_MODES.get(
+        mode, (None, None, mode == "split3c")
+    )
+    hi_dot = lambda a, b: jnp.dot(a, b, precision=_HI)  # noqa: E731
+    if pairs1:
+        # bf16 LHS (pre-cat) x bf16 RHS with f32 accumulation.
+        dot = lambda a, b: jnp.dot(  # noqa: E731
+            a, b, preferred_element_type=jnp.float32
+        )
+        dot2 = dot
+    else:
+        dot = _dot3 if mode in ("split3", "split3c") else hi_dot
+        dot2 = dot
+    cinv_dot = {"same": _dot3 if pairs1 else dot, "highest": hi_dot,
+                "split4": _dot4}[cinv_mode]
+
+    # ablate (perf diagnosis only): truncate the chain after stage
+    # -1=input DMA only, 1=comps, 2=+stage1 dots, 3=+twiddle,
+    # 4=+transpose, 5=+stage2 dots; partial results are sum-reduced into
+    # the output so nothing is DCE'd.
+    if ablate == -1:
+        return (jnp.zeros((nd_pad, 128), f32)
+                + jnp.sum(vx) + jnp.sum(vy) + jnp.sum(vz))
     comp_planes = {0: vx * vx, 1: vy * vy, 2: vz * vz}
     prods = {(0, 1): vx * vy, (1, 2): vy * vz, (0, 2): vx * vz}
 
@@ -87,71 +224,270 @@ def _acf_kernel(v_ref, w1r_ref, w1i_ref, twr_ref, twi_ref, w2rt_ref,
     twr, twi = twr_ref[...], twi_ref[...]
     w2rt, w2it = w2rt_ref[...], w2it_ref[...]
 
+    K1 = -(-F // N2)  # stage-1 truncated contraction length
+    zpad = jnp.zeros((K1 * N2 - F, 128), f32)
+
+    # Mean-centering accumulators (split3c): the bf16-split dots lose
+    # ~2^-18 relative per product, amplified by the DC spike of the
+    # outer-product signals.  Centering each component by its own mean
+    # removes the spike; the EXACT algebraic identity
+    #   acf_w(d) = acf_delta(d) + m*(2*S - P_d - T_d) + m^2*(F-d),
+    #   P_d = sum_{t<d} delta_t,  T_d = sum_{t>=F-d} delta_t,
+    #   S = sum_t delta_t  (held for ANY m-hat)
+    # restores the uncentered statistics via cheap 1-D corrections: one
+    # (nd_pad, 2*nd_pad) triangular matmul for all P/T at once plus
+    # per-lane scalar rows.
+    head_acc = jnp.zeros((nd_pad, 128), f32) if centered else None
+    tail_acc = jnp.zeros((nd_pad, 128), f32) if centered else None
+    sc_acc = jnp.zeros((1, 128), f32) if centered else None
+    msq_acc = jnp.zeros((1, 128), f32) if centered else None
+
     def component(idx):
         i, j, w = _PAIR_I[idx], _PAIR_J[idx], _PAIR_W[idx]
         base = comp_planes[i] if i == j else prods[(i, j)]
-        return w * base
+        return w * base  # (F, 128)
+
+    abl_acc = jnp.zeros((nd_pad, 128), f32) if ablate else None
 
     def half_dft(xr, xi):
-        # x: (nfft, 128) -> (N1, N2*128) pure view
-        xr = xr.reshape(N1, N2 * 128)
-        xi = xi.reshape(N1, N2 * 128)
-        ar = (jnp.dot(w1r, xr, precision=_HI)
-              - jnp.dot(w1i, xi, precision=_HI))
-        ai = (jnp.dot(w1i, xr, precision=_HI)
-              + jnp.dot(w1r, xi, precision=_HI))
+        nonlocal abl_acc
+        xr = xr.reshape(K1, N2 * 128)
+        xi = xi.reshape(K1, N2 * 128)
+        if ablate == 1:
+            abl_acc = abl_acc + jnp.sum(xr) + jnp.sum(xi)
+            return None
+        # Complex multiply as ONE stacked dot: [W_r; W_i] @ [X_r | X_i]
+        # yields all four cross products in a single MXU pass with
+        # M = 2*N1 <= 128 — two 48-row dots waste 5/8 of every padded
+        # 128-row MXU tile, the stacked 96-row dot only 1/4.
+        if pairs1:
+            xr_rhs = _cat_rhs(xr, pairs1)
+            xi_rhs = _cat_rhs(xi, pairs1)
+        else:
+            xr_rhs, xi_rhs = xr, xi
+        n_c = N2 * 128
+        w1s = jnp.concatenate([w1r, w1i], axis=0)  # (2*N1, K)
+        rhs1 = jnp.concatenate([xr_rhs, xi_rhs], axis=1)  # (K, 2*n_c)
+        o1 = dot(w1s, rhs1)  # (2*N1, 2*n_c)
+        ar = o1[:N1, :n_c] - o1[N1:, n_c:]
+        ai = o1[N1:, :n_c] + o1[:N1, n_c:]
+        if ablate == 2:
+            abl_acc = abl_acc + jnp.sum(ar) + jnp.sum(ai)
+            return None
         br = ar * twr - ai * twi
         bi = ar * twi + ai * twr
-        # (N1, N2, 128) -> (N2, N1, 128): sublane-block transpose
+        if ablate == 3:
+            abl_acc = abl_acc + jnp.sum(br) + jnp.sum(bi)
+            return None
         brt = jnp.swapaxes(br.reshape(N1, N2, 128), 0, 1).reshape(N2, N1 * 128)
         bit = jnp.swapaxes(bi.reshape(N1, N2, 128), 0, 1).reshape(N2, N1 * 128)
-        xr2 = (jnp.dot(w2rt, brt, precision=_HI)
-               - jnp.dot(w2it, bit, precision=_HI))
-        xi2 = (jnp.dot(w2it, brt, precision=_HI)
-               + jnp.dot(w2rt, bit, precision=_HI))
+        if ablate == 4:
+            abl_acc = abl_acc + jnp.sum(brt) + jnp.sum(bit)
+            return None
+        if pairs2:
+            brt_rhs = _cat_rhs(brt, pairs2)
+            bit_rhs = _cat_rhs(bit, pairs2)
+        else:
+            brt_rhs, bit_rhs = brt, bit
+        n_c2 = N1 * 128
+        w2s = jnp.concatenate([w2rt, w2it], axis=0)  # (2*N2, K)
+        rhs2 = jnp.concatenate([brt_rhs, bit_rhs], axis=1)
+        o2 = dot2(w2s, rhs2)  # (2*N2, 2*n_c2)
+        xr2 = o2[:N2, :n_c2] - o2[N2:, n_c2:]
+        xi2 = o2[N2:, :n_c2] + o2[:N2, n_c2:]
+        if ablate == 5:
+            abl_acc = abl_acc + jnp.sum(xr2) + jnp.sum(xi2)
+            return None
         return xr2 * xr2 + xi2 * xi2  # (N2, N1*128)
 
     power = jnp.zeros((N2, N1 * 128), f32)
     for pair in range(3):
-        xr = component(2 * pair)
-        xi = component(2 * pair + 1)
-        power = power + half_dft(xr, xi)
+        planes = []
+        for idx in (2 * pair, 2 * pair + 1):
+            plane = component(idx)  # (F, 128)
+            if centered:
+                m = jnp.sum(plane, axis=0, keepdims=True) * (1.0 / F)
+                delta = plane - m
+                s_tot = jnp.sum(delta, axis=0, keepdims=True)
+                head_acc = head_acc + m * delta[:nd_pad]
+                tail_acc = tail_acc + m * delta[F - nd_pad : F]
+                sc_acc = sc_acc + m * (2.0 * s_tot)
+                msq_acc = msq_acc + m * m
+                plane = delta
+            planes.append(jnp.concatenate([plane, zpad], axis=0))
+        p = half_dft(planes[0], planes[1])
+        if p is not None:
+            power = power + p
+    if ablate:
+        return abl_acc
 
     pf = power.reshape(nfft, 128)
-    out_ref[...] = jnp.dot(cinv_ref[...], pf, precision=_HI)
+    if pcenter:
+        # CINV rows sum to zero over k (geometric sum), so subtracting
+        # the per-lane spectral mean is EXACT — and it removes the
+        # all-positive offset of the power spectrum that otherwise
+        # dominates the compensated-bf16 contraction error.
+        pf = pf - jnp.mean(pf, axis=0, keepdims=True)
+    out = cinv_dot(cinv_ref[...], pf)
+    if centered:
+        pt = _dot3(tri_ref[...], jnp.concatenate([head_acc, tail_acc], axis=0))
+        d = (
+            jax.lax.broadcasted_iota(jnp.int32, (nd_pad, 1), 0).astype(f32)
+            + 1.0
+        )
+        out = out - pt + sc_acc + msq_acc * (F - d)
+    return out
 
 
-def acf_sums_pallas(vecs, n_deltas: int):
-    """Drop-in replacement for autocorr._acf_sums on TPU.
+def vmem_estimate(n_frames: int, n_deltas: int) -> int:
+    """Rough bytes of VMEM the kernel needs for one tile (constants +
+    input block + working planes) — used by the dispatcher to fall back
+    to the XLA chain for shapes that exceed the 16 MB scoped budget."""
+    n_min = n_frames + n_deltas
+    nfft = ((n_min + 127) // 128) * 128
+    nd_pad = ((n_deltas + 7) // 8) * 8
+    consts = (nd_pad * nfft + nd_pad * 2 * nd_pad + 2 * nfft * 128) * 4
+    tile_in = 3 * n_frames * 128 * 4
+    working = 8 * nfft * 128 * 4
+    return consts + tile_in + working
 
-    vecs : (..., nFrames, 3) -> (..., n_deltas) lag sums of
-    (v(t).v(t+delta))^2.
-    """
-    lead = vecs.shape[:-2]
-    n_frames = vecs.shape[-2]
-    dtype = jnp.float32  # the fused kernel is f32; f64 falls back upstream
-    (nfft, N1, N2, nd_pad, W1r, W1i, twr, twi, W2rt, W2it, CINV) = (
-        _kernel_constants(n_frames, n_deltas, "float32")
+
+def supports(n_frames: int, n_deltas: int, budget: int = 15_000_000):
+    """True when the fused kernel handles this shape: VMEM working set
+    within budget AND enough frames for the centered-correction rows."""
+    nd_pad = ((n_deltas + 7) // 8) * 8
+    return (
+        n_frames >= nd_pad
+        and vmem_estimate(n_frames, n_deltas) <= budget
     )
-    B = int(np.prod(lead)) if lead else 1
-    b_pad = ((B + 127) // 128) * 128
-    v = vecs.reshape(B, n_frames, 3).astype(dtype)
-    # (B, F, 3) -> (3, F, B) with frame and batch padding
-    v = jnp.transpose(v, (2, 1, 0))
-    v = jnp.pad(v, ((0, 0), (0, nfft - n_frames), (0, b_pad - B)))
 
-    grid = (b_pad // 128,)
-    consts = [jnp.asarray(c) for c in (W1r, W1i, twr, twi, W2rt, W2it, CINV)]
+
+def acf_sums_pallas(vecs, n_deltas: int, mode: str = "cat64c",
+                    n1: int = 0, cinv: str = "split4", pcenter: bool = True,
+                    ablate: int = 0, fuse_transpose: bool = False,
+                    tiles: int = 1, transpose_out: bool = True,
+                    pretiled: bool = False):
+    """vecs : (..., nFrames, 3) -> (..., n_deltas) lag sums
+    sum_t (v(t).v(t+delta))^2 for delta = 1..n_deltas.
+
+    Defaults are the measured production config (see module docstring);
+    mode="highest" gives 6-pass f32-exact dots for cross-checks.
+    tiles : 128-bond tiles per grid program (unrolled in-kernel).
+    transpose_out=False returns the kernel's native (n_deltas, B) layout
+    (B = prod of the leading dims, row-major) so lag-leading consumers
+    (the Palmer statistics) skip the final XLA transpose.
+
+    Alternatively pass vecs already in the kernel's native tile layout
+    (nTiles, 3, nFrames, 128) [set ``pretiled=True``] — producers that
+    can emit this layout (device-side generators, tiled loaders) skip
+    the XLA transpose pre-pass entirely, which dominates the step at
+    large batch (measured pathological at B ~ 4e4).
+    """
+    if pretiled:
+        n_tiles, _three, n_frames, _lanes = vecs.shape
+        if _three != 3 or _lanes != 128:
+            raise ValueError(
+                f"pretiled input must be (nTiles, 3, nFrames, 128), got "
+                f"{vecs.shape}"
+            )
+        lead = (n_tiles * 128,)
+        B = b_pad = n_tiles * 128
+        if fuse_transpose:
+            raise ValueError("pretiled and fuse_transpose are exclusive")
+    else:
+        lead = vecs.shape[:-2]
+        n_frames = vecs.shape[-2]
+    dtype = jnp.float32
+    cinv_mode = cinv
+    (nfft, N1, N2, nd_pad, W1r, W1i, twr, twi, W2rt, W2it, CINV) = (
+        _kernel_constants(n_frames, n_deltas, "float32", n1)
+    )
+    if not pretiled:
+        B = int(np.prod(lead)) if lead else 1
+        b_pad = ((B + 127) // 128) * 128
+        n_tiles = b_pad // 128
+        v = vecs.reshape(B, n_frames, 3).astype(dtype)
+        if b_pad != B:
+            v = jnp.concatenate(
+                [v, jnp.zeros((b_pad - B, n_frames, 3), dtype)], axis=0
+            )
+    while n_tiles % tiles != 0:  # clamp to a divisor of the tile count
+        tiles -= 1
+    if pretiled:
+        v = vecs.astype(dtype)
+        v_spec = pl.BlockSpec(
+            (tiles, 3, n_frames, 128), lambda i: (i, 0, 0, 0)
+        )
+    elif fuse_transpose:
+        # Free row-major view: (B, F, 3) -> (nTiles, 128, F*3); the
+        # kernel transposes each tile in VMEM (one XLU pass) instead of
+        # XLA materialising the transposed copy in HBM.
+        v = v.reshape(n_tiles, 128, n_frames * 3)
+        v_spec = pl.BlockSpec(
+            (tiles, 128, n_frames * 3), lambda i: (i, 0, 0)
+        )
+    else:
+        # (B, F, 3) -> (nTiles, 3, F, 128): contiguous 3*F*128*4B/tile.
+        v = jnp.transpose(v.reshape(n_tiles, 128, n_frames, 3), (0, 3, 2, 1))
+        v_spec = pl.BlockSpec(
+            (tiles, 3, n_frames, 128), lambda i: (i, 0, 0, 0)
+        )
+
+    pairs1, pairs2, _ = _CAT_MODES.get(mode, (None, None, None))
+    if pairs1:
+        W1r = _cat_lhs_np(W1r, pairs1)
+        W1i = _cat_lhs_np(W1i, pairs1)
+        W2rt = _cat_lhs_np(W2rt, pairs2)
+        W2it = _cat_lhs_np(W2it, pairs2)
+    const_arrays = [W1r, W1i, twr, twi, W2rt, W2it, CINV]
+    if mode in ("split3c", "cat3c", "cat4c", "cat6c", "cat46c", "cat64c"):
+        if n_frames < nd_pad:
+            raise ValueError(
+                f"split3c needs nFrames ({n_frames}) >= padded lag rows "
+                f"({nd_pad})"
+            )
+        # TRI = [L | U]: L[r, t] = 1 for t <= r (prefix sums P_d, d=r+1);
+        # U[r, j] = 1 for j >= nd_pad-1-r (suffix sums T_d over the last
+        # nd_pad rows).
+        r = np.arange(nd_pad)[:, None]
+        L = (np.arange(nd_pad)[None, :] <= r).astype(np.float32)
+        U = (np.arange(nd_pad)[None, :] >= nd_pad - 1 - r).astype(np.float32)
+        TRI = np.concatenate([L, U], axis=1)
+        const_arrays.append(TRI)
+    consts = [jnp.asarray(c) for c in const_arrays]
     const_specs = [
         pl.BlockSpec(c.shape, lambda i: (0,) * c.ndim) for c in consts
     ]
+
+    def kernel(v_ref, w1r, w1i, twr_, twi_, w2rt, w2it, cinv, *rest):
+        if mode in ("split3c", "cat3c", "cat4c", "cat6c", "cat46c",
+                    "cat64c"):
+            tri_ref, out_ref = rest
+        else:
+            tri_ref, out_ref = None, rest[0]
+        for t in range(tiles):
+            if fuse_transpose:
+                x2d = jnp.swapaxes(v_ref[t], 0, 1)  # (3F, 128)
+                x3 = x2d.reshape(n_frames, 3, 128)  # leading split: free
+                vx, vy, vz = x3[:, 0, :], x3[:, 1, :], x3[:, 2, :]
+            else:
+                vx, vy, vz = v_ref[t, 0], v_ref[t, 1], v_ref[t, 2]
+            res = _acf_kernel2(
+                vx, vy, vz, w1r, w1i, twr_, twi_, w2rt, w2it, cinv,
+                N1=N1, N2=N2, nfft=nfft, F=n_frames, mode=mode,
+                tri_ref=tri_ref, nd_pad=nd_pad, cinv_mode=cinv_mode,
+                pcenter=pcenter, ablate=ablate,
+            )
+            out_ref[:, t * 128 : (t + 1) * 128] = res
+
     out = pl.pallas_call(
-        functools.partial(_acf_kernel, N1=N1, N2=N2, nfft=nfft),
-        grid=grid,
-        in_specs=[pl.BlockSpec((3, nfft, 128), lambda i: (0, 0, i))]
-        + const_specs,
-        out_specs=pl.BlockSpec((nd_pad, 128), lambda i: (0, i)),
+        kernel,
+        grid=(n_tiles // tiles,),
+        in_specs=[v_spec] + const_specs,
+        out_specs=pl.BlockSpec((nd_pad, tiles * 128), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((nd_pad, b_pad), dtype),
     )(v, *consts)
-    out = out[:n_deltas, :B]  # drop sublane/batch padding
+    out = out[:n_deltas, :B]
+    if not transpose_out:
+        return out.astype(vecs.dtype)  # (n_deltas, B)
     return jnp.transpose(out).reshape(lead + (n_deltas,)).astype(vecs.dtype)

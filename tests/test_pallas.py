@@ -10,6 +10,7 @@ import contextlib
 from unittest import mock
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -42,23 +43,49 @@ def test_constants_layout():
         pallas_acf._kernel_constants(1000, 500, "float32")
     )
     assert nfft == N1 * N2 and nfft >= 1500 and nfft % 128 == 0
-    assert W1r.shape == (N1, N1) and W2rt.shape == (N2, N2)
+    # Stage-1 contraction truncated to K1 = ceil(F/N2) rows.
+    K1 = -(-1000 // N2)
+    assert W1r.shape == (N1, K1) and W2rt.shape == (N2, N2)
     assert twr.shape == (N1, N2 * 128)
     assert nd_pad % 8 == 0 and CINV.shape == (nd_pad, nfft)
     # Rows past n_deltas are zero padding.
     assert not CINV[500:].any() and CINV[:500].any()
 
 
-def test_pallas_acf_interpret_matches_xla():
-    """The fused ACF kernel must match the XLA matmul-DFT in interpret
-    mode, including batch/lag padding (B=450 pads to 512)."""
+def test_vmem_guard():
+    # Canonical production shape fits ...
+    assert pallas_acf.supports(1000, 500)
+    # ... huge memory-time chunks fall back to the XLA chain ...
+    assert not pallas_acf.supports(20000, 10000)
+    # ... as do chunks shorter than the padded correction rows.
+    assert not pallas_acf.supports(4, 2)
+
+
+@pytest.mark.parametrize(
+    "mode,kw",
+    [
+        ("cat64c", dict(cinv="split4", pcenter=True)),  # production default
+        ("cat4c", dict(cinv="split4", pcenter=True)),
+        ("cat46c", dict(cinv="split4", pcenter=True)),
+        ("highest", dict(cinv="highest")),
+        ("split3c", dict()),
+        ("cat64c", dict(cinv="split4", pcenter=True, tiles=2)),
+        ("cat64c", dict(cinv="split4", pcenter=True, fuse_transpose=True)),
+    ],
+)
+def test_pallas_acf_interpret_matches_xla(mode, kw):
+    """Every kernel mode must match the XLA matmul-DFT in interpret
+    mode, including batch/lag padding (B=120 pads to 128)."""
     rng = np.random.default_rng(3)
     v = rng.normal(size=(3, 150, 40, 3)).astype(np.float32)
     v /= np.linalg.norm(v, axis=-1, keepdims=True)
     n_deltas = 20
 
     with interpreted_pallas():
-        got = np.asarray(pallas_acf.acf_sums_pallas(jnp.asarray(v), n_deltas))
+        got = np.asarray(
+            pallas_acf.acf_sums_pallas(jnp.asarray(v), n_deltas, mode=mode,
+                                       **kw)
+        )
     want = np.asarray(ac._acf_sums_xla(jnp.asarray(v), n_deltas))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 

@@ -33,7 +33,13 @@ def main():
         help="shard over an N-device ('rep','res') mesh via the production "
         "sharded stream (parallel/streamed.py); 0 = single device",
     )
+    p.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas"],
+                   help="force the ACF backend (autocorr.ACF_IMPL)")
     a = p.parse_args()
+
+    from spinrelax_tpu.ops import autocorr as _ac
+
+    _ac.ACF_IMPL = a.impl
 
     import jax
     import jax.numpy as jnp

@@ -22,12 +22,26 @@ N_DELTAS = N_FRAMES // 2
 
 def variants():
     from spinrelax_tpu.ops.pallas_acf import acf_sums_pallas
-    from spinrelax_tpu.ops.pallas_acf2 import acf_sums_pallas2
+
+    def acf_sums_pallas2(v, d, **kw):
+        # explicit-config entry (modes default to the production
+        # cat64c/split4/pcenter; variants override everything)
+        kw.setdefault("cinv", "same")
+        kw.setdefault("pcenter", False)
+        kw.setdefault("mode", "highest")
+        return acf_sums_pallas(v, d, **kw)
     from spinrelax_tpu.ops.autocorr import _acf_sums_xla
+
+    from spinrelax_tpu.ops import autocorr as _ac
 
     return {
         "xla": _acf_sums_xla,
-        "v1": acf_sums_pallas,
+        # full ct_palmer (kernel + Palmer statistics): isolates the
+        # post-kernel stats cost vs the bare "v1" kernel (bench.py shape)
+        "v1stats": lambda v, d: jnp.stack(
+            _ac.ct_palmer(jnp.swapaxes(v, 1, 2))
+        ),
+        "v1": lambda v, d: acf_sums_pallas(v, d),  # production default
         "v2h": lambda v, d: acf_sums_pallas2(v, d, mode="highest"),
         "v2s": lambda v, d: acf_sums_pallas2(v, d, mode="split3"),
         "v3": lambda v, d: acf_sums_pallas2(v, d, mode="split3c"),
@@ -60,6 +74,9 @@ def variants():
         # K-packed compensated dots (split terms ride the K padding)
         "v4": lambda v, d: acf_sums_pallas2(v, d, mode="cat3c",
                                             cinv="split4", pcenter=True),
+        # cat6 stage-1 (the accuracy limiter), cat4 stage-2
+        "v10": lambda v, d: acf_sums_pallas2(v, d, mode="cat64c",
+                                             cinv="split4", pcenter=True),
         # cat4 = cat3 + lo*lo term: same K-tile count (192 pads like 144)
         "v7": lambda v, d: acf_sums_pallas2(v, d, mode="cat4c",
                                             cinv="split4", pcenter=True),
@@ -93,6 +110,21 @@ def variants():
         "tabl0": lambda v, d: acf_sums_pallas2(v, d, mode="cat4c",
                                                ablate=-1,
                                                fuse_transpose=True),
+        # dispatch-throughput floor of the tunnel (trivial jitted op)
+        "null": lambda v, d: jnp.zeros((v.shape[0], v.shape[1], d),
+                                       v.dtype) + v[..., 0, 0][..., None],
+        # multi-tile programs (amortise per-grid-step overhead)
+        "cabl0_t4": lambda v, d: acf_sums_pallas2(v, d, mode="cat4c",
+                                                  ablate=-1, tiles=4),
+        "v7_t2": lambda v, d: acf_sums_pallas2(v, d, mode="cat4c",
+                                               cinv="split4", pcenter=True,
+                                               tiles=2),
+        "v7_t4": lambda v, d: acf_sums_pallas2(v, d, mode="cat4c",
+                                               cinv="split4", pcenter=True,
+                                               tiles=4),
+        "v8_t2": lambda v, d: acf_sums_pallas2(v, d, mode="cat46c",
+                                               cinv="split4", pcenter=True,
+                                               tiles=2),
         "v5": lambda v, d: acf_sums_pallas2(v, d, mode="cat6c",
                                             cinv="split4", pcenter=True),
         "v5nc": lambda v, d: acf_sums_pallas2(v, d, mode="cat6c",
@@ -151,7 +183,8 @@ def main():
     vs = variants()
     for name in names:
         fn = vs[name]
-        err = float("nan") if name.startswith("abl") else accuracy(fn)
+        skip_acc = "abl" in name or name in ("null", "v1stats")
+        err = float("nan") if skip_acc else accuracy(fn)
         ms = bench(fn) * 1e3
         fv = N_REP * N_FRAMES * N_RES / (ms / 1e3)
         print(f"{name}: {ms:.2f} ms/step  {fv:.3g} fv/s  Ct_err={err:.2e}",
