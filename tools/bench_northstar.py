@@ -59,13 +59,44 @@ def main():
 
     n_vals = F - jnp.arange(1, D + 1, dtype=jnp.float32)
 
-    @jax.jit
-    def group_step(key, acc_s, acc_s2):
-        v = jax.random.normal(key, (G, N, F, 3), dtype=jnp.float32)
-        v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
-        s = _acf_sums(v, D)  # (G, N, D)
-        per = -0.5 + 1.5 * s / n_vals
-        return acc_s + jnp.sum(per, axis=0), acc_s2 + jnp.sum(per**2, axis=0)
+    from spinrelax_tpu.ops.pallas_acf import acf_sums_pallas, supports
+
+    use_pretiled = (
+        a.impl != "xla"
+        and jax.default_backend() == "tpu"
+        and supports(F, D)
+    )
+    if use_pretiled:
+        # Generate straight into the kernel's native (nTiles, 3, F, 128)
+        # tile layout (a loader can DMA host data into this layout just
+        # as cheaply — it is only an index reordering at ingest), so no
+        # XLA transpose/pad pre-pass runs per group.  Lag-leading
+        # accumulators; one tiny transpose in finish().
+        B = G * N
+        n_tiles = -(-B // 128)
+
+        @jax.jit
+        def group_step(key, acc_s, acc_s2):
+            v = jax.random.normal(
+                key, (n_tiles, 3, F, 128), dtype=jnp.float32
+            )
+            v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
+            s = acf_sums_pallas(v, D, pretiled=True, transpose_out=False)
+            per = -0.5 + 1.5 * s[:, :B] / n_vals[:, None]  # (D, B)
+            per = per.reshape(D, G, N)
+            return (
+                acc_s + jnp.sum(per, axis=1),
+                acc_s2 + jnp.sum(per**2, axis=1),
+            )
+    else:
+
+        @jax.jit
+        def group_step(key, acc_s, acc_s2):
+            v = jax.random.normal(key, (G, N, F, 3), dtype=jnp.float32)
+            v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+            s = _acf_sums(v, D)  # (G, N, D)
+            per = -0.5 + 1.5 * s / n_vals
+            return acc_s + jnp.sum(per, axis=0), acc_s2 + jnp.sum(per**2, axis=0)
 
     pair = NucleusPair(time_unit="ps")
     omega = jnp.asarray(pair.omega5(), dtype=jnp.float32)
@@ -74,6 +105,8 @@ def main():
 
     @jax.jit
     def finish(acc_s, acc_s2):
+        if use_pretiled:  # lag-leading accumulators: one tiny transpose
+            acc_s, acc_s2 = acc_s.T, acc_s2.T
         mean = acc_s / R
         var = jnp.maximum(acc_s2 / R - mean**2, 0.0)
         dCt = jnp.sqrt(var) / (jnp.sqrt(jnp.float32(R)) - 1.0)
@@ -87,16 +120,18 @@ def main():
 
     # Warm-up compile of both programs on tiny state.
     key0 = jax.random.PRNGKey(int(time.time()) & 0x7FFFFFFF)
-    acc_s = jnp.zeros((N, D), jnp.float32)
-    acc_s2 = jnp.zeros((N, D), jnp.float32)
+    acc_shape = (D, N) if use_pretiled else (N, D)
+    acc_s = jnp.zeros(acc_shape, jnp.float32)
+    acc_s2 = jnp.zeros(acc_shape, jnp.float32)
     w1, w2 = group_step(key0, acc_s, acc_s2)
     out = finish(w1, w2)
     float(out[3][0])  # force completion
 
     keys = jax.random.split(key0, R // G)
     t0 = time.perf_counter()
-    acc_s = jnp.zeros((N, D), jnp.float32)
-    acc_s2 = jnp.zeros((N, D), jnp.float32)
+    acc_shape = (D, N) if use_pretiled else (N, D)
+    acc_s = jnp.zeros(acc_shape, jnp.float32)
+    acc_s2 = jnp.zeros(acc_shape, jnp.float32)
     for k in keys:
         acc_s, acc_s2 = group_step(k, acc_s, acc_s2)
     Ct, dCt, S2, R1, R2, NOE = finish(acc_s, acc_s2)
