@@ -136,6 +136,16 @@ def _load_xtc():
             ctypes.c_float,
         ]
         lib.xtc_write.restype = ctypes.c_int
+        lib.xtc_open.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int)]
+        lib.xtc_open.restype = ctypes.c_void_p
+        lib.xtc_next.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+        ]
+        lib.xtc_next.restype = ctypes.c_long
+        lib.xtc_close.argtypes = [ctypes.c_void_p]
+        lib.xtc_close.restype = None
         _xtc_lib = lib
     except Exception:
         _xtc_lib = None
@@ -171,6 +181,43 @@ def read_xtc(fn: str):
     if got != nf:
         raise OSError(f"xtc_read returned {got} of {nf} frames for {fn!r}")
     return xyz, boxes, times
+
+
+def iter_xtc(fn: str, chunk_frames: int):
+    """Stream an .xtc in fixed-size frame chunks without loading the file
+    (the >RAM ingest path; run-all.bash:359 feeds multi-GB solute.xtc).
+
+    Yields (xyz (c, nAtoms, 3) [nm] f32, boxes (c, 3, 3), times (c,)).
+    """
+    lib = _load_xtc()
+    if lib is None:
+        raise OSError("native XTC codec unavailable (no compiler?)")
+    natoms = ctypes.c_int()
+    handle = lib.xtc_open(fn.encode(), ctypes.byref(natoms))
+    if not handle:
+        raise OSError(f"xtc_open failed on {fn!r}")
+    na = natoms.value
+    try:
+        while True:
+            xyz = np.empty((chunk_frames, na, 3), dtype=np.float32)
+            times = np.empty(chunk_frames, dtype=np.float32)
+            boxes = np.empty((chunk_frames, 3, 3), dtype=np.float32)
+            got = lib.xtc_next(
+                handle,
+                xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                times.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                chunk_frames,
+            )
+            if got < 0:
+                raise OSError(f"xtc_next failed on {fn!r} (code {got})")
+            if got == 0:
+                return
+            yield xyz[:got], boxes[:got], times[:got]
+            if got < chunk_frames:
+                return
+    finally:
+        lib.xtc_close(handle)
 
 
 def write_xtc(fn: str, xyz, times=None, boxes=None, precision: float = 1000.0):

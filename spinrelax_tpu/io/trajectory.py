@@ -108,7 +108,20 @@ def iter_trajectory(
         if buf:
             yield np.array(buf), dt_out
         return
-    if fn.endswith((".npz", ".pdb", ".xtc")):
+    if fn.endswith(".xtc"):
+        from . import native
+
+        dt_out = timestep
+        prev_t = None
+        for xyz, _boxes, times in native.iter_xtc(fn, chunk_frames):
+            if prev_t is not None and dt_out == timestep:
+                dt_out = float(times[0] - prev_t)
+            elif len(times) > 1 and dt_out == timestep:
+                dt_out = float(times[1] - times[0])
+            prev_t = float(times[-1])
+            yield xyz, dt_out
+        return
+    if fn.endswith((".npz", ".pdb")):
         xyz, dt = load_trajectory(fn, top_fn=top_fn)
         for start in range(0, xyz.shape[0], chunk_frames):
             yield xyz[start : start + chunk_frames], dt

@@ -556,6 +556,55 @@ long xtc_read(const char* path, float* xyz, float* times, float* boxes,
     return f;
 }
 
+// Streaming reader: opaque handle for chunked ingest of >RAM files
+// (run-all.bash:359 feeds multi-GB solute.xtc trajectories; the whole-
+// file xtc_read cannot serve the 10^6-frame north-star scale).
+struct XtcStream {
+    FILE* fp;
+    int natoms;
+};
+
+// Open + peek natoms from the first frame header (magic, natoms are the
+// first two big-endian i32 fields); rewinds to the start.
+void* xtc_open(const char* path, int* natoms) {
+    FILE* fp = fopen(path, "rb");
+    if (!fp) return nullptr;
+    Reader rd{fp};
+    int magic = rd.i32();
+    int na = rd.i32();
+    if (!rd.ok || magic != 1995 || na <= 0) {
+        fclose(fp);
+        return nullptr;
+    }
+    fseek(fp, 0, SEEK_SET);
+    *natoms = na;
+    return new XtcStream{fp, na};
+}
+
+// Read up to max_frames frames from the current position.  Returns the
+// number read (0 at EOF), negative on error.
+long xtc_next(void* handle, float* xyz, float* times, float* boxes,
+              long max_frames) {
+    XtcStream* s = (XtcStream*)handle;
+    Reader rd{s->fp};
+    long f = 0;
+    FrameHeader h;
+    while (f < max_frames && !rd.eof()) {
+        if (!read_frame(rd, h, xyz + (size_t)f * s->natoms * 3)) break;
+        if (h.natoms != s->natoms) return -3;
+        times[f] = h.time;
+        if (boxes) memcpy(boxes + (size_t)f * 9, h.box, 9 * sizeof(float));
+        f++;
+    }
+    return f;
+}
+
+void xtc_close(void* handle) {
+    XtcStream* s = (XtcStream*)handle;
+    fclose(s->fp);
+    delete s;
+}
+
 int xtc_write(const char* path, const float* xyz, const float* times,
               const float* boxes, long n_frames, int natoms, float precision) {
     FILE* fp = fopen(path, "wb");

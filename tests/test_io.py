@@ -336,3 +336,43 @@ def test_colvar_multi_ragged(tmp_path):
     fnames, data = colvar.read_colvar_multi(fn)
     assert len(fnames) == 3
     assert [d.shape for d in data] == [(4, 5), (6, 5), (3, 5)]
+
+
+def test_xtc_streaming_iter(tmp_path):
+    """iter_xtc / iter_trajectory stream an .xtc in chunks from the
+    native handle-based reader (xtc_open/xtc_next/xtc_close) — the >RAM
+    ingest path for run-all.bash:359-scale trajectories — and match the
+    whole-file decode exactly."""
+    from spinrelax_tpu.io import native
+    from spinrelax_tpu.io.trajectory import iter_trajectory
+
+    if not native.xtc_available():
+        pytest.skip("no compiler for the native XTC codec")
+    rng = np.random.default_rng(5)
+    nf, na = 11, 30
+    xyz = rng.uniform(0, 4, (nf, na, 3)).astype(np.float32)
+    times = np.arange(nf, dtype=np.float32) * 2.5
+    boxes = np.zeros((nf, 3, 3), dtype=np.float32)
+    boxes[:, [0, 1, 2], [0, 1, 2]] = 4.0
+    fn = str(tmp_path / "stream.xtc")
+    native.write_xtc(fn, xyz, times, boxes=boxes)
+
+    whole, wboxes, wtimes = native.read_xtc(fn)
+    chunks = list(native.iter_xtc(fn, chunk_frames=4))
+    assert [c[0].shape[0] for c in chunks] == [4, 4, 3]
+    np.testing.assert_allclose(
+        np.concatenate([c[0] for c in chunks]), whole, atol=0
+    )
+    np.testing.assert_allclose(
+        np.concatenate([c[1] for c in chunks]), wboxes, atol=0
+    )
+    np.testing.assert_allclose(
+        np.concatenate([c[2] for c in chunks]), wtimes, atol=0
+    )
+
+    # Generic streaming entry point with timestep detection.
+    tchunks = list(iter_trajectory(fn, chunk_frames=4))
+    np.testing.assert_allclose(
+        np.concatenate([c[0] for c in tchunks]), whole, atol=0
+    )
+    assert tchunks[0][1] == 2.5
