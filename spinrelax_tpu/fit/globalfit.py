@@ -15,6 +15,11 @@ optimisers drive it:
   spectral_densities.py:1387-1397).
 - 'gradient': L-BFGS-B with exact JAX gradients (the forward model is
   fully differentiable — the reference could never do this).
+- 'device'  : the whole optimisation in ONE device dispatch — a jitted
+  Levenberg-Marquardt while_loop on the residual vector (chisq is a sum
+  of squares), forward-mode jacobians over the log-space positive
+  parameters.  No host<->device round-trip per iterate, which matters on
+  remote TPU links (~40 ms per scalar fetch).
 
 The rsCSA local stage is a *batched* golden-section over all residues at
 once (the chi-square separates per residue), replacing nResidues
@@ -120,6 +125,33 @@ def chisq_total(es: ExperimentSet, diso, aniso, zeta, csa):
     return total / len(es.experiments)
 
 
+def residuals_total(es: ExperimentSet, diso, aniso, zeta, csa):
+    """Flat residual vector r with chisq_total == sum(r^2) exactly
+    (per-experiment masked normalisation folded into each element) —
+    the least-squares form the on-device Levenberg-Marquardt consumes."""
+    preds = _eval_all(es, diso, aniso, zeta, csa)
+    n_e = len(es.experiments)
+    rs = []
+    for e, (v, dv) in zip(es.experiments, preds):
+        m = jnp.asarray(e.mask)
+        t = jnp.asarray(e.target)
+        if e.error is not None and dv is not None:
+            w = jnp.asarray(e.error) ** 2 + dv**2
+        elif dv is None and e.error is not None:
+            w = jnp.asarray(e.error) ** 2
+        elif e.error is None and dv is not None:
+            w = dv**2
+        else:
+            w = jnp.ones_like(v)
+        w = jnp.where(w > 0, w, 1.0)
+        norm = jnp.maximum(jnp.sum(m), 1.0) * n_e
+        # sqrt(m/norm) is parameter-independent (w is not): keeping the
+        # mask OUTSIDE the w-bearing factor keeps the jacobian of masked
+        # entries exactly 0 instead of NaN.
+        rs.append(jnp.sqrt(m / norm) * ((v - t) / jnp.sqrt(w)))
+    return jnp.concatenate(rs)
+
+
 def chisq_per_residue(es: ExperimentSet, diso, aniso, zeta, csa):
     """Per-residue chi-square for the rsCSA local stage
     (optimisation_loop_rsCSA_inner_function,
@@ -180,6 +212,86 @@ class GlobalFitter:
         self._chisq = _chisq_packed
         self._chisq_res = _chisq_res
         self._grad = jax.jit(jax.grad(_chisq_packed, argnums=(0, 1, 2)))
+
+        # One-dispatch device optimiser (method="device"): pure-JAX BFGS
+        # over the scaled packed globals; current state values ride in as
+        # arguments so cycles re-use ONE compiled program.
+        if self.global_vars:
+            idx = {v: i for i, v in enumerate(self.global_vars)}
+
+            def _unpack(z, d0, a0, zeta0, csa0):
+                # Positive params in log-space (x = x0 * e^z): z0 = 0 is
+                # naturally scaled AND positivity is structural, so the
+                # unit-Hessian first BFGS step cannot drive Diso negative
+                # and NaN-poison the line search.  CSA (sign-free) moves
+                # linearly in units of its magnitude.
+                d = d0 * jnp.exp(z[idx["Diso"]]) if "Diso" in idx else d0
+                a = a0 * jnp.exp(z[idx["Daniso"]]) if "Daniso" in idx else a0
+                zz = (
+                    zeta0 * jnp.exp(z[idx["zeta"]]) if "zeta" in idx
+                    else zeta0
+                )
+                if "CSA" in idx:
+                    ref = jnp.mean(csa0)
+                    val = ref + z[idx["CSA"]] * jnp.maximum(
+                        jnp.abs(ref), 1e-6
+                    )
+                    c = jnp.full_like(csa0, val)
+                else:
+                    c = csa0
+                return d, a, zz, c
+
+            n_p = len(idx)
+
+            @jax.jit
+            def _solve_device(d0, a0, zeta0, csa0):
+                # Levenberg-Marquardt on the residual vector, entirely
+                # inside one jitted while_loop: the chi-square is a sum
+                # of squares, so LM's J^T J curvature converges in ~10
+                # steps where f32 BFGS line searches stall — and each
+                # iterate costs n_p forward-mode passes, no host trips.
+                def resid(z):
+                    return residuals_total(
+                        es_ref, *_unpack(z, d0, a0, zeta0, csa0)
+                    )
+
+                def fval(z):
+                    r = resid(z)
+                    return jnp.sum(r * r)
+
+                eye = jnp.eye(n_p)
+
+                def body(state):
+                    z, lam, f, it, _moved = state
+                    J = jax.jacfwd(resid)(z)  # (nR, n_p)
+                    r = resid(z)
+                    g = J.T @ r
+                    H = J.T @ J
+                    dz = jnp.linalg.solve(H + lam * eye, -g)
+                    z_new = z + dz
+                    f_new = fval(z_new)
+                    ok = f_new < f
+                    z = jnp.where(ok, z_new, z)
+                    f = jnp.where(ok, f_new, f)
+                    lam = jnp.where(ok, lam * 0.25, lam * 4.0)
+                    moved = jnp.where(
+                        ok, jnp.max(jnp.abs(dz)), jnp.asarray(jnp.inf)
+                    )
+                    return z, lam, f, it + 1, moved
+
+                def cond(state):
+                    _z, lam, _f, it, moved = state
+                    return (it < 80) & (lam < 1e10) & (moved > 1e-6)
+
+                z0 = jnp.zeros(n_p)
+                state = (
+                    z0, jnp.asarray(1e-3), fval(z0), jnp.asarray(0),
+                    jnp.asarray(jnp.inf),
+                )
+                z, _lam, f, _it, _mv = jax.lax.while_loop(cond, body, state)
+                return f, _unpack(z, d0, a0, zeta0, csa0)
+
+            self._solve_device = _solve_device
 
     # -- parameter packing ---------------------------------------------
     def _get_globals(self) -> np.ndarray:
@@ -273,6 +385,23 @@ class GlobalFitter:
                 method="L-BFGS-B",
             )
             xbest, fbest = res.x * scales, res.fun
+        elif method == "device":
+            # The entire optimisation as ONE device dispatch: jax's pure
+            # BFGS traced under jit (built once in __init__), so no
+            # host<->device round-trip per iterate (the scipy-driven
+            # paths fetch f and g each iterate — ~40 ms per scalar over
+            # remote TPU links).  Parameters are scaled to O(1) like the
+            # gradient path.
+            s = self.state
+            fdev, (d_b, a_b, z_b, c_b) = self._solve_device(
+                s.diso, s.aniso, s.zeta, jnp.asarray(s.csa)
+            )
+            vals = {
+                "Diso": float(d_b), "Daniso": float(a_b),
+                "zeta": float(z_b), "CSA": float(np.asarray(c_b)[0]),
+            }
+            xbest = np.array([vals[v] for v in self.global_vars])
+            fbest = float(fdev)
         else:
             raise ValueError(f"unknown method {method!r}")
         self._set_globals(np.atleast_1d(xbest))

@@ -288,8 +288,10 @@ def cmd_relax(argv):
                    choices=("Diso", "DisoS2", "DisoCSA", "DisoS2CSA", "new"))
     p.add_argument("--cycles", type=int, default=100)
     p.add_argument("--tol", type=float, default=1e-6)
-    p.add_argument("--method", choices=("powell", "gradient"), default="powell",
-                   help="optimiser: reference-parity Powell or exact-gradient L-BFGS")
+    p.add_argument("--method", choices=("powell", "gradient", "device"),
+                   default="powell",
+                   help="optimiser: reference-parity Powell, exact-gradient "
+                   "L-BFGS, or one-dispatch on-device BFGS")
     p.add_argument("--theoretical", action="store_true",
                    help="rigid-body baseline rates; exits after reporting")
     a = p.parse_args(argv)
@@ -355,7 +357,8 @@ def cmd_multifield(argv):
     p.add_argument("--opt", "--fit", dest="opt", default=None)
     p.add_argument("--cycles", type=int, default=10)
     p.add_argument("--tol", type=float, default=1e-6)
-    p.add_argument("--method", choices=("powell", "gradient"), default="powell")
+    p.add_argument("--method", choices=("powell", "gradient", "device"),
+                   default="powell")
     a = p.parse_args(argv)
     from ..io import fittedct as fctio
     from .stages import stage_multifield

@@ -88,13 +88,16 @@ def test_diso_recovery_powell(rng):
     assert state.chisq < 1e-8
 
 
-def test_diso_daniso_recovery_gradient(rng):
+@pytest.mark.parametrize("method", ["gradient", "device"])
+def test_diso_daniso_recovery_gradient(rng, method):
+    """The exact-gradient scipy path and the one-dispatch on-device BFGS
+    (pure-JAX, no host round-trips per iterate) both recover the truth."""
     names, cts, diff, v, w = make_setup(rng, diso=4e-5, aniso=1.5)
     expts = synth_experiments(names, cts, diff, v, w)
     start = Diffusion.axisymmetric(diso=5e-5, aniso=1.2)
     es = ExperimentSet.build(expts, cts, start, vecs=v, weights=w)
     fitter = GlobalFitter(es, ["Diso", "Daniso"])
-    state = fitter.run(method="gradient")
+    state = fitter.run(method=method)
     np.testing.assert_allclose(state.diso, 4e-5, rtol=1e-3)
     np.testing.assert_allclose(state.aniso, 1.5, rtol=1e-2)
 

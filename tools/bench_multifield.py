@@ -22,6 +22,9 @@ def main():
     p.add_argument("--nres", type=int, default=200)
     p.add_argument("--nsamp", type=int, default=2592, help="72x36 histogram bins")
     p.add_argument("--ref", action="store_true", help="also time the reference on CPU")
+    p.add_argument("--opt", default="", metavar="M1,M2",
+                   help="also time full Diso+Daniso optimisations per method "
+                   "(powell/gradient/device)")
     a = p.parse_args()
 
     import jax
@@ -97,6 +100,29 @@ def main():
         "unit": "ms",
         "config": f"{n} residues x {s} samples x 6 experiments",
     }
+
+    if a.opt:
+        # Full Diso+Daniso optimisation wall time per method, starting
+        # 20%/20% off the truth (compile excluded via a throwaway run).
+        from spinrelax_tpu.fit.globalfit import GlobalFitter
+
+        for method in a.opt.split(","):
+            def fresh():
+                es2 = ExperimentSet.build(
+                    expts, cts,
+                    Diffusion.axisymmetric(diso=4.8e-5, aniso=1.2),
+                    vecs=v, weights=w,
+                )
+                return GlobalFitter(es2, ["Diso", "Daniso"])
+
+            f0 = fresh()
+            f0.run(method=method)  # compile warm-up
+            f1 = fresh()
+            t0 = time.perf_counter()
+            state = f1.run(method=method)
+            dt_opt = time.perf_counter() - t0
+            out[f"opt_{method}_s"] = dt_opt
+            out[f"opt_{method}_diso_err"] = abs(state.diso / 4e-5 - 1.0)
 
     if a.ref:
         sys.path.insert(0, "tools/refshim")
