@@ -138,3 +138,39 @@ def test_graft_entry_compiles():
     assert np.all(np.isfinite(np.asarray(out.R1)))
     # dryrun path (8 virtual devices already active in the test session)
     mod.dryrun_multichip(8)
+
+
+def test_sharded_multifield_fit_matches_single_device(rng):
+    """Residue-sharded multi-field fit (parallel/fit.shard_experiment_set)
+    over the 8-device mesh: chi-square and the full one-dispatch device
+    fit equal the unsharded results (GSPMD residue parallelism of the
+    fit stage — SURVEY §3.5's memory/compute sink at >10^3 residues)."""
+    from spinrelax_tpu.fit.globalfit import GlobalFitter, chisq_total
+    from spinrelax_tpu.models import Diffusion
+    from spinrelax_tpu.models.experiments import ExperimentSet
+    from spinrelax_tpu.parallel.fit import shard_experiment_set
+    from tests.test_globalfit import make_setup, synth_experiments
+
+    # 11 residues: NOT divisible by 8 devices — exercises the padding.
+    names, cts, diff, v, w = make_setup(rng, n_res=11, diso=4e-5, aniso=1.5)
+    expts = synth_experiments(names, cts, diff, v, w)
+    start = Diffusion.axisymmetric(diso=4.6e-5, aniso=1.3)
+    es = ExperimentSet.build(expts, cts, start, vecs=v, weights=w)
+
+    mesh = make_mesh(8)
+    es_sh = shard_experiment_set(es, mesh)
+    assert es_sh.n_residues % 8 == 0 and es_sh.n_residues >= 11
+
+    csa = np.full(es.n_residues, -170e-6)
+    csa_sh = np.full(es_sh.n_residues, -170e-6)
+    c0 = float(chisq_total(es, 4.6e-5, 1.3, cts.zeta, jnp.asarray(csa)))
+    c1 = float(
+        chisq_total(es_sh, 4.6e-5, 1.3, cts.zeta, jnp.asarray(csa_sh))
+    )
+    np.testing.assert_allclose(c1, c0, rtol=1e-10)
+
+    f_plain = GlobalFitter(es, ["Diso", "Daniso"]).run(method="device")
+    f_shard = GlobalFitter(es_sh, ["Diso", "Daniso"]).run(method="device")
+    np.testing.assert_allclose(f_shard.diso, f_plain.diso, rtol=1e-8)
+    np.testing.assert_allclose(f_shard.aniso, f_plain.aniso, rtol=1e-8)
+    np.testing.assert_allclose(f_shard.diso, 4e-5, rtol=1e-4)
