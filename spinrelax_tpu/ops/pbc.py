@@ -251,12 +251,23 @@ def center_solute(xyz, box, top=None, mol_id=None, solute=None,
             raise ValueError("need top= or mol_id=")
         mol_id = molecule_ids(top)
     mol_id = np.asarray(mol_id, dtype=np.int32)
+    d = np.diff(mol_id)
+    if np.any(d < 0) or np.any(d > 1):
+        raise ValueError(
+            "mol_id must be contiguous non-decreasing runs (0,0,1,1,2,...) "
+            "— the make-whole chain restarts at each molecule's first atom"
+        )
     if solute is None:
         if top is not None:
             solute = solute_mask(top)
         else:
             solute = np.ones(n_atoms, dtype=bool)
     solute = np.asarray(solute, dtype=bool)
+    if not solute.any():
+        raise ValueError(
+            "solute selection matches no atoms (centring would divide "
+            "by zero) — pass solute= or check the topology's residue names"
+        )
     n_mol = int(mol_id.max()) + 1
     counts = np.bincount(mol_id, minlength=n_mol)
     inv_count = (1.0 / counts).astype(xyz.dtype)

@@ -288,10 +288,11 @@ def cmd_relax(argv):
                    choices=("Diso", "DisoS2", "DisoCSA", "DisoS2CSA", "new"))
     p.add_argument("--cycles", type=int, default=100)
     p.add_argument("--tol", type=float, default=1e-6)
-    p.add_argument("--method", choices=("powell", "gradient", "device"),
+    p.add_argument("--method", choices=("powell", "gradient"),
                    default="powell",
-                   help="optimiser: reference-parity Powell, exact-gradient "
-                   "L-BFGS, or one-dispatch on-device BFGS")
+                   help="optimiser: reference-parity Powell or exact-gradient "
+                   "L-BFGS (the one-dispatch device LM lives on the "
+                   "multifield surface)")
     p.add_argument("--theoretical", action="store_true",
                    help="rigid-body baseline rates; exits after reporting")
     a = p.parse_args(argv)
@@ -454,6 +455,18 @@ def cmd_rotate(argv):
     print(f"= = = Done. Output file {a.fileOutput} has been written.")
 
 
+def _ortho_box(boxes33):
+    """(nFrames, 3, 3) box matrices -> (nFrames, 3) orthorhombic lengths;
+    the native PBC repair supports orthorhombic cells only."""
+    off = boxes33 - boxes33 * np.eye(3)
+    if np.abs(off).max() > 1e-5:
+        raise SystemExit(
+            "= = Triclinic box detected; the native PBC repair supports "
+            "orthorhombic cells only (convert with gmx trjconv -ur rect)."
+        )
+    return np.einsum("fii->fi", boxes33)
+
+
 def cmd_center(argv):
     """Native center-solute-gromacs.bash: make molecules whole, cluster
     the solute across periodic images, centre it, and re-pack the solvent
@@ -487,13 +500,13 @@ def cmd_center(argv):
         from ..io import native
 
         xyz, boxes33, times = native.read_xtc(a.infn)
-        boxes = np.einsum("fii->fi", boxes33)  # orthorhombic diagonals
+        boxes = _ortho_box(boxes33)
         dt = float(times[1] - times[0]) if len(times) > 1 else 1.0
     elif a.infn.endswith(".trr"):
         from ..io import gmx
 
         xyz, boxes33, times = gmx.read_trr(a.infn)
-        boxes = np.einsum("fii->fi", boxes33)
+        boxes = _ortho_box(boxes33)
         dt = float(times[1] - times[0]) if len(times) > 1 else 1.0
     else:
         xyz, dt = trjio.load_trajectory(a.infn, top_fn=a.topfn)
