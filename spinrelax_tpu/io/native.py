@@ -210,7 +210,10 @@ def iter_xtc(fn: str, chunk_frames: int):
                 chunk_frames,
             )
             if got < 0:
-                raise OSError(f"xtc_next failed on {fn!r} (code {got})")
+                why = {-3: "frame natoms mismatch",
+                       -4: "corrupt/truncated frame mid-file"}.get(
+                    got, f"code {got}")
+                raise OSError(f"xtc_next failed on {fn!r}: {why}")
             if got == 0:
                 return
             yield xyz[:got], boxes[:got], times[:got]

@@ -105,7 +105,11 @@ def read_pdb(fn: str) -> Tuple[Topology, np.ndarray]:
                 cur.append((x, y, z))
                 if first_model:
                     atom_names.append(line[12:16].strip())
-                    res_names.append(line[17:20].strip())
+                    # Columns 18-21: the PDB spec uses 3 characters, but
+                    # CHARMM/VMD write 4 (TIP3, TIP4, ...) — truncating
+                    # to 3 would misclassify those waters as solute in
+                    # ops/pbc.solute_mask.
+                    res_names.append(line[17:21].strip())
                     chain_ids.append(line[21].strip())
                     res_seqs.append(int(line[22:26]))
                     occ = line[54:60].strip()

@@ -109,16 +109,26 @@ def iter_trajectory(
             yield np.array(buf), dt_out
         return
     if fn.endswith(".xtc"):
+        import itertools
+
         from . import native
 
-        dt_out = timestep
-        prev_t = None
-        for xyz, _boxes, times in native.iter_xtc(fn, chunk_frames):
-            if prev_t is not None and dt_out == timestep:
-                dt_out = float(times[0] - prev_t)
-            elif len(times) > 1 and dt_out == timestep:
-                dt_out = float(times[1] - times[0])
-            prev_t = float(times[-1])
+        # Two-chunk lookahead so the timestep is known from the FIRST
+        # yield even at chunk_frames=1 (stage_ct_streamed probes dt with
+        # a single-frame read; yielding the caller's default there would
+        # silently mis-scale every Palmer chunk).
+        chunks = native.iter_xtc(fn, chunk_frames)
+        head = list(itertools.islice(chunks, 2))
+        if not head:
+            return
+        t0 = head[0][2]
+        if len(t0) > 1:
+            dt_out = float(t0[1] - t0[0])
+        elif len(head) > 1:
+            dt_out = float(head[1][2][0] - t0[0])
+        else:
+            dt_out = timestep  # single-frame file: no spacing to measure
+        for xyz, _boxes, _times in itertools.chain(head, chunks):
             yield xyz, dt_out
         return
     if fn.endswith((".npz", ".pdb")):

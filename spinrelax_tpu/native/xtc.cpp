@@ -248,7 +248,8 @@ struct FrameHeader {
     float box[9];
 };
 
-static bool read_frame(Reader& rd, FrameHeader& h, float* xyz /*natoms*3 or null*/) {
+static bool read_frame(Reader& rd, FrameHeader& h, float* xyz /*natoms*3 or null*/,
+                       int expected_natoms = -1) {
     int magic = rd.i32();
     if (!rd.ok) return false;
     if (magic != MAGIC) return false;
@@ -258,6 +259,11 @@ static bool read_frame(Reader& rd, FrameHeader& h, float* xyz /*natoms*3 or null
     for (int i = 0; i < 9; i++) h.box[i] = rd.f32();
     int lsize = rd.i32();
     if (lsize != h.natoms) return false;
+    // The caller's xyz buffer is sized for expected_natoms: refuse BEFORE
+    // any decompression writes (a mid-stream frame with a larger natoms
+    // would otherwise overrun the buffer).
+    if (xyz && expected_natoms >= 0 && h.natoms != expected_natoms)
+        return false;
     if (h.natoms <= 9) {
         for (int i = 0; i < h.natoms * 3; i++) {
             float v = rd.f32();
@@ -522,8 +528,10 @@ int xtc_info(const char* path, long* n_frames, int* natoms) {
     FrameHeader h;
     while (!rd.eof()) {
         if (!read_frame(rd, h, nullptr)) {
+            // Bytes remained but the frame did not parse: corrupt or
+            // truncated file — report it rather than under-counting.
             fclose(fp);
-            return count > 0 ? (*n_frames = count, *natoms = h.natoms, 0) : -2;
+            return -2;
         }
         count++;
     }
@@ -534,7 +542,8 @@ int xtc_info(const char* path, long* n_frames, int* natoms) {
 }
 
 // Read up to max_frames frames into xyz (max_frames*natoms*3 floats) and
-// times (max_frames).  Returns frames read or negative error.
+// times (max_frames).  Returns frames read or negative error
+// (-3 natoms mismatch, -4 mid-file decode failure / truncation).
 long xtc_read(const char* path, float* xyz, float* times, float* boxes,
               long max_frames, int natoms) {
     FILE* fp = fopen(path, "rb");
@@ -543,10 +552,11 @@ long xtc_read(const char* path, float* xyz, float* times, float* boxes,
     long f = 0;
     FrameHeader h;
     while (f < max_frames && !rd.eof()) {
-        if (!read_frame(rd, h, xyz + (size_t)f * natoms * 3)) break;
-        if (h.natoms != natoms) {
+        // Loop entry guarantees bytes remain, so a failed frame is
+        // corruption/truncation — NOT a clean EOF to silently accept.
+        if (!read_frame(rd, h, xyz + (size_t)f * natoms * 3, natoms)) {
             fclose(fp);
-            return -3;
+            return h.natoms > 0 && h.natoms != natoms ? -3 : -4;
         }
         times[f] = h.time;
         if (boxes) memcpy(boxes + (size_t)f * 9, h.box, 9 * sizeof(float));
@@ -582,7 +592,8 @@ void* xtc_open(const char* path, int* natoms) {
 }
 
 // Read up to max_frames frames from the current position.  Returns the
-// number read (0 at EOF), negative on error.
+// number read (0 at EOF), negative on error (-3 natoms mismatch,
+// -4 mid-file decode failure / truncation).
 long xtc_next(void* handle, float* xyz, float* times, float* boxes,
               long max_frames) {
     XtcStream* s = (XtcStream*)handle;
@@ -590,8 +601,11 @@ long xtc_next(void* handle, float* xyz, float* times, float* boxes,
     long f = 0;
     FrameHeader h;
     while (f < max_frames && !rd.eof()) {
-        if (!read_frame(rd, h, xyz + (size_t)f * s->natoms * 3)) break;
-        if (h.natoms != s->natoms) return -3;
+        // natoms is validated INSIDE read_frame before any decompression
+        // write (the xyz chunk is sized for s->natoms), and a failure
+        // with bytes remaining is an error, not EOF.
+        if (!read_frame(rd, h, xyz + (size_t)f * s->natoms * 3, s->natoms))
+            return h.natoms > 0 && h.natoms != s->natoms ? -3 : -4;
         times[f] = h.time;
         if (boxes) memcpy(boxes + (size_t)f * 9, h.box, 9 * sizeof(float));
         f++;

@@ -349,6 +349,25 @@ def ct_palmer(vecs):
     return Ct.T, dCt.T
 
 
+def palmer_pooled_stats(acc_s, acc_s2, count):
+    """(running sum, sum-of-squares, chunk count) -> (mean, dCt), in the
+    accumulator's own (..., nDeltas) orientation.
+
+    THE single home of the pooled Palmer statistics — in particular the
+    reference's sqrt(n)-1 SEM denominator (calculate-Ct-from-traj.py:228,
+    a quirk we replicate deliberately; see CLAUDE.md).  Every streamed /
+    sharded / multi-host consumer must pool through this helper so a
+    parity adjustment happens in exactly one place.
+    """
+    count = jnp.asarray(count, jnp.result_type(acc_s))
+    mean = acc_s / count
+    var = jnp.maximum(acc_s2 / count - mean**2, 0.0)
+    denom = jnp.sqrt(count) - 1.0
+    safe = jnp.where(denom > 0, denom, 1.0)
+    dct = jnp.where(denom > 0, jnp.sqrt(var) / safe, jnp.zeros_like(var))
+    return mean, dct
+
+
 def ct_palmer_scan(vecs, batch: int = 1, mesh=None):
     """Replicate-streamed variant for trajectories too large for one fused
     FFT buffer.  Scans over the replicate axis, accumulating per-lag sum and
@@ -390,9 +409,7 @@ def ct_palmer_scan(vecs, batch: int = 1, mesh=None):
         jnp.zeros((n_res, n_deltas), vecs.dtype),
     )
     (acc_s, acc_s2), _ = jax.lax.scan(body, init, groups)
-    mean = acc_s / n_rep
-    var = jnp.maximum(acc_s2 / n_rep - mean**2, 0.0)
-    dCt = jnp.sqrt(var) / (jnp.sqrt(jnp.asarray(n_rep, vecs.dtype)) - 1.0)
+    mean, dCt = palmer_pooled_stats(acc_s, acc_s2, n_rep)
     return mean.T, dCt.T
 
 
@@ -446,9 +463,7 @@ def ct_palmer_streamed(chunk_iter, n_frames_per_chunk: int, mesh=None):
             acc_s = acc_s + jnp.sum(per, axis=0)
             acc_s2 = acc_s2 + jnp.sum(per**2, axis=0)
         n_rep += group.shape[0]
-    mean = acc_s / n_rep
-    var = jnp.maximum(acc_s2 / n_rep - mean**2, 0.0)
-    dCt = jnp.sqrt(var) / (jnp.sqrt(jnp.asarray(float(n_rep), mean.dtype)) - 1.0)
+    mean, dCt = palmer_pooled_stats(acc_s, acc_s2, float(n_rep))
     return mean.T, dCt.T
 
 

@@ -185,6 +185,12 @@ _CAT_MODES = {
     "cat46c": (_PAIRS_CAT4, _PAIRS_CAT6, True),
     "cat64c": (_PAIRS_CAT6, _PAIRS_CAT4, True),
 }
+# Modes that carry the exact mean-centering corrections (need the TRI
+# constant and nFrames >= nd_pad) — derived, so a new _CAT_MODES entry
+# cannot drift out of sync with the kernel plumbing.
+_CENTERED_MODES = frozenset(
+    m for m, (_, _, c) in _CAT_MODES.items() if c
+) | {"split3c"}
 
 
 def _acf_kernel2(vx, vy, vz, w1r_ref, w1i_ref, twr_ref, twi_ref, w2rt_ref,
@@ -363,7 +369,7 @@ def supports(n_frames: int, n_deltas: int, budget: int = 15_000_000):
 
 
 def acf_sums_pallas(vecs, n_deltas: int, mode: str = "cat64c",
-                    n1: int = 0, cinv: str = "split4", pcenter: bool = True,
+                    n1: int = 0, cinv: str = None, pcenter: bool = None,
                     ablate: int = 0, fuse_transpose: bool = False,
                     tiles: int = 1, transpose_out: bool = True,
                     pretiled: bool = False):
@@ -371,7 +377,11 @@ def acf_sums_pallas(vecs, n_deltas: int, mode: str = "cat64c",
     sum_t (v(t).v(t+delta))^2 for delta = 1..n_deltas.
 
     Defaults are the measured production config (see module docstring);
-    mode="highest" gives 6-pass f32-exact dots for cross-checks.
+    mode="highest" gives 6-pass f32-exact dots for cross-checks —
+    cinv/pcenter default to None = follow the mode ("highest" gets an
+    exact HIGHEST CINV contraction; compensated modes get split4 +
+    spectrum centering).  Chunks too short for the centered corrections
+    (nFrames < padded lag rows) automatically drop to mode="highest".
     tiles : 128-bond tiles per grid program (unrolled in-kernel).
     transpose_out=False returns the kernel's native (n_deltas, B) layout
     (B = prod of the leading dims, row-major) so lag-leading consumers
@@ -383,6 +393,17 @@ def acf_sums_pallas(vecs, n_deltas: int, mode: str = "cat64c",
     the XLA transpose pre-pass entirely, which dominates the step at
     large batch (measured pathological at B ~ 4e4).
     """
+    nf_in = vecs.shape[-2]  # F in both layouts
+    nd_pad_probe = ((n_deltas + 7) // 8) * 8
+    if mode in _CENTERED_MODES and nf_in < nd_pad_probe:
+        # Chunks too short for the centered-correction rows: the exact
+        # 6-pass mode handles any shape (keeps a forced ACF_IMPL='pallas'
+        # working on tiny debug workloads).
+        mode = "highest"
+    if cinv is None:
+        cinv = "highest" if mode == "highest" else "split4"
+    if pcenter is None:
+        pcenter = mode != "highest"
     if pretiled:
         n_tiles, _three, n_frames, _lanes = vecs.shape
         if _three != 3 or _lanes != 128:
@@ -440,11 +461,11 @@ def acf_sums_pallas(vecs, n_deltas: int, mode: str = "cat64c",
         W2rt = _cat_lhs_np(W2rt, pairs2)
         W2it = _cat_lhs_np(W2it, pairs2)
     const_arrays = [W1r, W1i, twr, twi, W2rt, W2it, CINV]
-    if mode in ("split3c", "cat3c", "cat4c", "cat6c", "cat46c", "cat64c"):
+    if mode in _CENTERED_MODES:
         if n_frames < nd_pad:
             raise ValueError(
-                f"split3c needs nFrames ({n_frames}) >= padded lag rows "
-                f"({nd_pad})"
+                f"centered mode {mode!r} needs nFrames ({n_frames}) >= "
+                f"padded lag rows ({nd_pad})"
             )
         # TRI = [L | U]: L[r, t] = 1 for t <= r (prefix sums P_d, d=r+1);
         # U[r, j] = 1 for j >= nd_pad-1-r (suffix sums T_d over the last
@@ -460,8 +481,7 @@ def acf_sums_pallas(vecs, n_deltas: int, mode: str = "cat64c",
     ]
 
     def kernel(v_ref, w1r, w1i, twr_, twi_, w2rt, w2it, cinv, *rest):
-        if mode in ("split3c", "cat3c", "cat4c", "cat6c", "cat46c",
-                    "cat64c"):
+        if mode in _CENTERED_MODES:
             tri_ref, out_ref = rest
         else:
             tri_ref, out_ref = None, rest[0]

@@ -33,9 +33,10 @@ import numpy as np
 # given — the script's `not group "Water_and_ions"` default
 # (center-solute-gromacs.bash:65).
 WATER_ION_RESNAMES = frozenset(
-    {"SOL", "HOH", "WAT", "TIP3", "TIP4", "TIP5", "SPC", "T3P", "T4P",
-     "NA", "CL", "K", "MG", "ZN", "CA2", "NA+", "CL-", "K+", "BR", "CS",
-     "LI", "RB", "F", "IOD"}
+    {"SOL", "HOH", "WAT", "TIP3", "TIP4", "TIP5", "SPC", "SPCE", "OPC",
+     "T3P", "T4P", "MW",
+     "NA", "CL", "K", "MG", "ZN", "CA", "CA2", "NA+", "CL-", "K+", "BR",
+     "CS", "LI", "RB", "F", "IOD"}
 )
 
 

@@ -84,11 +84,10 @@ def host_stream(chunk_iter: Iterable, n_frames_per_chunk: int) -> CtPartial:
 
 
 def _pooled_stats(acc_s, acc_s2, count):
-    mean = acc_s / count
-    var = np.maximum(acc_s2 / count - mean**2, 0.0)
-    denom = np.sqrt(count) - 1.0
-    dct = np.sqrt(var) / denom if denom > 0 else np.zeros_like(mean)
-    return mean.T, dct.T
+    mean, dct = autocorr.palmer_pooled_stats(
+        jnp.asarray(acc_s), jnp.asarray(acc_s2), count
+    )
+    return np.asarray(mean).T, np.asarray(dct).T
 
 
 def reduce_partials(partials: Sequence[CtPartial]):

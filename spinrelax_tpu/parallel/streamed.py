@@ -167,12 +167,15 @@ class ShardedCtStream:
     def finalize(self):
         """-> (Ct, dCt) of shape (nDeltas, nRes), identical statistics to
         ct_palmer over the concatenated stream."""
+        from ..ops.autocorr import palmer_pooled_stats
+
         acc_s, acc_s2, count = self.accumulators()
-        mean = np.asarray(acc_s)[: self.n_res] / float(count)
-        var = np.maximum(np.asarray(acc_s2)[: self.n_res] / float(count) - mean**2, 0.0)
-        denom = np.sqrt(float(count)) - 1.0
-        dct = np.sqrt(var) / denom if denom > 0 else np.zeros_like(mean)
-        return mean.T, dct.T
+        mean, dct = palmer_pooled_stats(
+            jnp.asarray(acc_s)[: self.n_res],
+            jnp.asarray(acc_s2)[: self.n_res],
+            float(count),
+        )
+        return np.asarray(mean).T, np.asarray(dct).T
 
 
 class StreamedRates(NamedTuple):
@@ -207,10 +210,10 @@ def make_sharded_finish(mesh: Mesh, delta_t: float = 1.0,
     res_sharding = NamedSharding(mesh, P(("rep", "res"), None))
 
     def finish(acc_s, acc_s2, count):
+        from ..ops.autocorr import palmer_pooled_stats
+
         acc_s = jax.lax.with_sharding_constraint(acc_s, res_sharding)
-        mean = acc_s / count  # (nResPad, nDeltas)
-        var = jnp.maximum(acc_s2 / count - mean**2, 0.0)
-        dct = jnp.sqrt(var) / (jnp.sqrt(count) - 1.0)
+        mean, dct = palmer_pooled_stats(acc_s, acc_s2, count)  # (nResPad, nD)
         n_deltas = mean.shape[1]
         dt = (jnp.arange(n_deltas, dtype=mean.dtype) + 1.0) * delta_t
         fit = fit_multiexp(dt, mean, jnp.ones_like(mean), K=n_components,

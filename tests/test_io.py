@@ -376,3 +376,55 @@ def test_xtc_streaming_iter(tmp_path):
         np.concatenate([c[0] for c in tchunks]), whole, atol=0
     )
     assert tchunks[0][1] == 2.5
+
+
+def test_xtc_mixed_natoms_and_corruption_raise(tmp_path):
+    """A mid-stream frame with a different atom count must raise (not
+    overrun the chunk buffer), and a corrupt tail must raise (not be
+    silently truncated) — on both the streaming and whole-file readers."""
+    from spinrelax_tpu.io import native
+
+    if not native.xtc_available():
+        pytest.skip("no compiler for the native XTC codec")
+    rng = np.random.default_rng(2)
+    a = rng.uniform(0, 4, (3, 12, 3)).astype(np.float32)
+    b = rng.uniform(0, 4, (2, 40, 3)).astype(np.float32)
+    fa, fb = str(tmp_path / "a.xtc"), str(tmp_path / "b.xtc")
+    native.write_xtc(fa, a)
+    native.write_xtc(fb, b)
+    mixed = str(tmp_path / "mixed.xtc")
+    with open(mixed, "wb") as out:
+        out.write(open(fa, "rb").read())
+        out.write(open(fb, "rb").read())
+    with pytest.raises(OSError, match="natoms mismatch"):
+        for _ in native.iter_xtc(mixed, chunk_frames=2):
+            pass
+    with pytest.raises(OSError):
+        native.read_xtc(mixed)
+
+    # Corrupt tail: truncate the last frame mid-way.
+    data = open(fa, "rb").read()
+    trunc = str(tmp_path / "trunc.xtc")
+    with open(trunc, "wb") as out:
+        out.write(data[: len(data) - 10])
+    with pytest.raises(OSError, match="corrupt|truncated|failed"):
+        for _ in native.iter_xtc(trunc, chunk_frames=2):
+            pass
+
+
+def test_xtc_single_frame_chunk_timestep(tmp_path):
+    """iter_trajectory(chunk_frames=1) must report the REAL frame spacing
+    from the first yield (stage_ct_streamed probes dt with a single-frame
+    read; a wrong default would mis-scale every Palmer chunk)."""
+    from spinrelax_tpu.io import native
+    from spinrelax_tpu.io.trajectory import iter_trajectory
+
+    if not native.xtc_available():
+        pytest.skip("no compiler for the native XTC codec")
+    rng = np.random.default_rng(3)
+    xyz = rng.uniform(0, 4, (5, 10, 3)).astype(np.float32)
+    fn = str(tmp_path / "dt.xtc")
+    native.write_xtc(fn, xyz, times=np.arange(5, dtype=np.float32) * 10.0)
+    chunks = list(iter_trajectory(fn, chunk_frames=1))
+    assert len(chunks) == 5
+    assert all(c[1] == 10.0 for c in chunks)

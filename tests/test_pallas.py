@@ -105,3 +105,15 @@ def test_ct_palmer_dispatch_pallas_matches_xla(rng):
         ac.ACF_IMPL = old
     np.testing.assert_allclose(np.asarray(c2), np.asarray(c1), atol=5e-6)
     np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=5e-6)
+
+
+def test_tiny_chunks_fall_back_to_uncentered(rng):
+    """Chunks shorter than the padded correction rows must still work
+    under a forced pallas backend (the centered default silently drops to
+    the exact 'highest' mode instead of raising)."""
+    v = rng.normal(size=(8, 6, 3)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    with interpreted_pallas():
+        got = np.asarray(pallas_acf.acf_sums_pallas(jnp.asarray(v), 3))
+    want = np.asarray(ac._acf_sums_xla(jnp.asarray(v), 3))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

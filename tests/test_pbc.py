@@ -160,3 +160,21 @@ def test_stage_timer(capsys):
     t.report()
     out = capsys.readouterr().out
     assert "stage a" in out and "Total seconds elapsed" in out
+
+
+def test_charmm_4char_water_resnames(tmp_path):
+    """CHARMM/VMD write 4-character residue names (TIP3); read_pdb must
+    keep all 4 columns so solute_mask classifies those waters as solvent."""
+    from spinrelax_tpu.io.pdb import read_pdb
+
+    pdb = tmp_path / "tip3.pdb"
+    pdb.write_text(
+        "ATOM      1  CA  ALA A   1       1.000   1.000   1.000  1.00  0.00           C\n"
+        "ATOM      2  OH2 TIP3W   2       5.000   5.000   5.000  1.00  0.00           O\n"
+        "ATOM      3  H1  TIP3W   2       5.500   5.000   5.000  1.00  0.00           H\n"
+        "END\n"
+    )
+    top, _ = read_pdb(str(pdb))
+    assert top.res_names == ["ALA", "TIP3", "TIP3"]
+    sol = solute_mask(top)
+    assert sol.tolist() == [True, False, False]

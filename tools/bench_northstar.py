@@ -107,9 +107,9 @@ def main():
     def finish(acc_s, acc_s2):
         if use_pretiled:  # lag-leading accumulators: one tiny transpose
             acc_s, acc_s2 = acc_s.T, acc_s2.T
-        mean = acc_s / R
-        var = jnp.maximum(acc_s2 / R - mean**2, 0.0)
-        dCt = jnp.sqrt(var) / (jnp.sqrt(jnp.float32(R)) - 1.0)
+        from spinrelax_tpu.ops.autocorr import palmer_pooled_stats
+
+        mean, dCt = palmer_pooled_stats(acc_s, acc_s2, float(R))
         dt = (jnp.arange(D, dtype=jnp.float32) + 1.0)
         fit = fit_multiexp(dt, mean, jnp.ones_like(mean), K=2, s2_free=True)
         J = j_combine_isotropic(omega, 4242.0, fit.S2, fit.C, fit.tau)
