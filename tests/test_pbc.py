@@ -178,3 +178,38 @@ def test_charmm_4char_water_resnames(tmp_path):
     assert top.res_names == ["ALA", "TIP3", "TIP3"]
     sol = solute_mask(top)
     assert sol.tolist() == [True, False, False]
+
+
+def test_center_preserves_internal_dynamics(tmp_path, rng):
+    """PBC repair is exact: breaking a trajectory (drift + wrap across
+    images, waters added) and repairing it must reproduce the original
+    solute coordinates up to a rigid per-frame translation, so bond
+    vectors — and hence C(t) — are bit-identical up to float noise."""
+    import jax.numpy as jnp
+
+    n_res, n_frames = 4, 30
+    box = np.array([3.0, 3.0, 3.0])
+    base = rng.normal(scale=0.2, size=(n_res * 2, 3))
+    xyz = base[None] + 0.02 * rng.normal(size=(n_frames, n_res * 2, 3))
+    drift = np.cumsum(rng.normal(scale=0.2, size=(n_frames, 1, 3)), axis=0)
+    waters = rng.uniform(0, 3.0, (n_frames, 9, 3))
+    raw = np.concatenate([xyz + drift + 1.5, waters], axis=1)
+    raw = np.mod(raw, box)
+    top = Topology(
+        atom_names=["N", "H"] * n_res + ["OW", "HW1", "HW2"] * 3,
+        res_seqs=np.concatenate(
+            [np.repeat(np.arange(1, n_res + 1), 2),
+             np.repeat(np.arange(50, 53), 3)]
+        ),
+        res_names=["GLY"] * (2 * n_res) + ["SOL"] * 9,
+        chain_ids=["A"] * (2 * n_res) + ["W"] * 9,
+        occupancies=np.ones(2 * n_res + 9),
+        elements=[""] * (2 * n_res + 9),
+    )
+    fixed = center_solute(raw, box, top=top)
+    sol = fixed[:, : 2 * n_res]
+    # Per-frame rigid translation only: subtracting each frame's mean
+    # must recover the original internal coordinates exactly.
+    got = sol - sol.mean(axis=1, keepdims=True)
+    want = (xyz) - xyz.mean(axis=1, keepdims=True)
+    np.testing.assert_allclose(got, want, atol=1e-5)
