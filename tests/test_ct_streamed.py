@@ -100,3 +100,44 @@ def test_streamed_phitheta_matches_inmemory(tmp_path, rng):
         chunk_groups=2, vec_storage="TextPhiTheta",
     )
     assert os.path.exists(str(tmp_path / "txt_vecPhiTheta.dat"))
+
+
+@pytest.mark.slow
+def test_streamed_xtc_chunked(tmp_path, rng):
+    """Native chunked XTC streaming (io/native.iter_xtc) through the
+    streamed C(t) stage: identical statistics AND the single-frame
+    timestep probe must pick up the real frame spacing (2.5 ps here)."""
+    from spinrelax_tpu.io import native
+    from spinrelax_tpu.io.trajectory import load_trajectory
+
+    if not native.xtc_available():
+        pytest.skip("no compiler for the native XTC codec")
+    ref_fn, trj_fn, _ = build_synthetic_system(
+        tmp_path, rng, n_res=5, n_frames=1200
+    )
+    xyz, _ = load_trajectory(trj_fn)
+    dt = 2.5
+    xtc_fn = str(tmp_path / "traj.xtc")
+    native.write_xtc(
+        xtc_fn, xyz.astype(np.float32),
+        times=np.arange(xyz.shape[0], dtype=np.float32) * dt,
+        precision=100000.0,
+    )
+    full = stage_ct(
+        [xtc_fn], [ref_fn], str(tmp_path / "xfull"), tau_memory=400.0,
+        vec_storage="Histogram",
+    )
+    streamed = stage_ct_streamed(
+        [xtc_fn], [ref_fn], str(tmp_path / "xstr"), tau_memory=400.0,
+        chunk_groups=2,
+    )
+    # 400 ps memory time at 2.5 ps spacing = 160 frames/chunk: a wrong
+    # dt probe (1.0 default) would give 400 frames/chunk and different
+    # C(t) shapes entirely.
+    assert np.asarray(streamed["Ct"]).shape[0] == 80
+    np.testing.assert_allclose(
+        np.asarray(streamed["Ct"]), np.asarray(full["Ct"]), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(streamed["S2"]), np.asarray(full["S2"]), atol=2e-4
+    )
