@@ -49,6 +49,11 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_long)
         ]
         lib.fastio_count_fields_headers.restype = ctypes.c_int
+        lib.fastio_write_table.argtypes = [
+            ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_long,
+        ]
+        lib.fastio_write_table.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _lib = None
@@ -83,6 +88,24 @@ def load_table(fn: str, skip_chars: str = "#@&") -> Optional[np.ndarray]:
     if n != rows.value * cols.value:
         raise OSError(f"fastio_parse_table short read on {fn!r}")
     return out
+
+
+def write_table(fn: str, data, append: bool = False) -> bool:
+    """Bulk-write a 2D array as "%16g"-joined rows (the PLUMED colvar
+    row format).  Returns True when the native writer handled it; the
+    caller should fall back to np.savetxt on False."""
+    lib = _load()
+    if lib is None:
+        return False
+    arr = np.ascontiguousarray(data, dtype=np.float64)
+    if arr.ndim != 2:
+        raise ValueError(f"write_table needs a 2D array, got {arr.shape}")
+    rc = lib.fastio_write_table(
+        fn.encode(), 1 if append else 0,
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        arr.shape[0], arr.shape[1],
+    )
+    return rc == 0
 
 
 def count_fields_headers(fn: str) -> Optional[int]:

@@ -35,6 +35,13 @@ long fastio_parse_table(const char* path, const char* skip_chars,
 
 // Count '#! FIELDS' headers in a PLUMED colvar (replica chunks).
 int fastio_count_fields_headers(const char* path, long* n_headers);
+
+// Bulk "%16g"-formatted table writer (PLUMED-style colvar rows; the
+// write-side counterpart of the parser: np.savetxt's per-row Python
+// formatting dominates the orientation stage at 10^6 frames).
+// append != 0 appends.  Returns 0 on success, -1 on I/O failure.
+int fastio_write_table(const char* path, int append, const double* data,
+                       long n_rows, long n_cols);
 }
 
 namespace {
@@ -135,6 +142,35 @@ long fastio_parse_table(const char* path, const char* skip_chars,
         p = skip_line(p, end);
     }
     return written;
+}
+
+int fastio_write_table(const char* path, int append, const double* data,
+                       long n_rows, long n_cols) {
+    FILE* fp = fopen(path, append ? "ab" : "wb");
+    if (!fp) return -1;
+    const size_t CHUNK = 1 << 20;
+    char* out = (char*)malloc(CHUNK + 4096);
+    if (!out) { fclose(fp); return -1; }
+    char buf[64];
+    size_t off = 0;
+    bool ok = true;
+    for (long r = 0; r < n_rows && ok; r++) {
+        for (long c = 0; c < n_cols; c++) {
+            int n = snprintf(buf, sizeof buf, c ? " %16g" : "%16g",
+                             data[r * n_cols + c]);
+            memcpy(out + off, buf, (size_t)n);
+            off += (size_t)n;
+        }
+        out[off++] = '\n';
+        if (off >= CHUNK) {
+            ok = fwrite(out, 1, off, fp) == off;
+            off = 0;
+        }
+    }
+    if (ok && off) ok = fwrite(out, 1, off, fp) == off;
+    free(out);
+    int rc = fclose(fp);
+    return (ok && rc == 0) ? 0 : -1;
 }
 
 int fastio_count_fields_headers(const char* path, long* n_headers) {

@@ -62,10 +62,15 @@ def stage_orientation(
         data = np.concatenate([t[:, None], q], axis=1)
         with open(out_colvar, mode) as fp:
             print("#! FIELDS time q.w q.x q.y q.z", file=fp)
-            # One bulk write: a per-frame Python print loop dominates the
-            # stage at 10^6 frames (the formatting matches the reference's
-            # PLUMED-style "%16g"-joined columns exactly).
-            np.savetxt(fp, data, fmt="%16g", delimiter=" ")
+        # One bulk write: per-frame Python formatting dominates the
+        # stage at 10^6 frames.  The native buffered snprintf writer
+        # produces the same "%16g"-joined rows as the reference's
+        # PLUMED-style output; np.savetxt is the no-compiler fallback.
+        from ..io import native as fastio
+
+        if not fastio.write_table(out_colvar, data, append=True):
+            with open(out_colvar, "a") as fp:
+                np.savetxt(fp, data, fmt="%16g", delimiter=" ")
         mode = "a"
     return out_colvar
 
