@@ -213,3 +213,70 @@ def test_center_preserves_internal_dynamics(tmp_path, rng):
     got = sol - sol.mean(axis=1, keepdims=True)
     want = (xyz) - xyz.mean(axis=1, keepdims=True)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_center_solute_property_random_breaks():
+    """Property: for ANY random multi-molecule system broken by random
+    per-molecule whole-box shifts + wrapping, the repair restores every
+    molecule whole and the solute's internal geometry exactly (up to a
+    rigid per-frame translation) — across random box sizes, chain
+    counts, and break patterns."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        seed=st.integers(0, 10_000),
+        box_l=st.floats(3.0, 9.0),
+        n_chains=st.integers(1, 3),
+        n_waters=st.integers(0, 6),
+    )
+    def prop(seed, box_l, n_chains, n_waters):
+        rng = np.random.default_rng(seed)
+        box = np.array([box_l, box_l * 1.1, box_l * 0.9])
+        # Chains packed near each other (cluster spans < box/3).
+        chains, names, resn, chain_ids, seqs = [], [], [], [], []
+        anchor = rng.uniform(0, box_l, 3)
+        for c in range(n_chains):
+            n_at = rng.integers(4, 10)
+            walk = np.cumsum(rng.normal(scale=0.05, size=(n_at, 3)), axis=0)
+            chains.append(anchor + c * 0.4 + walk)
+            names += ["CA"] * n_at
+            resn += ["ALA"] * n_at
+            chain_ids += [chr(65 + c)] * n_at
+            seqs += list(range(1, n_at + 1))
+        wat = []
+        for k in range(n_waters):
+            o = rng.uniform(0, 3.0, 3)
+            wat.append(np.stack([o, o + [0.08, 0, 0], o + [0, 0.08, 0]]))
+            names += ["OW", "HW1", "HW2"]
+            resn += ["SOL"] * 3
+            chain_ids += ["W"] * 3
+            seqs += [100 + k] * 3
+        xyz = np.concatenate(chains + wat) if wat else np.concatenate(chains)
+        top = Topology(
+            atom_names=names, res_seqs=np.array(seqs), res_names=resn,
+            chain_ids=chain_ids, occupancies=np.ones(len(names)),
+            elements=[""] * len(names),
+        )
+        mol = molecule_ids(top)
+        # Break: shift each molecule by a random whole-box vector, then
+        # wrap everything (splitting molecules across boundaries).
+        broken = xyz.copy()
+        for m in range(mol.max() + 1):
+            broken[mol == m] += box * rng.integers(-2, 3, size=3)
+        broken = np.mod(broken, box)
+        out = center_solute(broken[None], box, top=top)[0]
+        # Whole molecules.
+        for m in range(mol.max() + 1):
+            idx = np.where(mol == m)[0]
+            d = out[idx] - out[idx[0]]
+            dm = np.asarray(minimum_image_distance(out[idx], out[idx[0]], box))
+            np.testing.assert_allclose(d, dm, atol=1e-5)
+        # Solute internal geometry exact (up to rigid translation).
+        sol = solute_mask(top)
+        got = out[sol] - out[sol].mean(axis=0)
+        want = xyz[sol] - xyz[sol].mean(axis=0)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    prop()
