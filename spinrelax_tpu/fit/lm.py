@@ -195,7 +195,12 @@ def fit_multiexp(dt, decay, sigma, K: int, s2_free: bool) -> MultiExpFit:
 
         params_vec = jnp.concatenate([C, tau, jnp.atleast_1d(S2) if s2_free else jnp.zeros(0)])
         perr_vec = jnp.concatenate([dC, dtau, jnp.atleast_1d(dS2) if s2_free else jnp.zeros(0)])
-        ok_fit = jnp.all(jnp.isfinite(params_vec)) & res.converged | jnp.all(jnp.isfinite(params_vec))
+        # "Fit failed" mirrors the reference's criterion — curve_fit
+        # raising / returning non-finite params (fitting_Ct_functions.py:
+        # 321-325) — NOT the optimiser's convergence flag: scipy happily
+        # returns unconverged-but-finite fits and the reference accepts
+        # them, so LM convergence must not enter this flag.
+        ok_fit = jnp.all(jnp.isfinite(params_vec))
         ok_err = ~jnp.any(perr_vec > params_vec)
         ok_sum = (S2 + jnp.sum(C)) <= 1.0 + 1e-12
         return C, tau, S2, dC, dtau, dS2, chisq, ok_fit, ok_err, ok_sum
