@@ -6,8 +6,10 @@ velocities / forces blocks in big-endian float32 or float64 (the header's
 size fields imply the precision).  Reader and writer implemented from the
 format specification; positions are returned in nm (GROMACS native).
 
-The compressed XTC format needs the 3dfcoord integer codec and is left to
-a future round (TODO.md); TRR covers full-precision GROMACS output.
+The compressed XTC format (3dfcoord integer codec) lives in the native
+C++ module (native/xtc.cpp via io/native.py); TRR here covers
+full-precision GROMACS output in pure Python.  Foreign-bytes validation
+for both: tests/test_xtc_foreign.py.
 """
 
 from __future__ import annotations
