@@ -1,0 +1,93 @@
+"""Benchmark: C(t)-fit + R1/R2/NOE throughput in residues/second
+(the second BASELINE metric; reference ~9.5 residues/s on CPU via
+sequential scipy ladder + per-residue J/relax loops, docs/PERF.md).
+
+One jitted program: batched 2-component LM fit of synthetic decays ->
+J(omega) -> R1/R2/NOE for all residues.
+
+Usage: python tools/bench_fit.py [--nres 10000] [--ndeltas 500]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+REFERENCE_CPU_RES_PER_S = 9.5  # measured round 1 (docs/PERF.md)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--nres", type=int, default=10_000)
+    p.add_argument("--ndeltas", type=int, default=500)
+    a = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from spinrelax_tpu.constants import NucleusPair
+    from spinrelax_tpu.fit.lm import fit_multiexp
+    from spinrelax_tpu.ops.jomega import j_combine_isotropic
+    from spinrelax_tpu.ops import relaxation as rx
+
+    N, D = a.nres, a.ndeltas
+    pair = NucleusPair(time_unit="ps")
+    omega = jnp.asarray(pair.omega5(), dtype=jnp.float32)
+    f_dd, f_csa, tf = pair.factor_dd(), pair.factor_csa(), pair.time_fact
+    gr = pair.gamma_b / pair.gamma_a
+    dt = (jnp.arange(D, dtype=jnp.float32) + 1.0)
+
+    @jax.jit
+    def gen(key):
+        kS, kC, kt, kn = jax.random.split(key, 4)
+        S2 = jax.random.uniform(kS, (N,), minval=0.6, maxval=0.9)
+        C = jax.random.uniform(kC, (N, 2), minval=0.02, maxval=0.1)
+        tau = jnp.stack(
+            [jax.random.uniform(kt, (N,), minval=5.0, maxval=30.0),
+             jax.random.uniform(kt, (N,), minval=100.0, maxval=400.0)], -1
+        )
+        decay = S2[:, None] + jnp.sum(
+            C[:, :, None] * jnp.exp(-dt[None, None, :] / tau[:, :, None]), 1
+        )
+        return decay + 1e-4 * jax.random.normal(kn, (N, D))
+
+    @jax.jit
+    def step(decays, acc):
+        fit = fit_multiexp(dt, decays, jnp.ones_like(decays), K=2,
+                           s2_free=True)
+        J = j_combine_isotropic(omega, 4242.0, fit.S2, fit.C, fit.tau)
+        R1 = rx.r1_from_j(J, f_dd, f_csa, tf)
+        R2 = rx.r2_from_j(J, f_dd, f_csa, tf)
+        NOE = rx.noe_from_j(J, f_dd, tf, gr, R1)
+        return acc + R1[0] + R2[-1] + NOE[N // 2]
+
+    n_iter = 5
+    key = jax.random.PRNGKey(int(time.time()) & 0x7FFFFFFF)
+    inputs = [gen(k) for k in jax.random.split(key, 2 * n_iter)]
+    float(step(inputs[-1], jnp.float32(0.0)))  # compile + settle
+    dtime = None
+    for rnd in range(2):
+        batch = inputs[rnd * n_iter : (rnd + 1) * n_iter]
+        t0 = time.perf_counter()
+        acc = jnp.float32(0.0)
+        for x in batch:
+            acc = step(x, acc)
+        assert np.isfinite(float(acc))
+        dtime = (time.perf_counter() - t0) / n_iter
+
+    rate = N / dtime
+    print(json.dumps({
+        "metric": "fit_relax_residues_per_s",
+        "value": rate,
+        "unit": "residues/s",
+        "config": f"{N} residues x {D} lags, 2-component LM + R1R2NOE",
+        "vs_baseline": rate / REFERENCE_CPU_RES_PER_S,
+    }))
+
+
+if __name__ == "__main__":
+    main()
