@@ -94,13 +94,28 @@ def iter_trajectory(
     if fn.endswith(".trr"):
         from . import gmx
 
-        buf = []
-        dt_out = timestep
-        prev_t = None
-        for x, _box, t in gmx.iter_trr(fn):
-            if prev_t is not None and dt_out == timestep:
-                dt_out = t - prev_t
-            prev_t = t
+        # Two-frame lookahead: the timestep must be right from the FIRST
+        # yield even at chunk_frames=1 (stage_ct_streamed probes dt with a
+        # single-frame read — a wrong default mis-scales every Palmer
+        # chunk; same contract as the .xtc branch above).
+        frames = gmx.iter_trr(fn)
+        head = []
+        for x, _box, t in frames:
+            head.append((x, t))
+            if len(head) == 2:
+                break
+        if not head:
+            return
+        dt_out = (
+            float(head[1][1] - head[0][1]) if len(head) > 1 else timestep
+        )
+        buf = [x for x, _t in head]
+        if len(buf) >= chunk_frames:
+            for off in range(0, len(buf) - len(buf) % chunk_frames,
+                             chunk_frames):
+                yield np.array(buf[off : off + chunk_frames]), dt_out
+            buf = buf[len(buf) - len(buf) % chunk_frames :]
+        for x, _box, _t in frames:
             buf.append(x)
             if len(buf) == chunk_frames:
                 yield np.array(buf), dt_out

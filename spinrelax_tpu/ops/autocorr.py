@@ -525,9 +525,11 @@ def s2_outer(vecs):
     """
     vecs = jnp.asarray(vecs)
     if vecs.ndim == 2:
-        outer = jnp.einsum("ij,ik->jk", vecs, vecs) / vecs.shape[0]
+        outer = jnp.einsum("ij,ik->jk", vecs, vecs,
+                           precision=jax.lax.Precision.HIGHEST) / vecs.shape[0]
         return 1.5 * jnp.sum(outer**2) - 0.5
-    outer = jnp.einsum("ijk,ijl->jkl", vecs, vecs) / vecs.shape[0]
+    outer = jnp.einsum("ijk,ijl->jkl", vecs, vecs,
+                       precision=jax.lax.Precision.HIGHEST) / vecs.shape[0]
     return 1.5 * jnp.sum(outer**2, axis=(-2, -1)) - 0.5
 
 
@@ -544,7 +546,8 @@ def s2_outer_blocked(vecs, delta_t: float, tau_memory: float):
     v = vecs[: n_blocks * n_per_block].reshape(
         n_blocks, n_per_block, vecs.shape[-2], vecs.shape[-1]
     )
-    outer = jnp.einsum("ijkl,ijkm->iklm", v, v) / n_per_block
+    outer = jnp.einsum("ijkl,ijkm->iklm", v, v,
+                       precision=jax.lax.Precision.HIGHEST) / n_per_block
     s2 = 1.5 * jnp.sum(outer**2, axis=(-2, -1)) - 0.5  # (nBlocks, nRes)
     S2 = jnp.mean(s2, axis=0)
     dS2 = jnp.std(s2, axis=0) / (jnp.sqrt(jnp.asarray(n_blocks, vecs.dtype)) - 1.0)

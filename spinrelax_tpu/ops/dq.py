@@ -27,6 +27,10 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+
+# The M-tensor contractions run over up to 10^6 frames: TPU's
+# bf16-default f32 einsum loses ~1e-3 there (CLAUDE.md) — pin exact.
+_HI = jax.lax.Precision.HIGHEST
 import numpy as np
 
 from ..core import quaternion as qt
@@ -81,7 +85,7 @@ def dq_statistics(q, lag_frames, n_chunks: int = 0) -> DqStats:
         cnt = jnp.sum(mask)
         v2 = jnp.sum(v * v, axis=-1)
         iso = jnp.sum((1.0 - 2.0 * v2) * mask) / cnt
-        M = jnp.einsum("ij,ik->jk", v, v) / cnt
+        M = jnp.einsum("ij,ik->jk", v, v, precision=_HI) / cnt
         if n_chunks > 0:
             # Reference chunking: nblock = ceil(ndat/nchunk) over the
             # *valid* length ndat = n - delta (:128-144).  Chunk membership
@@ -101,7 +105,7 @@ def dq_statistics(q, lag_frames, n_chunks: int = 0) -> DqStats:
             w = one_hot * mask[:, None]  # (N, nChunk)
             cnts = jnp.sum(w, axis=0)
             iso_c = jnp.sum((1.0 - 2.0 * v2)[:, None] * w, axis=0) / cnts
-            M_c = jnp.einsum("ij,ik,ic->cjk", v, v, w) / cnts[:, None, None]
+            M_c = jnp.einsum("ij,ik,ic->cjk", v, v, w, precision=_HI) / cnts[:, None, None]
             return iso, M, iso_c, M_c
         zero_i = jnp.zeros((0,), q.dtype)
         zero_m = jnp.zeros((0, 3, 3), q.dtype)
@@ -130,10 +134,10 @@ def principal_frame(stats: DqStats) -> DqFrame:
     q_frame = q_all[0]
     R = qt.quat_to_mat(q_frame)  # rotation applied to vectors
     # <(Rv)(Rv)^T> = R M R^T
-    MR = jnp.einsum("ab,lbc,dc->lad", R, stats.M, R)
+    MR = jnp.einsum("ab,lbc,dc->lad", R, stats.M, R, precision=_HI)
     aniso = 1.0 - 2.0 * jnp.stack([MR[:, 0, 0], MR[:, 1, 1], MR[:, 2, 2]], axis=-1)
     if stats.M_chunks.size:
-        MRc = jnp.einsum("ab,lcbe,de->lcad", R, stats.M_chunks, R)
+        MRc = jnp.einsum("ab,lcbe,de->lcad", R, stats.M_chunks, R, precision=_HI)
         aniso_c = 1.0 - 2.0 * jnp.stack(
             [MRc[..., 0, 0], MRc[..., 1, 1], MRc[..., 2, 2]], axis=-1
         )
@@ -426,7 +430,7 @@ def _dq_chunk_sums(buf, buf_len, chunk, chunk_valid, lags, max_lag: int, chunk_l
         m = ((idx >= lo) & (idx < hi)).astype(ext.dtype)
         v2 = jnp.sum(v * v, axis=-1)
         s_iso = jnp.sum((1.0 - 2.0 * v2) * m)
-        s_M = jnp.einsum("ij,ik,i->jk", v, v, m)
+        s_M = jnp.einsum("ij,ik,i->jk", v, v, m, precision=_HI)
         return s_iso, s_M, jnp.sum(m)
 
     s_iso, s_M, cnt = jax.vmap(per_lag)(lags)

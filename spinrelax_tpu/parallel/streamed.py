@@ -242,7 +242,10 @@ def run_streamed_pipeline(chunk_iter, mesh: Mesh, n_frames_per_chunk: int,
     stream = None
     for group in chunk_iter:
         if stream is None:
-            dt_eff = dtype or jnp.asarray(group).dtype
+            # np.result_type avoids device_put-ing the whole first
+            # group unsharded onto one device just to read a dtype
+            # (a production group can be ~1 GB).
+            dt_eff = dtype or np.result_type(group)
             stream = ShardedCtStream(mesh, n_frames_per_chunk, n_res,
                                      dtype=dt_eff)
         stream.update(group)

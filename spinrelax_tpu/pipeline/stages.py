@@ -28,6 +28,11 @@ from ..io import xvg
 from ..models import CtModelSet, Diffusion
 from ..ops import autocorr, dq as dqops, observables, orient
 
+import jax
+
+# Frame-axis contractions must not take TPU's bf16 default (CLAUDE.md).
+_HI = jax.lax.Precision.HIGHEST
+
 
 # ---------------------------------------------------------------------------
 # Stage 1: orientation quaternions (replaces GROMACS+PLUMED external step)
@@ -207,8 +212,12 @@ def stage_dq(
 
     stream_chunk > 0 enables the constant-memory streaming path: the
     colvar is read and analysed in blocks of that many frames (no chunked
-    uncertainties or histograms in this mode)."""
-    marker = out_prefix + "-aniso_q.dat"
+    uncertainties or histograms in this mode).
+
+    Resume lives in the orchestrator (runall.stage_is_current over the
+    content-hash manifest) — this stage always computes; ``force`` is
+    accepted for signature symmetry with the other stages.
+    """
 
     def _load_q(fn):
         """(delta_t, q (N,4)) from a PLUMED colvar or a GROMACS
@@ -310,13 +319,12 @@ def stage_dq(
     if do_full_tensor and do_aniso:
         # <(Rv)(Rv)^T> components per lag in the locked PAF
         # (calculate-dq-distribution.py:610-611,722-723).
-        q_traj = (
-            np.asarray(colvario.read_colvar(colvar_file)[1][1:5].T, dtype=np.float64)
-            if not multi
-            else None
-        )
+        # Reuse the quaternions _load_q already parsed (re-reading with
+        # read_colvar would crash on gmx-rotmat .xvg inputs and skip the
+        # inverse-quaternion conversion).
+        q_traj = q if not multi else None
         R = np.asarray(qt.quat_to_mat(jnp.asarray(res.q_frame)))
-        lags = (res.lag_times / delta_t).astype(int)
+        lags = np.rint(res.lag_times / delta_t).astype(int)
         stats = dqops.dq_statistics(jnp.asarray(q_traj), jnp.asarray(lags)) if q_traj is not None else None
         if stats is not None:
             MR = np.einsum("ab,lbc,dc->lad", R, np.asarray(stats.M), R)
@@ -328,10 +336,8 @@ def stage_dq(
     if do_hist and hist_format != "none" and not multi:
         from ..io import dx as dxio
 
-        _, data = colvario.read_colvar(colvar_file)
-        q_traj = data[1:5].T.astype(np.float64)
-        lags = (res.lag_times / delta_t).astype(int)
-        edges = np.linspace(-1.0, 1.0, hist_bins + 1)
+        q_traj = np.asarray(q, dtype=np.float64)
+        lags = np.rint(res.lag_times / delta_t).astype(int)
         for li, delta in enumerate(lags):
             v = dqops.dq_vectors(q_traj, int(delta))
             hist, hedges = np.histogramdd(
@@ -969,7 +975,8 @@ def stage_ct_streamed(
 
         if do_s2:
             blocks = flat.reshape(g, fpc, flat.shape[-2], 3)
-            outer = jnp.einsum("ijkl,ijkm->iklm", blocks, blocks) / fpc
+            outer = jnp.einsum("ijkl,ijkm->iklm", blocks, blocks,
+                               precision=_HI) / fpc
             s2b = 1.5 * jnp.sum(outer**2, axis=(-2, -1)) - 0.5  # (g, nBonds)
             upd("s2_s", jnp.sum(s2b, axis=0))
             upd("s2_s2", jnp.sum(s2b**2, axis=0))
@@ -1021,8 +1028,12 @@ def stage_ct_streamed(
             fpc = int(tau_memory / delta_t)
             if res_ids is None:
                 res_ids = list(res_h)
-        elif list(res_h) != res_ids:
-            raise ValueError("trajectories disagree in residues")
+        elif list(res_h) != res_ids or (
+            timestep is None and abs(dt - delta_t) > 1e-9 * max(dt, delta_t)
+        ):
+            raise ValueError(
+                "trajectories disagree in residues or timestep"
+            )
 
         group_frames = fpc * chunk_groups
         for xyz_chunk, _ in trajio.iter_trajectory(
@@ -1047,13 +1058,14 @@ def stage_ct_streamed(
     n_deltas = fpc // 2
     dt_lags = np.asarray(autocorr.lag_times(delta_t, tau_memory))
     R = float(n_chunks_total)
-    denom = np.sqrt(R) - 1.0
 
     if do_ct:
         for key, suffix in (("ext", "_Ctext.dat"), ("int", "_Ctint.dat")):
-            mean = np.asarray(acc[f"ct_{key}_s"]) / R  # (nBonds, nDeltas)
-            var = np.maximum(np.asarray(acc[f"ct_{key}_s2"]) / R - mean**2, 0.0)
-            dct = np.sqrt(var) / denom if denom > 0 else np.zeros_like(mean)
+            mean, dct = autocorr.palmer_pooled_stats(
+                jnp.asarray(acc[f"ct_{key}_s"]),
+                jnp.asarray(acc[f"ct_{key}_s2"]), R,
+            )  # (nBonds, nDeltas)
+            mean, dct = np.asarray(mean), np.asarray(dct)
             xvg.print_sxylist(
                 out_prefix + suffix, res_ids, dt_lags,
                 np.stack([mean, dct], axis=-1),
@@ -1077,9 +1089,10 @@ def stage_ct_streamed(
             out["vec_file"] = pt_writer.fn
 
     if do_s2:
-        s2 = np.asarray(acc["s2_s"]) / R
-        var = np.maximum(np.asarray(acc["s2_s2"]) / R - s2**2, 0.0)
-        ds2 = np.sqrt(var) / denom if denom > 0 else np.zeros_like(s2)
+        s2, ds2 = autocorr.palmer_pooled_stats(
+            jnp.asarray(acc["s2_s"]), jnp.asarray(acc["s2_s2"]), R
+        )
+        s2, ds2 = np.asarray(s2), np.asarray(ds2)
         arr = np.stack([s2, ds2], axis=-1)
         xvg.print_xylist(out_prefix + "_S2.dat", res_ids, (arr.T) * zeta, cols=True)
         out["S2"] = arr

@@ -291,3 +291,39 @@ def test_rotmat_xvg_input_matches_colvar(tmp_path, qtraj):
     res_c = stage_dq(colvar_fn, str(tmp_path / "cv"), 5.0, 100.0, 5.0)
     np.testing.assert_allclose(res_x.iso, res_c.iso, atol=1e-7)
     np.testing.assert_allclose(res_x.aniso_taus, res_c.aniso_taus, rtol=1e-4)
+
+
+def test_stage_dq_fractional_timestep_tensor_lags(tmp_path, rng):
+    """Sub-ps timesteps: the tensor/hist lag reconstruction must round
+    (lag_time/delta_t) instead of truncating — 43*0.1/0.1 floats to
+    42.999... and astype(int) used to silently shift those rows one
+    frame."""
+    from spinrelax_tpu.pipeline.stages import stage_dq
+
+    n = 4000
+    dt = 0.1
+    th = np.cumsum(rng.normal(scale=0.03, size=n))
+    q = np.stack([np.cos(th / 2), np.sin(th / 2), np.zeros(n), np.zeros(n)], 1)
+    fn = str(tmp_path / "colvar")
+    with open(fn, "w") as fp:
+        fp.write("#! FIELDS time q.w q.x q.y q.z\n")
+        for t in range(n):
+            fp.write(" %g %f %f %f %f\n" % (t * dt, *q[t]))
+    res = stage_dq(fn, str(tmp_path / "o"), min_dt=0.5, max_dt=20.0,
+                   skip_dt=0.5, do_full_tensor=True)
+    rows = np.loadtxt(str(tmp_path / "o-tensor.dat"), comments=["#", "&", "@"])
+    lag_frames = np.rint(res.lag_times / dt).astype(int)
+    # Independent recomputation at the EXACT integer lags.
+    a = q * np.array([1.0, -1, -1, -1])
+    for k in (0, len(lag_frames) // 2, len(lag_frames) - 1):
+        delta = int(lag_frames[k])
+        from spinrelax_tpu.core import quaternion as qt
+        import jax.numpy as jnp
+
+        dq_ = np.asarray(qt.qreduce(qt.qmult(jnp.asarray(a[:-delta]),
+                                             jnp.asarray(q[delta:]))))
+        v = dq_[:, 1:4]
+        M = np.einsum("ij,ik->jk", v, v) / len(v)
+        R = np.asarray(qt.quat_to_mat(jnp.asarray(res.q_frame)))
+        MR = R @ M @ R.T
+        np.testing.assert_allclose(rows[k, 1:10], MR.reshape(9), atol=5e-6)

@@ -428,3 +428,28 @@ def test_xtc_single_frame_chunk_timestep(tmp_path):
     chunks = list(iter_trajectory(fn, chunk_frames=1))
     assert len(chunks) == 5
     assert all(c[1] == 10.0 for c in chunks)
+
+
+def test_trr_single_frame_chunk_timestep(tmp_path):
+    """iter_trajectory(.trr, chunk_frames=1) must report the real frame
+    spacing from the first yield (the stage_ct_streamed probe contract,
+    same as the .xtc branch)."""
+    from spinrelax_tpu.io import gmx
+    from spinrelax_tpu.io.trajectory import iter_trajectory
+
+    rng = np.random.default_rng(6)
+    xyz = rng.uniform(0, 4, (5, 8, 3)).astype(np.float32)
+    fn = str(tmp_path / "dt.trr")
+    gmx.write_trr(fn, xyz, times=np.arange(5, dtype=np.float64) * 10.0)
+    chunks = list(iter_trajectory(fn, chunk_frames=1))
+    assert len(chunks) == 5
+    assert all(c[1] == 10.0 for c in chunks)
+    np.testing.assert_allclose(
+        np.concatenate([c[0] for c in chunks]), xyz, atol=1e-6
+    )
+    # Chunk size larger than the 2-frame lookahead still yields evenly.
+    chunks3 = list(iter_trajectory(fn, chunk_frames=3))
+    assert [c[0].shape[0] for c in chunks3] == [3, 2]
+    np.testing.assert_allclose(
+        np.concatenate([c[0] for c in chunks3]), xyz, atol=1e-6
+    )
