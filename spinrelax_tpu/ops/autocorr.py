@@ -252,7 +252,8 @@ def _acf_sums_mxu(vecs, n_deltas: int, block: int = 128):
         a = Wb[..., : n_blk - k, :, :]
         b = Wb[..., k:, :, :]
         # Contract over (block index, component): K = 6 * (n_blk - k).
-        G = jnp.einsum("...iac,...ibc->...ab", a, b)
+        G = jnp.einsum("...iac,...ibc->...ab", a, b,
+                       precision=jax.lax.Precision.HIGHEST)
         acf_parts.append(G)
     # acf(kB + d) = sum_a G_k[a, a+d] (+ G_{k+1}[a, a+d-B] for a+d >= B).
     # Shifted-row view without a gather: flatten the (B, 2B) band row-major,
@@ -477,7 +478,11 @@ def ct_palmer_direct(vecs):
     def one_delta(delta):
         n_vals = n_frames - delta
         # Use masking over a fixed-size slice so the shape is static.
-        dots = jnp.einsum("ijkl,ijkl->ijk", vecs[:, : n_frames - 1], jnp.roll(vecs, -delta, axis=1)[:, : n_frames - 1])
+        dots = jnp.einsum(
+            "ijkl,ijkl->ijk", vecs[:, : n_frames - 1],
+            jnp.roll(vecs, -delta, axis=1)[:, : n_frames - 1],
+            precision=jax.lax.Precision.HIGHEST,
+        )
         mask = (jnp.arange(n_frames - 1) < n_vals)[None, :, None]
         p2 = (-0.5 + 1.5 * dots**2) * mask
         per_rep = jnp.sum(p2, axis=1) / n_vals

@@ -37,7 +37,8 @@ def _ired_matrix(vecs):
 
     vecs : (nFrames, nRes, 3) unit vectors.
     """
-    dots = jnp.einsum("tik,tjk->tij", vecs, vecs)
+    dots = jnp.einsum("tik,tjk->tij", vecs, vecs,
+                      precision=jax.lax.Precision.HIGHEST)
     p2 = 1.5 * dots**2 - 0.5
     return jnp.mean(p2, axis=0)
 

@@ -60,7 +60,8 @@ def orientation_quats(frames, reference, weights=None):
     frm_c = frames - jnp.sum(weights[None, :, None] * frames, axis=1, keepdims=True)
 
     # S_f = sum_a w_a ref_a (x) frm_fa : (nFrames, 3, 3)
-    S = jnp.einsum("a,ai,faj->fij", weights, ref_c, frm_c)
+    S = jnp.einsum("a,ai,faj->fij", weights, ref_c, frm_c,
+                  precision=jax.lax.Precision.HIGHEST)
     K = _horn_K(S)
     vals, vecs = jnp.linalg.eigh(K)  # ascending; take last column
     q = vecs[..., :, -1]
