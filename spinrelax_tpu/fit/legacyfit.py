@@ -169,7 +169,6 @@ def fit_legacy(
     if mode == "new":
         diso = diso0
         diso_prev = None
-        csa_prev = None
         first = True
         for r in range(max_cycles):
             f = lambda x: float(chisq_total(np.atleast_1d(x)[0], 1.0, jnp.asarray(csa)))
@@ -183,11 +182,14 @@ def fit_legacy(
             csa_new = np.asarray(
                 golden_vec(fres, jnp.asarray(csa - 150e-6), jnp.asarray(csa + 150e-6))
             )
-            if not first and np.allclose(csa_new, csa_prev, rtol=tol):
-                csa = csa_new
-                break
-            csa_prev = csa
+            # Compare CONSECUTIVE rounds (new vs the value entering this
+            # round) — comparing against a stale csa_prev from two
+            # rounds ago both delays detection and falsely converges on
+            # period-2 oscillations.
+            converged = not first and np.allclose(csa_new, csa, rtol=tol)
             csa = csa_new
+            if converged:
+                break
             first = False
             if verbose:
                 print(f"    ...round {r} complete. Diso={diso:g}")
@@ -236,10 +238,10 @@ def _fit_legacy_gradient(mode, chisq_total, diso0, csa, csa_mean0, n_res, verbos
         return float(f), np.array([gs[n] * scales[n] for n in active])
 
     z0 = np.array([x0[n] / scales[n] for n in active])
-    res = minimize(
-        lambda z: f_and_g(z)[0], z0, jac=lambda z: f_and_g(z)[1],
-        method="L-BFGS-B",
-    )
+    # jac=True hands scipy the (f, g) pair from ONE jitted forward+grad
+    # dispatch per iterate (separate fun/jac lambdas would dispatch the
+    # identical computation twice — ~8 ms each over remote TPU links).
+    res = minimize(f_and_g, z0, jac=True, method="L-BFGS-B")
     vals = unpack(res.x)
     out_csa = np.full(n_res, vals["csa"]) if "csa" in active else csa
     if verbose:

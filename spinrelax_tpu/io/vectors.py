@@ -98,12 +98,20 @@ class PhiThetaStreamWriter:
 
         self._fh.close()
         n_res = len(self.names)
-        src = np.memmap(
-            self._tmp, dtype=np.float64, mode="r", shape=(self._n, n_res, 2)
-        )
+        datafile = self.fn + ".data.npy"
         try:
+            if self._n == 0:
+                raise ValueError(
+                    f"no vector frames were streamed into {self.fn!r} "
+                    "(empty trajectory or selection?)"
+                )
+            # memmap inside the try so the temp file is removed even when
+            # it (or the zip assembly below) fails.
+            src = np.memmap(
+                self._tmp, dtype=np.float64, mode="r",
+                shape=(self._n, n_res, 2),
+            )
             if self.fmt == "npz":
-                datafile = self.fn + ".data.npy"
                 out = np.lib.format.open_memmap(
                     datafile, mode="w+", dtype=np.float64, shape=(n_res, self._n, 2)
                 )
@@ -123,7 +131,6 @@ class PhiThetaStreamWriter:
                         np.save(buf, v)
                         z.writestr(k + ".npy", buf.getvalue())
                     z.write(datafile, "data.npy")  # streamed from disk
-                os.remove(datafile)
             else:
                 with open(self.fn, "w") as fp:
                     for i, rid in enumerate(self.names):
@@ -132,6 +139,11 @@ class PhiThetaStreamWriter:
                         for j in range(col.shape[0]):
                             print("%g %g" % (col[j, 0], col[j, 1]), file=fp)
                         print("&", file=fp)
-        finally:
             del src
-            os.remove(self._tmp)
+        finally:
+            for leftover in (self._tmp, datafile):
+                if os.path.exists(leftover):
+                    try:
+                        os.remove(leftover)
+                    except OSError:
+                        pass

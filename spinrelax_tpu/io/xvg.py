@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence, Tuple
 
+import csv
+
 import numpy as np
 
 
@@ -94,7 +96,7 @@ def print_xy(fn: str, x, y, dy=None, header: str = ""):
     with open(fn, "w") as fp:
         if header:
             print(header, file=fp)
-        if dy is None:
+        if dy is None or len(dy) == 0:
             for xi, yi in zip(x, y):
                 print(xi, yi, file=fp)
         else:
@@ -140,7 +142,9 @@ def print_sxylist(fn: str, legend, x, ylist, header: Sequence[str] = ()):
             print('@s%d legend "%s"' % (i, legend[i]), file=fp)
             for j in range(len(x)):
                 if ylist.ndim == 3:
-                    print(x[j], " ".join(str(v) for v in ylist[i, j]), file=fp)
+                    # reference: str(ndarray).strip('[]') — numpy's
+                    # aligned rendering, incl. its padding whitespace
+                    print(x[j], str(ylist[i, j]).strip("[]"), file=fp)
                 else:
                     print(x[j], ylist[i, j], file=fp)
             print("&", file=fp)
@@ -204,9 +208,13 @@ def format_header_legend(legends, s_init: int = 0, step: int = 1) -> str:
 def format_float_with_error(val: float, err: float, prec: int = 4) -> str:
     """Value +- error rendered to a common exponent
     (general_scripts.py:18-27)."""
-    exp_val = np.floor(np.log10(abs(val))) if val != 0 else 0.0
-    exp_err = np.floor(np.log10(abs(err))) if err != 0 else 0.0
-    exp_out = int(max(exp_val, exp_err))
+    # A zero operand must inherit the OTHER operand's exponent (the
+    # reference's log10(0) = -inf drops out of max()); exponent 0 only
+    # when both are zero.
+    exp_val = np.floor(np.log10(abs(val))) if val != 0 else -np.inf
+    exp_err = np.floor(np.log10(abs(err))) if err != 0 else -np.inf
+    exp_max = max(exp_val, exp_err)
+    exp_out = int(exp_max) if np.isfinite(exp_max) else 0
     return "%.*fe%i +- %.*fe%i" % (
         prec, val * 10.0**-exp_out, exp_out, prec, err * 10.0**-exp_out, exp_out,
     )
@@ -343,9 +351,12 @@ def print_numpy_block(fn: str, data, header: str = "", delim: str = "&", axis: i
         if header:
             print(header, file=fp)
         if data.ndim == 2:
+            # reference uses csv.writer: full-precision str() fields and
+            # \r\n terminators — byte parity requires the same.
+            writer = csv.writer(fp, delimiter=" ")
             rows = data if axis == -1 else data.T
             for row in rows:
-                print(" ".join("%g" % v for v in row), file=fp)
+                writer.writerow(row)
         else:
             blocks = data if axis == -1 else np.moveaxis(data, 0, -1)
             for block in blocks:

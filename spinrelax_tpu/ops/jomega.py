@@ -52,7 +52,15 @@ def a_coefficients_symmtop(v, prolate=True):
 
 def d_coefficients_ellipsoid(D):
     """5 fully-anisotropic D-coefficients + delta for A-coefficients
-    (spectral_densities.py:1914-1932).  D = (Dx, Dy, Dz), Dx<=Dy<=Dz."""
+    (spectral_densities.py:1914-1932).  D = (Dx, Dy, Dz), Dx<=Dy<=Dz.
+
+    Replicated reference quirk: fact1 = sqrt(Diso^2 - D2^2) with
+    D2 ALREADY second order in D (:1921-1922) — dimensionally this only
+    behaves for |D| << 1, i.e. the reference's ps^-1 unit convention.
+    In s^-1-scale units Diso^2 < D2^2 and the reference produces NaN;
+    here the argument clamps at 0 (D_J[3]==D_J[4]==6*Diso, delta from a
+    unit divisor), so pass D in ps^-1 as every CLI/driver here does.
+    """
     D = jnp.asarray(D)
     Diso = jnp.mean(D, axis=-1)
     D2 = (D[..., 0] * D[..., 1] + D[..., 0] * D[..., 2] + D[..., 1] * D[..., 2]) / 3.0
@@ -206,8 +214,7 @@ def j_combine_symmtop(omega, v, dpar, dperp, S2, C, tau, comp_mask=None, zeta=1.
     # A_k (..., 1, 3) ; D (..., K, 3) ; C (..., K)
     Dk = D_J + 1.0 / safe_tau[..., None]  # (..., K, 3)
     Ak = C[..., None] * A_J[..., None, :]  # (..., K, 3)
-    lor = Dk[..., None] / (Dk[..., None] ** 2 + omega**2)  # (..., K, 3, nOm)
-    term = jnp.sum(Ak[..., None] * lor, axis=-2)  # (..., K, nOm)
+    term = jsum(omega, Ak, Dk)  # (..., K, nOm)
     if comp_mask is not None:
         term = term * comp_mask[..., None]
     J = J + jnp.sum(term, axis=-2)
@@ -228,8 +235,7 @@ def j_combine_ellipsoid(omega, v, D, S2, C, tau, comp_mask=None, zeta=1.0):
     J = jsum(omega, S2[..., None] * A_J, D_J)
     Dk = D_J + 1.0 / safe_tau[..., None]  # (..., K, 5)
     Ak = C[..., None] * A_J[..., None, :]  # (..., K, 5)
-    lor = Dk[..., None] / (Dk[..., None] ** 2 + omega**2)
-    term = jnp.sum(Ak[..., None] * lor, axis=-2)
+    term = jsum(omega, Ak, Dk)
     if comp_mask is not None:
         term = term * comp_mask[..., None]
     J = J + jnp.sum(term, axis=-2)
@@ -278,7 +284,10 @@ def j_from_ct_dft(t, Ct, omega):
     # Trapezoid-rule one-sided transform: the rectangle-sum rfft counts
     # the t=0 sample fully, biasing every frequency by +dt*C(0)/2.
     G = jnp.fft.rfft(Ct, axis=-1).real * dt - 0.5 * dt * Ct[..., 0:1]
-    om_grid = jnp.linspace(0.0, jnp.pi / dt, N // 2 + 1)
+    # 2*pi*k/(N*dt) are the true rfft bin frequencies; linspace to
+    # pi/dt is only equivalent for even N (odd N mislabels the top
+    # bins by up to one bin spacing).
+    om_grid = 2.0 * jnp.pi * jnp.arange(N // 2 + 1) / (N * dt)
     omega = jnp.abs(jnp.asarray(omega))
     idx = jnp.clip(jnp.searchsorted(om_grid, omega), 1, om_grid.shape[0] - 1)
     x0 = om_grid[idx - 1]

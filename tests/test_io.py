@@ -45,8 +45,11 @@ def test_sxylist_roundtrip_with_dy(tmp_path):
     legs2, x2, y2, dy2 = xvg.load_sxydylist(fn, "legend")
     assert legs2 == legs
     np.testing.assert_allclose(np.asarray(x2)[0], x)
-    np.testing.assert_allclose(np.asarray(y2), y[..., 0])
-    np.testing.assert_allclose(np.asarray(dy2), y[..., 1])
+    # Rows render via numpy's aligned str() exactly like the reference
+    # (print_sxylist, general_scripts.py:281-287), which carries numpy's
+    # ~8-significant-digit print precision.
+    np.testing.assert_allclose(np.asarray(y2), y[..., 0], atol=1e-8)
+    np.testing.assert_allclose(np.asarray(dy2), y[..., 1], atol=1e-8)
 
 
 def test_sxylist_readable_by_reference(tmp_path, refmod):
@@ -453,3 +456,26 @@ def test_trr_single_frame_chunk_timestep(tmp_path):
     np.testing.assert_allclose(
         np.concatenate([c[0] for c in chunks3]), xyz, atol=1e-6
     )
+
+
+def test_format_float_with_error_zero_operands():
+    """A zero value or error must inherit the OTHER operand's exponent
+    (the reference's log10(0) = -inf drops out of max()), not collapse
+    both to e0."""
+    assert xvg.format_float_with_error(0.0, 4.52e-5) == "0.0000e-5 +- 4.5200e-5"
+    assert xvg.format_float_with_error(3.02e-3, 0.0) == "3.0200e-3 +- 0.0000e-3"
+    assert xvg.format_float_with_error(0.0, 0.0) == "0.0000e0 +- 0.0000e0"
+
+
+def test_phitheta_stream_writer_empty_and_cleanup(tmp_path):
+    """Zero streamed frames must raise cleanly (not crash in np.memmap)
+    and leave no temp files behind."""
+    import os
+
+    from spinrelax_tpu.io.vectors import PhiThetaStreamWriter
+
+    fn = str(tmp_path / "pt.npz")
+    w = PhiThetaStreamWriter(fn, ["2", "3"])
+    with pytest.raises(ValueError, match="no vector frames"):
+        w.close()
+    assert os.listdir(tmp_path) == []  # no .stream.tmp / .data.npy left
