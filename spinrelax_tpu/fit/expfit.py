@@ -96,7 +96,13 @@ def fit_ct_ladder(
             # No rung passed all checks: keep the best-chisq rung anyway
             # (the reference errors out; we degrade gracefully and flag
             # via chisq=inf semantics upstream).
-            prev_idx = int(np.argmin([r[3]["chisq"][b] for r in rungs]))
+            chis_b = np.asarray([r[3]["chisq"][b] for r in rungs], float)
+            # nanargmin: a diverged rung's NaN chisq must not win over a
+            # finite fit (np.argmin([nan, ...]) returns the NaN index).
+            prev_idx = (
+                int(np.nanargmin(chis_b))
+                if np.any(np.isfinite(chis_b)) else 0
+            )
         sel[b] = prev_idx
 
     Kmax = max(rungs[i][1] for i in sel)

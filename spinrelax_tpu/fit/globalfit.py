@@ -408,7 +408,7 @@ class GlobalFitter:
         self.state.chisq = float(fbest)
         return self.state.chisq
 
-    def local_step(self, half_width: float = 150e-6, n_iter: int = 90,
+    def local_step(self, half_width: float = 150e-6, n_iter: int = 60,
                    max_expand: int = 8):
         """Batched rsCSA: golden-section over each residue's CSA in a
         bracket around the current value; residues decouple so one

@@ -19,26 +19,36 @@ _INVPHI = (jnp.sqrt(5.0) - 1.0) / 2.0
 _INVPHI2 = (3.0 - jnp.sqrt(5.0)) / 2.0
 
 
-def golden_vec(f: Callable, lo, hi, n_iter: int = 80):
+def golden_vec(f: Callable, lo, hi, n_iter: int = 60):
     """Elementwise golden-section minimisation.
 
     f        : maps (B,) candidate vector -> (B,) objective values.
     lo, hi   : (B,) bracket bounds per element.
     Returns the (B,) minimising points.
+
+    Classic single-evaluation iteration: the surviving interior point of
+    each lane is exactly the next c or d (golden-ratio invariant), so
+    only ONE batched f call runs per iteration.  60 iterations shrink
+    the bracket by 0.618^60 ~ 3e-13 — below f64 resolution for any
+    physical CSA bracket, including the rsCSA expansion ladder.
     """
     lo = jnp.asarray(lo)
     hi = jnp.asarray(hi)
 
     def body(_, state):
         a, b, c, d, fc, fd = state
-        shrink_right = fc < fd  # minimum in [a, d]
-        a_new = jnp.where(shrink_right, a, c)
-        b_new = jnp.where(shrink_right, d, b)
+        sr = fc < fd  # minimum in [a, d]
+        a_new = jnp.where(sr, a, c)
+        b_new = jnp.where(sr, d, b)
         h = b_new - a_new
-        c_new = a_new + _INVPHI2 * h
-        d_new = a_new + _INVPHI * h
-        fc_new = f(c_new)
-        fd_new = f(d_new)
+        # Kept point: old c becomes the new d when shrinking right; old
+        # d becomes the new c otherwise.  Only the other point is fresh.
+        c_new = jnp.where(sr, a_new + _INVPHI2 * h, d)
+        d_new = jnp.where(sr, c, a_new + _INVPHI * h)
+        x_eval = jnp.where(sr, c_new, d_new)
+        fx = f(x_eval)
+        fc_new = jnp.where(sr, fx, fd)
+        fd_new = jnp.where(sr, fc, fx)
         return a_new, b_new, c_new, d_new, fc_new, fd_new
 
     h0 = hi - lo

@@ -55,7 +55,11 @@ def read_colvar(fn: str) -> Tuple[List[str], np.ndarray]:
                     continue
                 rows.append(line)
         table = np.loadtxt(rows, ndmin=2)
-    data = table.astype(np.float32)
+    # float64, deliberately diverging from the reference's float32 load
+    # (plumedcolvario.py:60): a continuation colvar starting at
+    # t0 >= 2^24 ps would get delta_t == 0 in f32, and the multi-replica
+    # / streamed paths of the same stage already parse at f64.
+    data = table.astype(np.float64)
     if data.shape[1] != len(field_names):
         raise ValueError(
             f"{fn}: {data.shape[1]} columns but {len(field_names)} fields"

@@ -135,13 +135,22 @@ def write_fittedct(
             print("# Residue: %s " % name, file=fp)
             if has_fit:
                 print("# Chi-Square: %g " % cts_np["chisq"][i], file=fp)
+            # Byte-parity with the reference's report(style='xmgrace')
+            # for FITTED models (fitting_Ct_functions.py:244-254): the
+            # non-S2fast S2_0 error is the LITERAL '+- 0.0'.  Unfitted
+            # models deliberately keep the '+-' form the reference's
+            # report() omits (:255-261): the reference's OWN reader
+            # (read_fittedCt_parameters:453, float(l[-3])) crashes on
+            # its no-'+-' style, so emitting it would break the wire
+            # format for both toolchains.
             dS2 = 0.0 if cts_np["dS2"] is None else cts_np["dS2"][i]
+            k_real = int(np.sum(cts_np["mask"][i]))
             if cts_np["s2fast"][i] > 0:
                 print("# Param S2_fast: %g +- 0.0" % s2fast_vals[i], file=fp)
                 print("# Param S2_0: %g +- %g" % (cts_np["S2"][i], dS2), file=fp)
             else:
-                print("# Param S2_0: %g +- %g" % (cts_np["S2"][i], dS2), file=fp)
-            k_real = int(np.sum(cts_np["mask"][i]))
+                s2err = "%g" % dS2 if has_fit and dS2 else "0.0"
+                print("# Param S2_0: %g +- %s" % (cts_np["S2"][i], s2err), file=fp)
             for k in range(k_real):
                 dC = 0.0 if cts_np["dC"] is None else cts_np["dC"][i, k]
                 dtau = 0.0 if cts_np["dtau"] is None else cts_np["dtau"][i, k]

@@ -4,9 +4,9 @@ The reference resumes purely on output-file existence
 (run-all.bash:322-364 etc.), which silently reuses stale artefacts when
 inputs change.  This adds an opt-in manifest: each stage records the
 sha256 of its inputs next to its outputs; a stage is skipped only when
-outputs exist AND the recorded input hashes still match (SURVEY §5's
-"artefact-snapshot semantics around one jitted pipeline,
-content-hashed inputs").
+outputs exist AND the recorded input set + hashes + parameters still
+match (SURVEY §5's "artefact-snapshot semantics around one jitted
+pipeline, content-hashed inputs").
 """
 
 from __future__ import annotations
@@ -16,8 +16,18 @@ import json
 import os
 from typing import Dict, Sequence
 
+# (path, size, mtime_ns) -> digest: avoids re-reading multi-GB
+# trajectories when stage_is_current and record_stage hash the same
+# unchanged file within (or across) invocations.
+_DIGEST_CACHE: Dict[tuple, str] = {}
+
 
 def _hash_file(path: str, block: int = 1 << 20) -> str:
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_size, st.st_mtime_ns)
+    hit = _DIGEST_CACHE.get(key)
+    if hit is not None:
+        return hit
     h = hashlib.sha256()
     with open(path, "rb") as fp:
         while True:
@@ -25,7 +35,9 @@ def _hash_file(path: str, block: int = 1 << 20) -> str:
             if not b:
                 break
             h.update(b)
-    return h.hexdigest()
+    digest = h.hexdigest()
+    _DIGEST_CACHE[key] = digest
+    return digest
 
 
 def _manifest_path(out_prefix: str) -> str:
@@ -40,7 +52,7 @@ def stage_is_current(
     params: Dict = None,
 ) -> bool:
     """True iff every output exists and the manifest's recorded input
-    hashes + parameters match the current state."""
+    SET, hashes, and parameters match the current state."""
     if not all(os.path.exists(o) for o in outputs):
         return False
     mf = _manifest_path(out_prefix)
@@ -57,7 +69,13 @@ def stage_is_current(
         return True
     if params is not None and rec.get("params") != _jsonify(params):
         return False
-    for path, digest in rec.get("inputs", {}).items():
+    recorded = rec.get("inputs", {})
+    # An input added since the record (e.g. a new replica folder) must
+    # invalidate the stage, not just changes to previously seen files.
+    current = {p for p in inputs if os.path.exists(p)}
+    if current != set(recorded):
+        return False
+    for path, digest in recorded.items():
         if not os.path.exists(path) or _hash_file(path) != digest:
             return False
     return True
@@ -86,11 +104,14 @@ def record_stage(
 
 
 def _jsonify(params: Dict):
+    """JSON-ROUND-TRIPPED params: tuples become lists etc., so values
+    compare equal against what json.load returns from the manifest
+    (a stored tuple would otherwise mismatch forever -> permanent
+    silent cache miss)."""
     out = {}
     for k, v in params.items():
         try:
-            json.dumps(v)
-            out[k] = v
+            out[k] = json.loads(json.dumps(v))
         except TypeError:
             out[k] = repr(v)
     return out

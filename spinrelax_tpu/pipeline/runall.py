@@ -33,6 +33,16 @@ def _exists(*paths):
     return all(os.path.exists(p) for p in paths)
 
 
+def _resolve_ref(path: str, refpdb: str) -> str:
+    """Per-folder reference PDB resolution: absolute paths win, then the
+    folder-local copy, then a top-level fallback (run-all.bash keeps one
+    refpdb per replica folder)."""
+    rl = refpdb if os.path.isabs(refpdb) else os.path.join(path, refpdb)
+    if not os.path.exists(rl) and os.path.exists(refpdb):
+        rl = refpdb
+    return rl
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         prog="spinrelax run-all",
@@ -74,9 +84,7 @@ def run_workflow(cfg: WorkflowConfig):
     for path in folders:
         qfile_loc = os.path.join(path, io.qfile)
         sxtc_loc = os.path.join(path, io.traj)
-        ref_loc = io.refpdb if os.path.isabs(io.refpdb) else os.path.join(path, io.refpdb)
-        if not os.path.exists(ref_loc) and os.path.exists(io.refpdb):
-            ref_loc = io.refpdb
+        ref_loc = _resolve_ref(path, io.refpdb)
         if cfg.force or not stage_is_current(
             outpref, f"orient:{path}", [sxtc_loc, ref_loc], [qfile_loc],
             params=dict(fitsel=phy.fit_atoms),
@@ -139,16 +147,21 @@ def run_workflow(cfg: WorkflowConfig):
             diso = tum.d_ext[0]
         else:
             diso = hdr["Diso"]
-        # Prolate/oblate unique-axis rule (run-all.bash:404-435).
+        # Prolate/oblate unique-axis rule (run-all.bash:404-435) — the
+        # reference skips it entirely when both external D values are
+        # given (run-all.bash:409 runs the check only in the else branch
+        # of the -D_ext override), so a degenerate simulated tensor must
+        # not abort a run that supplies its own Diso/Daniso.
+        have_ext_d = bool(tum.d_ext) and len(tum.d_ext) >= 2
         if hdr["Drho_L"] < 1.0:
             print("= = = Long axis ellipsoid detected, pointing along Dz.")
             dani = hdr["Dani_L"]
         elif hdr["Drho_S"] < 1.0:
             print("= = = Short axis ellipsoid detected, pointing along Dx.")
             dani = hdr["Dani_S"]
-        else:
+        elif not have_ext_d:
             sys.exit("= = = ERROR: neither Drho value is below one.")
-        if tum.d_ext and len(tum.d_ext) >= 2:
+        if have_ext_d:
             dani = tum.d_ext[1]
         if tum.q_ext is not None:
             quat = np.array(tum.q_ext)
@@ -164,12 +177,7 @@ def run_workflow(cfg: WorkflowConfig):
     }
     vec_file = vec_files[io.vec_storage]
     trajs = [os.path.join(path, io.traj) for path in folders]
-    refs = []
-    for path in folders:
-        rl = io.refpdb if os.path.isabs(io.refpdb) else os.path.join(path, io.refpdb)
-        if not os.path.exists(rl) and os.path.exists(io.refpdb):
-            rl = io.refpdb
-        refs.append(rl)
+    refs = [_resolve_ref(path, io.refpdb) for path in folders]
     ct_params = dict(tau=tum.tau_mem, quat=[float(x) for x in quat],
                      storage=io.vec_storage, zeta=phy.zeta)
     if cfg.force or not stage_is_current(

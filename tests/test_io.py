@@ -479,3 +479,38 @@ def test_phitheta_stream_writer_empty_and_cleanup(tmp_path):
     with pytest.raises(ValueError, match="no vector frames"):
         w.close()
     assert os.listdir(tmp_path) == []  # no .stream.tmp / .data.npy left
+
+
+def test_fittedct_header_styles(tmp_path):
+    """Header byte-forms match the reference report(style='xmgrace')
+    (fitting_Ct_functions.py:244-261): fitted non-S2fast models carry a
+    LITERAL '+- 0.0' on S2_0; unfitted models omit '+-' entirely; both
+    re-parse losslessly."""
+    from spinrelax_tpu.io import fittedct
+    from spinrelax_tpu.models import CtModelSet
+
+    # Fitted, no S2_fast (the 2-parameter ladder rung).
+    cts = CtModelSet.from_lists(
+        ["7"], [0.8], [[0.2]], [[50.0]], s2fast=[False],
+        dS2=[0.01], dC_list=[[0.02]], dtau_list=[[5.0]], chisq=[0.5],
+    )
+    fn = str(tmp_path / "a.dat")
+    fittedct.write_fittedct(fn, cts)
+    text = open(fn).read()
+    assert "# Param S2_0: 0.8 +- 0.01\n" in text
+    assert "# Param C_a: 0.2 +- 0.02" in text
+    back = fittedct.read_fittedct(fn)
+    np.testing.assert_allclose(np.asarray(back.S2), [0.8])
+
+    # Unfitted (no chisq): STILL the '+-' form — the reference's own
+    # reader (read_fittedCt_parameters:453) crashes on its no-'+-'
+    # unfitted style, so the wire format keeps '+-' everywhere.
+    cts2 = CtModelSet.from_lists(
+        ["8"], [0.7], [[0.1]], [[20.0]], s2fast=[True],
+    )
+    fn2 = str(tmp_path / "b.dat")
+    fittedct.write_fittedct(fn2, cts2)
+    text2 = open(fn2).read()
+    assert "# Param S2_0: 0.7 +- 0" in text2
+    back2 = fittedct.read_fittedct(fn2)
+    np.testing.assert_allclose(np.asarray(back2.S2), [0.7])
