@@ -57,12 +57,50 @@ def _values_and_errors(loop: nmrstar.Loop, expt_type: str):
     return None, None
 
 
+# Reference get_isotopes element->isotope fallback
+# (parse-relaxations-from-BMRB-entry.py:86-99).
+_ISO_BY_ELEMENT = {"H": "1", "C": "13", "N": "15", "O": "17"}
+
+
+def _isotopes_from_loop(loop: nmrstar.Loop) -> List[str]:
+    """Suffix-aware isotope labels, matching the reference's startswith
+    tag scan (get_isotopes, parse-relaxations-from-BMRB-entry.py:76-105):
+    NOE loops carry Atom_type_1/Atom_type_2 etc., and a null isotope
+    number is guessed from the element (13C, 15N, ...) rather than
+    hard-coded to 15."""
+    iso_tags = [t for t in loop.tags if t.startswith("Atom_isotope_number")]
+    el_tags = [t for t in loop.tags if t.startswith("Atom_type")]
+    out = []
+    for it, et in zip(iso_tags, el_tags):
+        el = _first(loop.get_tag(et))
+        if el is None:
+            continue
+        num = _first(loop.get_tag(it))
+        if num is None:
+            num = _ISO_BY_ELEMENT.get(el)
+            if num is None:
+                raise ValueError(
+                    f"unsupported atom type {el!r} in relaxation loop "
+                    "(expected H/C/N/O)"
+                )
+        out.append(f"{num}{el}")
+    return out
+
+
 def parse_bmrb_entry(entry: nmrstar.Entry, out_prefix: str = "expt") -> List[str]:
     written: List[str] = []
     count = 0
     for cat, expt_type in _CATEGORIES.items():
         for sf in entry.frames_by_category(cat):
-            freq = sf.get_tag("Spectrometer_frequency_1H") or "600.0"
+            freq = _first([sf.get_tag("Spectrometer_frequency_1H")])
+            if freq is None:
+                # The reference fails loudly on a missing frequency
+                # (KeyError at :149); a fabricated default would silently
+                # compute every observable at the wrong field.
+                sys.exit(
+                    "= = = ERROR: save-frame %r has no "
+                    "Spectrometer_frequency_1H tag" % sf.name
+                )
             loop = _loop_for(sf, expt_type)
             if loop is None:
                 continue
@@ -72,29 +110,30 @@ def parse_bmrb_entry(entry: nmrstar.Entry, out_prefix: str = "expt") -> List[str
             resid = loop.get_tag("Comp_index_ID") or loop.get_tag("Comp_index_ID_1")
             if resid is None:
                 continue
-            iso_num = _first(loop.get_tag("Atom_isotope_number"), "15")
-            atom_type = _first(loop.get_tag("Atom_type"), "N")
-            if atom_type == "H":
-                # NOE frames list two nuclei; take the heavy partner.
-                iso_num = _first(loop.get_tag("Atom_isotope_number_1"), iso_num)
-                atom_type = _first(loop.get_tag("Atom_type_1"), atom_type)
-                if atom_type == "H":
-                    iso_num, atom_type = "15", "N"
-            nuclei_a = f"{iso_num}{atom_type}"
+            isotopes = _isotopes_from_loop(loop)
+            # Convention: second nucleus is 1H (reference :172-175).
+            if len(isotopes) > 1 and isotopes[0] == "1H":
+                isotopes = [isotopes[1], isotopes[0]]
+            nuclei_a = isotopes[0] if isotopes else "15N"
 
             keep = [
                 i for i, v in enumerate(vals) if v not in (".", "?", "")
             ]
             values = np.array([float(vals[i]) for i in keep])
-            if errs is not None:
-                errors = np.array(
-                    [float(errs[i]) if errs[i] not in (".", "?", "") else 0.0 for i in keep]
-                )
+            if errs is not None and all(
+                errs[i] not in (".", "?", "") for i in keep
+            ):
+                errors = np.array([float(errs[i]) for i in keep])
             else:
+                # All-or-none: a null Val_err must not become sigma=0
+                # (downstream chi-squares divide by error^2).
                 errors = None
             names = np.array([str(resid[i]) for i in keep])
 
-            # Units: T1/T2 in seconds -> rates (reference :164-168).
+            # Units: T1/T2 in seconds -> rates (reference :164-168; the
+            # reference only converts 's' — 'ms' handling is an
+            # extension, with errors taken to seconds first so the
+            # err_R = R * err_T convention stays consistent).
             unit = None
             if expt_type != "NOE":
                 unit = sf.get_tag(f"T{expt_type[-1]}_val_units") or sf.get_tag("Val_units")
@@ -106,11 +145,18 @@ def parse_bmrb_entry(entry: nmrstar.Entry, out_prefix: str = "expt") -> List[str
                 elif unit in ("ms",):
                     rates = 1000.0 / values
                     if errors is not None:
-                        errors = rates * errors / 1000.0 * 1000.0
+                        errors = rates * (errors / 1000.0)
                     values = rates
 
             count += 1
-            fn = "%s_%s_%s_%d.dat" % (out_prefix, expt_type, freq, count)
+            # Reference filename scheme (:193): prefix_type_freq_<frame
+            # ID>_<sample condition list ID>.dat, so frames sharing
+            # type+freq stay distinguishable.
+            expt_id = _first([sf.get_tag("ID")], str(count))
+            cond_id = _first([sf.get_tag("Sample_condition_list_ID")], "1")
+            fn = "%s_%s_%s_%s_%s.dat" % (
+                out_prefix, expt_type, freq, expt_id, cond_id,
+            )
             write_experiment(
                 fn,
                 ExperimentData(

@@ -134,6 +134,13 @@ def parse(text: str) -> Entry:
                     i += 1
                 else:
                     break
+            if not tags:
+                # A 'loop_' with no _tags would make the drain loop below
+                # spin forever on the first data token (len(pending) >= 0
+                # is always true) — fail the parse instead.
+                raise ValueError(
+                    f"malformed NMR-STAR: loop_ at line {i} has no tags"
+                )
             rows: List[List[str]] = []
             pending: List[str] = []
             while i < n:

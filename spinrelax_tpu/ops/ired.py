@@ -49,6 +49,14 @@ def ired_block_s2(vecs, n_global: int = 5):
     M = _ired_matrix(vecs)
     vals, vecs_e = jnp.linalg.eigh(M)  # ascending
     n_res = M.shape[0]
+    if n_res <= n_global:
+        # vals[: n_res - n_global] would be a NEGATIVE slice, silently
+        # misclassifying the smallest modes as internal; with every mode
+        # global there is no internal relaxation at all.
+        raise ValueError(
+            f"iRED needs more residues ({n_res}) than global modes "
+            f"({n_global}) to separate internal motion"
+        )
     # Internal modes: all but the n_global largest.
     lam_int = vals[: n_res - n_global]
     psi_int = vecs_e[:, : n_res - n_global]  # (nRes, nInternal)
