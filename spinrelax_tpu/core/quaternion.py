@@ -55,7 +55,8 @@ def qreduce(q, qref=None):
         d = q[..., 0]
     else:
         qref = jnp.asarray(qref, dtype=q.dtype)
-        d = jnp.einsum("...i,...i->...", q, qref)
+        d = jnp.einsum("...i,...i->...", q, qref,
+                   precision=jax.lax.Precision.HIGHEST)
     sgn = jnp.where(d >= 0, 1.0, -1.0).astype(q.dtype)
     return q * sgn[..., None]
 
@@ -98,10 +99,19 @@ def quat_v1v2(v1, v2, normalised: bool = False):
     dot = jnp.clip(jnp.sum(v1 * v2, axis=-1), -1.0, 1.0)
     th = jnp.arccos(dot)
     ax = jnp.cross(v1, v2)
-    # Degenerate case: v1 (anti)parallel v2 -> zero cross product. vecnorm
-    # maps it to the zero axis; axangle then yields (cos(th/2), 0,0,0).
-    # For parallel vectors th=0 -> identity, matching the reference's
-    # qeye() branch (transforms3d_supplement.py:78-81).
+    # Parallel vectors: zero cross, th=0 -> identity, matching the
+    # reference's qeye() branch (transforms3d_supplement.py:78-81).
+    # ANTIparallel vectors also give a zero cross but th=pi: the naive
+    # axangle of a zero axis would return the INVALID zero quaternion
+    # (the reference does; frame_transform then silently zeroes out) —
+    # any axis perpendicular to v1 realises the 180-degree rotation.
+    px = jnp.cross(v1, jnp.zeros_like(v1).at[..., 0].set(1.0))
+    py = jnp.cross(v1, jnp.zeros_like(v1).at[..., 1].set(1.0))
+    fallback = jnp.where(
+        jnp.sum(px * px, axis=-1, keepdims=True) > 1e-12, px, py
+    )
+    anti = (dot < -1.0 + 1e-12)[..., None]
+    ax = jnp.where(anti, fallback, ax)
     return axangle_to_quat(ax, th)
 
 

@@ -188,10 +188,9 @@ def fit_multiexp(dt, decay, sigma, K: int, s2_free: bool) -> MultiExpFit:
         # mean(sq) unweighted or mean(sq / dDecay)  [sic: sigma not squared].
         model = S2 + jnp.sum(C[:, None] * jnp.exp(-dt[None, :] / tau[:, None]), axis=0)
         sq = (model - y) ** 2
-        weighted = jnp.mean(sq / sg)
-        unweighted = jnp.mean(sq)
-        uniform = jnp.all(sg == 1.0)
-        chisq = jnp.where(uniform, unweighted, weighted)
+        # mean(sq/sg) IS mean(sq) when sg == 1 (the unweighted case the
+        # reference reaches via dDecay=None) — no branch needed.
+        chisq = jnp.mean(sq / sg)
 
         params_vec = jnp.concatenate([C, tau, jnp.atleast_1d(S2) if s2_free else jnp.zeros(0)])
         perr_vec = jnp.concatenate([dC, dtau, jnp.atleast_1d(dS2) if s2_free else jnp.zeros(0)])
@@ -202,7 +201,16 @@ def fit_multiexp(dt, decay, sigma, K: int, s2_free: bool) -> MultiExpFit:
         # them, so LM convergence must not enter this flag.
         ok_fit = jnp.all(jnp.isfinite(params_vec))
         ok_err = ~jnp.any(perr_vec > params_vec)
-        ok_sum = (S2 + jnp.sum(C)) <= 1.0 + 1e-12
+        # Replicated reference quirk (fitting_Ct_functions.py:332-341):
+        # the sum>1 check runs BEFORE set_params_from_list, i.e. on the
+        # PRE-fit values — exactly 1.0 for non-S2fast rungs (S2 was just
+        # recomputed as 1-sum(stale C)) and the initial guesses
+        # otherwise — so marginally-over-1 FITTED sums are accepted and
+        # the DoF ladder does not stop a rung early.
+        if s2_free:
+            ok_sum = (S20 + jnp.sum(C0)) <= 1.0 + 1e-12
+        else:
+            ok_sum = jnp.asarray(True)
         return C, tau, S2, dC, dtau, dS2, chisq, ok_fit, ok_err, ok_sum
 
     out = jax.vmap(fit_one)(decay, sigma)

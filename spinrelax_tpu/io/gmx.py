@@ -115,13 +115,26 @@ def write_trr(
     box: Optional[np.ndarray] = None,
     double: bool = False,
 ):
-    """Write a minimal TRR (box + positions per frame)."""
+    """Write a minimal TRR (box + positions per frame).
+
+    box : (3, 3) shared box, or (nFrames, 3, 3) per-frame boxes (the
+    shape read_trr returns, so read->write round-trips directly).
+    """
     xyz = np.asarray(xyz)
     n_frames, n_atoms, _ = xyz.shape
     if times is None:
         times = np.arange(n_frames, dtype=float)
     if box is None:
         box = np.zeros((3, 3))
+    box = np.asarray(box, dtype=float)
+    if box.shape == (3, 3):
+        box = np.broadcast_to(box, (n_frames, 3, 3))
+    elif box.shape != (n_frames, 3, 3):
+        # A wrong shape would silently stream extra floats into a box
+        # block whose size field says 9, corrupting every later frame.
+        raise ValueError(
+            f"box must be (3, 3) or ({n_frames}, 3, 3), got {box.shape}"
+        )
     per = 8 if double else 4
     dt = np.dtype(">f8") if double else np.dtype(">f4")
     with open(fn, "wb") as fp:
@@ -138,5 +151,5 @@ def write_trr(
             )
             fmt = ">2d" if double else ">2f"
             fp.write(struct.pack(fmt, float(times[f]), 0.0))
-            fp.write(np.asarray(box, dtype=dt).tobytes())
+            fp.write(np.ascontiguousarray(box[f], dtype=dt).tobytes())
             fp.write(np.ascontiguousarray(xyz[f], dtype=dt).tobytes())

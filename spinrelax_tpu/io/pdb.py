@@ -150,12 +150,16 @@ def write_pdb(fn: str, top: Topology, xyz: np.ndarray):
                 x, y, z = xyz[m, i] * 10.0
                 name = top.atom_names[i]
                 pname = f" {name:<3s}" if len(name) < 4 else name
+                # %-4s keeps 4-character residue names (CHARMM TIP3
+                # etc.) in columns 18-21 — truncating to 3 would undo
+                # read_pdb's preservation and misclassify round-tripped
+                # waters as solute; 3-char names render identically.
                 print(
-                    "ATOM  %5d %4s %3s %1s%4d    %8.3f%8.3f%8.3f%6.2f%6.2f          %2s"
+                    "ATOM  %5d %4s %-4s%1s%4d    %8.3f%8.3f%8.3f%6.2f%6.2f          %2s"
                     % (
                         i + 1,
                         pname,
-                        top.res_names[i][:3],
+                        top.res_names[i][:4],
                         top.chain_ids[i] or "A",
                         top.res_seqs[i],
                         x,

@@ -57,7 +57,12 @@ def spinrelax_forward(
     n_deltas = Ct.shape[0]
     dt = (jnp.arange(n_deltas, dtype=vecs.dtype) + 1.0) * delta_t
 
-    sigma = jnp.ones_like(Ct.T)
+    # Weight the fit by the Palmer SEMs like the reference
+    # (calculate-fitted-Ct.py:171 passes dDecay into curve_fit) and this
+    # repo's staged path (stages.py fit_ct_ladder with ddecays): dCt
+    # grows strongly with lag, so an unweighted fit over-weights the
+    # noisy tail.  Zero/invalid SEMs (e.g. 1-chunk runs) fall back to 1.
+    sigma = jnp.where(dCt.T > 0, dCt.T, 1.0)
     fit = fit_multiexp(dt, Ct.T, sigma, K=n_components, s2_free=True)
 
     J = j_combine_isotropic(

@@ -216,8 +216,10 @@ def make_sharded_finish(mesh: Mesh, delta_t: float = 1.0,
         mean, dct = palmer_pooled_stats(acc_s, acc_s2, count)  # (nResPad, nD)
         n_deltas = mean.shape[1]
         dt = (jnp.arange(n_deltas, dtype=mean.dtype) + 1.0) * delta_t
-        fit = fit_multiexp(dt, mean, jnp.ones_like(mean), K=n_components,
-                           s2_free=True)
+        # SEM-weighted like the reference pipeline (see
+        # parallel/pipeline.py) — dct is available right here.
+        sigma = jnp.where(dct > 0, dct, 1.0)
+        fit = fit_multiexp(dt, mean, sigma, K=n_components, s2_free=True)
         J = j_combine_isotropic(
             omega.astype(mean.dtype), tau_iso, fit.S2, fit.C, fit.tau,
             zeta=zeta,

@@ -514,3 +514,39 @@ def test_fittedct_header_styles(tmp_path):
     assert "# Param S2_0: 0.7 +- 0" in text2
     back2 = fittedct.read_fittedct(fn2)
     np.testing.assert_allclose(np.asarray(back2.S2), [0.7])
+
+
+def test_trr_per_frame_boxes_roundtrip(tmp_path):
+    """write_trr accepts the (nFrames, 3, 3) boxes read_trr returns (a
+    mis-shaped box used to silently corrupt every frame after the
+    first), and rejects other shapes loudly."""
+    from spinrelax_tpu.io import gmx
+
+    rng = np.random.default_rng(9)
+    xyz = rng.uniform(0, 4, (3, 6, 3)).astype(np.float32)
+    boxes = np.stack([np.diag([4.0 + i, 4.0, 4.0]) for i in range(3)])
+    fn = str(tmp_path / "pf.trr")
+    gmx.write_trr(fn, xyz, box=boxes)
+    x2, b2, _ = gmx.read_trr(fn)
+    np.testing.assert_allclose(x2, xyz, atol=1e-6)
+    np.testing.assert_allclose(b2, boxes, atol=1e-6)
+    with pytest.raises(ValueError, match="box must be"):
+        gmx.write_trr(fn, xyz, box=np.zeros((2, 3, 3)))
+
+
+def test_write_pdb_preserves_4char_resnames(tmp_path):
+    """write_pdb keeps CHARMM 4-character residue names through a
+    round-trip (truncation to 3 re-classified waters as solute)."""
+    from spinrelax_tpu.io.pdb import Topology, read_pdb, write_pdb
+    from spinrelax_tpu.ops.pbc import solute_mask
+
+    top = Topology(
+        atom_names=["CA", "OH2"], res_seqs=np.array([1, 2]),
+        res_names=["ALA", "TIP3"], chain_ids=["A", "W"],
+        occupancies=np.ones(2), elements=["C", "O"],
+    )
+    fn = str(tmp_path / "t.pdb")
+    write_pdb(fn, top, np.zeros((1, 2, 3)))
+    top2, _ = read_pdb(fn)
+    assert top2.res_names == ["ALA", "TIP3"]
+    assert solute_mask(top2).tolist() == [True, False]

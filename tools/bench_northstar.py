@@ -111,7 +111,9 @@ def main():
 
         mean, dCt = palmer_pooled_stats(acc_s, acc_s2, float(R))
         dt = (jnp.arange(D, dtype=jnp.float32) + 1.0)
-        fit = fit_multiexp(dt, mean, jnp.ones_like(mean), K=2, s2_free=True)
+        sigma = jnp.where(dCt > 0, dCt, 1.0)  # SEM-weighted like the
+        # reference (calculate-fitted-Ct.py:171)
+        fit = fit_multiexp(dt, mean, sigma, K=2, s2_free=True)
         J = j_combine_isotropic(omega, 4242.0, fit.S2, fit.C, fit.tau)
         R1 = rx.r1_from_j(J, f_dd, f_csa, tf)
         R2 = rx.r2_from_j(J, f_dd, f_csa, tf)
