@@ -56,6 +56,8 @@ class ExperimentSet:
 
     def coverage_counts(self) -> np.ndarray:
         """Experiments covering each residue (report_maps analogue)."""
+        if not self.experiments:
+            return np.zeros(self.n_residues)
         return np.sum([e.mask for e in self.experiments], axis=0)
 
     @staticmethod

@@ -139,6 +139,6 @@ def predict_jomega(
     if J.ndim == 2:
         return J, None
     mean, std = weighted_mean_std(
-        jnp.moveaxis(J, -1, 0), None if weights is None else weights, axis=-1
+        jnp.moveaxis(J, -1, 0), weights, axis=-1
     )
     return jnp.moveaxis(mean, 0, -1), jnp.moveaxis(std, 0, -1)

@@ -164,14 +164,6 @@ def _cat_rhs(x, pairs):
     return jnp.concatenate([terms[xi] for _, xi in pairs], axis=0)
 
 
-def _make_cat_dot(pairs):
-    def cat_dot(w_cat_ref_value, x_rhs):
-        return jnp.dot(w_cat_ref_value, x_rhs,
-                       preferred_element_type=jnp.float32)
-
-    return cat_dot
-
-
 # mode -> (stage1 pairs, stage2 pairs, centered); None pairs = HIGHEST /
 # split3 handled separately.  Mixed modes exist because the two stages
 # limit accuracy differently: stage-2 operates on the spectral output of
@@ -432,6 +424,8 @@ def acf_sums_pallas(vecs, n_deltas: int, mode: str = "cat64c",
             v = jnp.concatenate(
                 [v, jnp.zeros((b_pad - B, n_frames, 3), dtype)], axis=0
             )
+    if tiles < 1:
+        raise ValueError(f"tiles must be >= 1, got {tiles}")
     while n_tiles % tiles != 0:  # clamp to a divisor of the tile count
         tiles -= 1
     if pretiled:
@@ -477,7 +471,9 @@ def acf_sums_pallas(vecs, n_deltas: int, mode: str = "cat64c",
         const_arrays.append(TRI)
     consts = [jnp.asarray(c) for c in const_arrays]
     const_specs = [
-        pl.BlockSpec(c.shape, lambda i: (0,) * c.ndim) for c in consts
+        # n=c.ndim binds NOW: a bare closure would late-bind the loop
+        # variable and give every spec the LAST constant's rank.
+        pl.BlockSpec(c.shape, lambda i, n=c.ndim: (0,) * n) for c in consts
     ]
 
     def kernel(v_ref, w1r, w1i, twr_, twi_, w2rt, w2it, cinv, *rest):

@@ -45,8 +45,12 @@ def main():
     rng = np.random.default_rng(123)
     vecs = rng.normal(size=(R, F, N, 3))
     vecs /= np.linalg.norm(vecs, axis=-1, keepdims=True)
-    share = R // n_procs
-    own = vecs[proc_id * share : (proc_id + 1) * share]
+    # Contiguous split that covers ALL replicas even when n_procs does
+    # not divide R (the last host takes the remainder) — silently
+    # dropping the tail would break the single-host equivalence this
+    # worker exists to demonstrate.
+    bounds = np.linspace(0, R, n_procs + 1).astype(int)
+    own = vecs[bounds[proc_id] : bounds[proc_id + 1]]
     part = host_stream(iter([own]), F)
 
     # Global ("rep", "res") mesh across all processes' devices; jax
@@ -73,6 +77,7 @@ def main():
     Ct, dCt = np.asarray(mean).T, np.asarray(dct).T
     if proc_id == 0:
         np.savez(outfn, Ct=Ct, dCt=dCt, count=float(count))
+    assert float(count) == R, (float(count), R)
     print(f"[host {proc_id}] pooled {float(count):g} chunks OK", flush=True)
 
 
