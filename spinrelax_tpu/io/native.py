@@ -28,7 +28,12 @@ def _load() -> Optional[ctypes.CDLL]:
     _tried = True
     src = os.path.join(_NATIVE_DIR, "fastio.cpp")
     try:
-        if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src):
+        # A deployment may ship only the built .so (the .cpp is a build
+        # input): rebuild ONLY when the source exists and is newer.
+        if not os.path.exists(_LIB_PATH) or (
+            os.path.exists(src)
+            and os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)
+        ):
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", src, "-o", _LIB_PATH],
                 check=True,
@@ -135,7 +140,10 @@ def _load_xtc():
     _xtc_tried = True
     src = os.path.join(_NATIVE_DIR, "xtc.cpp")
     try:
-        if not os.path.exists(_XTC_PATH) or os.path.getmtime(_XTC_PATH) < os.path.getmtime(src):
+        if not os.path.exists(_XTC_PATH) or (
+            os.path.exists(src)
+            and os.path.getmtime(_XTC_PATH) < os.path.getmtime(src)
+        ):
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", src, "-o", _XTC_PATH],
                 check=True,

@@ -81,6 +81,21 @@ inline const char* skip_line(const char* p, const char* end) {
 
 }  // namespace
 
+// strtod on a non-NUL-terminated mapping may walk past the final page
+// when the file size is an exact page multiple: parse near-end tokens
+// through a bounded NUL-terminated copy.
+static double safe_strtod(const char* p, const char* end, char** next) {
+    if (end - p >= 32) return strtod(p, next);
+    char tmp[40];
+    size_t n = (size_t)(end - p);
+    memcpy(tmp, p, n);
+    tmp[n] = 0;
+    char* nx = nullptr;
+    double v = strtod(tmp, &nx);
+    *next = (char*)p + (nx - tmp);
+    return v;
+}
+
 int fastio_table_dims(const char* path, const char* skip_chars,
                       long* n_rows, long* n_cols) {
     MappedFile mf;
@@ -129,7 +144,7 @@ long fastio_parse_table(const char* path, const char* skip_chars,
         long col = 0;
         while (p < end && *p != '\n' && col < n_cols) {
             char* next = nullptr;
-            double v = strtod(p, &next);
+            double v = safe_strtod(p, end, &next);
             if (next == p) { return -2; }  // malformed token
             out[row * n_cols + col] = v;
             ++col;
@@ -137,7 +152,8 @@ long fastio_parse_table(const char* path, const char* skip_chars,
             p = next;
             while (p < end && is_blank(*p)) ++p;
         }
-        if (col != n_cols) return -3;  // ragged row
+        if (col != n_cols) return -3;  // ragged row (too few columns)
+        if (p < end && *p != '\n' && *p != '\r') return -3;  // extra columns
         ++row;
         p = skip_line(p, end);
     }
@@ -155,11 +171,17 @@ int fastio_write_table(const char* path, int append, const double* data,
     size_t off = 0;
     bool ok = true;
     for (long r = 0; r < n_rows && ok; r++) {
-        for (long c = 0; c < n_cols; c++) {
+        for (long c = 0; c < n_cols && ok; c++) {
             int n = snprintf(buf, sizeof buf, c ? " %16g" : "%16g",
                              data[r * n_cols + c]);
             memcpy(out + off, buf, (size_t)n);
             off += (size_t)n;
+            // Flush per VALUE: an end-of-row-only check would overflow
+            // the fixed slack for wide tables (>= ~240 columns).
+            if (off >= CHUNK) {
+                ok = fwrite(out, 1, off, fp) == off;
+                off = 0;
+            }
         }
         out[off++] = '\n';
         if (off >= CHUNK) {

@@ -69,10 +69,12 @@ struct Reader {
 
 struct Writer {
     FILE* fp;
+    bool ok = true;  // sticky: any failed fwrite (e.g. ENOSPC) latches
+
     void u32(uint32_t v) {
         unsigned char b[4] = {(unsigned char)(v >> 24), (unsigned char)(v >> 16),
                               (unsigned char)(v >> 8), (unsigned char)v};
-        fwrite(b, 1, 4, fp);
+        if (fwrite(b, 1, 4, fp) != 4) ok = false;
     }
     void i32(int32_t v) { u32((uint32_t)v); }
     void f32(float f) {
@@ -80,7 +82,9 @@ struct Writer {
         memcpy(&u, &f, 4);
         u32(u);
     }
-    void bytes(const unsigned char* src, size_t n) { fwrite(src, 1, n, fp); }
+    void bytes(const unsigned char* src, size_t n) {
+        if (fwrite(src, 1, n, fp) != n) ok = false;
+    }
 };
 
 // ------------------------------------------------------------- bit codec
@@ -90,6 +94,15 @@ struct BitBuf {
     size_t cnt = 0;           // byte cursor
     int lastbits = 0;         // bits held in lastbyte
     uint32_t lastbyte = 0;
+    bool overrun = false;     // decode read past the frame payload
+
+    unsigned char next() {
+        if (cnt >= data.size()) {
+            overrun = true;
+            return 0;
+        }
+        return data[cnt++];
+    }
 };
 
 static void encodebits(BitBuf& buf, int num_of_bits, uint32_t num) {
@@ -126,14 +139,14 @@ static uint32_t decodebits(BitBuf& buf, int num_of_bits) {
     int lastbits = buf.lastbits;
     uint32_t num = 0;
     while (num_of_bits >= 8) {
-        lastbyte = (lastbyte << 8) | buf.data[buf.cnt++];
+        lastbyte = (lastbyte << 8) | buf.next();
         num |= (lastbyte >> lastbits) << (num_of_bits - 8);
         num_of_bits -= 8;
     }
     if (num_of_bits > 0) {
         if (lastbits < num_of_bits) {
             lastbits += 8;
-            lastbyte = (lastbyte << 8) | buf.data[buf.cnt++];
+            lastbyte = (lastbyte << 8) | buf.next();
         }
         lastbits -= num_of_bits;
         num |= (lastbyte >> lastbits) & ((1u << num_of_bits) - 1);
@@ -278,6 +291,11 @@ static bool read_frame(Reader& rd, FrameHeader& h, float* xyz /*natoms*3 or null
     int smallidx = rd.i32();
     int nbytes = rd.i32();
     if (!rd.ok || nbytes < 0) return false;
+    // Foreign-bytes safety: smallidx indexes magicints and sets the
+    // decodeints bit width — out-of-range values would drive OOB reads
+    // and a stack overflow in the decode scratch.
+    const int n_magic = (int)(sizeof(magicints) / sizeof(magicints[0]));
+    if (smallidx < FIRSTIDX || smallidx >= n_magic - 1) return false;
 
     BitBuf buf;
     buf.data.resize((size_t)((nbytes + 3) / 4) * 4);
@@ -329,11 +347,14 @@ static bool read_frame(Reader& rd, FrameHeader& h, float* xyz /*natoms*3 or null
             is_smaller = run % 3;
             run -= is_smaller;
             is_smaller--;
-        } else {
-            run = 0;
         }
+        // Canonical 3dfcoord semantics: flag == 0 means the run length
+        // did NOT change — the previous `run` persists (GROMACS'
+        // encoder only re-signals on change).  Resetting to 0 here
+        // desynced the bitstream against real GROMACS files.
         if (run > 0) {
             for (int k = 0; k < run; k += 3) {
+                if (i >= h.natoms) return false;  // corrupt run overruns buffer
                 decodeints(buf, 3, smallidx, sizesmall, thiscoord);
                 i++;
                 thiscoord[0] += prevcoord[0] - small;
@@ -373,7 +394,7 @@ static bool read_frame(Reader& rd, FrameHeader& h, float* xyz /*natoms*3 or null
         sizesmall[0] = sizesmall[1] = sizesmall[2] = (uint32_t)magicints[smallidx];
         if (sizesmall[0] == 0) return false;  // corrupted stream
     }
-    return true;
+    return !buf.overrun;  // truncated payload = corrupt frame
 }
 
 static void write_frame(Writer& wr, int natoms, int step, float time,
@@ -396,6 +417,11 @@ static void write_frame(Writer& wr, int natoms, int step, float time,
     for (int a = 0; a < natoms; a++) {
         for (int d = 0; d < 3; d++) {
             float f = xyz[a * 3 + d] * precision;
+            // Quantisation overflow (stray coordinate, NaN, precision
+            // too high) is int32-cast UB that would encode a silently
+            // corrupt frame; xdrfile errors here ('scaling will cause
+            // overflow') and so do we.
+            if (!(f > -2.0e9f && f < 2.0e9f)) { wr.ok = false; return; }
             int32_t v = (int32_t)(f >= 0 ? f + 0.5f : f - 0.5f);
             ip[a * 3 + d] = v;
             if (v < minint[d]) minint[d] = v;
@@ -434,6 +460,8 @@ static void write_frame(Writer& wr, int natoms, int step, float time,
 
     BitBuf buf;
     int i = 0;
+    int prevrun = 0;  // decoder starts with run = 0; only CHANGES are
+                      // signalled (canonical 3dfcoord: flag=0 reuses it)
     while (i < natoms) {
         // Absolute atom: the decoder's run path outputs [delta-atom,
         // absolute-atom, ...], so when we have >= 2 atoms whose first
@@ -455,7 +483,13 @@ static void write_frame(Writer& wr, int natoms, int step, float time,
             } else {
                 encodeints(buf, 3, bitsize, sizeint, abs3);
             }
-            encodebits(buf, 1, 0);  // flag: no run
+            if (prevrun != 0) {
+                encodebits(buf, 1, 1);
+                encodebits(buf, 5, 1);  // run = 0, is_smaller = 0
+                prevrun = 0;
+            } else {
+                encodebits(buf, 1, 0);  // run length unchanged (still 0)
+            }
             i++;
             continue;
         }
@@ -487,8 +521,13 @@ static void write_frame(Writer& wr, int natoms, int step, float time,
         } else {
             encodeints(buf, 3, bitsize, sizeint, abs3);
         }
-        encodebits(buf, 1, 1);
-        encodebits(buf, 5, (uint32_t)(3 * n + 1));  // is_smaller = 0
+        if (3 * n != prevrun) {
+            encodebits(buf, 1, 1);
+            encodebits(buf, 5, (uint32_t)(3 * n + 1));  // is_smaller = 0
+            prevrun = 3 * n;
+        } else {
+            encodebits(buf, 1, 0);  // same run length as previous block
+        }
         // First delta: y0 relative to y1.
         uint32_t enc[3];
         for (int k = 0; k < 3; k++) enc[k] = (uint32_t)(d01[k] + small);
@@ -624,12 +663,12 @@ int xtc_write(const char* path, const float* xyz, const float* times,
     FILE* fp = fopen(path, "wb");
     if (!fp) return -1;
     Writer wr{fp};
-    for (long f = 0; f < n_frames; f++) {
+    for (long f = 0; f < n_frames && wr.ok; f++) {
         write_frame(wr, natoms, (int)f, times ? times[f] : (float)f,
                     boxes ? boxes + (size_t)f * 9 : nullptr,
                     xyz + (size_t)f * natoms * 3, precision);
     }
-    fclose(fp);
-    return 0;
+    int rc = fclose(fp);
+    return (wr.ok && rc == 0) ? 0 : -2;  // I/O failure or overflow
 }
 }

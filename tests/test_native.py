@@ -73,3 +73,31 @@ def test_colvar_reader_uses_native(big_table):
     # %16g writes 6 significant digits and the reader returns float32
     # (PLUMED convention, plumedcolvario.py:11-12) -> ~1e-5 fidelity.
     np.testing.assert_allclose(out.T, data, rtol=2e-5, atol=1e-7)
+
+
+def test_write_table_wide(tmp_path):
+    """Wide tables (>240 columns) must not overflow the write buffer
+    (the flush check now runs per value, not per row)."""
+    from spinrelax_tpu.io import native
+
+    if not native.available():
+        pytest.skip("no compiler")
+    rng = np.random.default_rng(1)
+    data = rng.normal(size=(50, 300))
+    fn = str(tmp_path / "wide.txt")
+    assert native.write_table(fn, data)
+    back = np.loadtxt(fn)
+    np.testing.assert_allclose(back, data, rtol=1e-5, atol=1e-9)
+
+
+def test_parse_table_rejects_wide_rows(tmp_path):
+    """A row with MORE columns than the first must error (silently
+    truncating it would misalign every downstream column)."""
+    from spinrelax_tpu.io import native
+
+    if not native.available():
+        pytest.skip("no compiler")
+    fn = tmp_path / "ragged.txt"
+    fn.write_text("1 2 3\n4 5 6 7\n")
+    with pytest.raises(OSError):
+        native.load_table(str(fn))

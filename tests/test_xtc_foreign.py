@@ -162,8 +162,22 @@ def test_handcrafted_run_stream(tmp_path):
     # stored value v -> coord = prev + v - 8
     xdr_ref.write_ints(bw, smallidx, sizesmall, [9, 10, 11])  # +1,+2,+3
     xdr_ref.write_ints(bw, smallidx, sizesmall, [6, 8, 12])  # -2, 0,+4
-    # atoms 3..11 (large), no runs
-    for a in range(3, n_atoms):
+    # CANONICAL run-length reuse: the next block emits flag=0, which
+    # means "same run length as before" (run stays 6 = 2 small atoms) —
+    # a real GROMACS encoder writes exactly this for consecutive equal
+    # runs, and it is the semantics that distinguishes the spec from the
+    # naive "flag=0 means no run" misreading.
+    xdr_ref.write_ints(bw, bitsize, sizeint, [500, 600, 700])  # atom 3 (large)
+    bw.bits(1, 0)  # run UNCHANGED -> still 2 small atoms follow
+    xdr_ref.write_ints(bw, smallidx, sizesmall, [10, 9, 8])   # +2,+1, 0
+    xdr_ref.write_ints(bw, smallidx, sizesmall, [8, 7, 9])    #  0,-1,+1
+    # atoms 6..11 (large, runless): the FIRST must signal the run-length
+    # CHANGE back to 0 (flag=1, field = 0 + is_smaller+1 = 1)...
+    xdr_ref.write_ints(bw, bitsize, sizeint, [106, 206, 306])
+    bw.bits(1, 1)
+    bw.bits(5, 1)  # run = 0, is_smaller = 0
+    # ...and subsequent runless atoms keep flag=0 (run stays 0).
+    for a in range(7, n_atoms):
         xdr_ref.write_ints(bw, bitsize, sizeint, [100 + a, 200 + a, 300 + a])
         bw.bits(1, 0)
     payload = bw.close()
@@ -188,13 +202,21 @@ def test_handcrafted_run_stream(tmp_path):
     # small, large; the delta chain then continues from the SMALL atom
     # (prevcoord keeps it after the exchange):
     #   atom2 = (1001+6-8, 1202+8-8, 1403+12-8) = (999, 1202, 1407).
+    # Reused-run block: large (500,600,700); first small (500+10-8,
+    # 600+9-8, 700+8-8) = (502, 601, 700), exchanged with the large;
+    # chain continues from the small: (502+8-8, 601+7-8, 700+9-8) =
+    # (502, 600, 701).
     want = np.array(
         [
             [1001, 1202, 1403],
             [1000, 1200, 1400],
             [999, 1202, 1407],
+            [502, 601, 700],
+            [500, 600, 700],
+            [502, 600, 701],
+            [106, 206, 306],
         ]
-        + [[100 + a, 200 + a, 300 + a] for a in range(3, n_atoms)],
+        + [[100 + a, 200 + a, 300 + a] for a in range(7, n_atoms)],
         dtype=np.float64,
     ) / precision
 

@@ -16,7 +16,8 @@ Key format facts encoded here (all from the public spec):
   minint) and runs of small deltas with an adaptive word size indexed
   into the historical magicints table (quirks 5060, 524287, 8388607
   preserved verbatim — files in the wild depend on them).
-- run flag bit after each large atom; 5-bit run field packs
+- run flag bit after each large atom (1 = run length CHANGED, new 5-bit
+  field follows; 0 = previous run length persists); the field packs
   run-length*3 + (is_smaller+1); within a run the first small atom is
   exchanged with the preceding large atom (water-molecule optimisation).
 - compressed payload padded to a 4-byte boundary.
@@ -256,7 +257,9 @@ def _decode_coords(natoms, precision, minint, maxint, smallidx, payload):
         this = [this[k] + minint[k] for k in range(3)]
         i += 1
         prev = list(this)
-        run = 0
+        # Canonical: `run` PERSISTS when flag == 0 (GROMACS only signals
+        # run-length CHANGES); resetting it here would desync against
+        # encoders that reuse a run length across consecutive blocks.
         flag = br.bits(1)
         is_smaller = 0
         if flag == 1:

@@ -18,8 +18,11 @@ REPO = os.path.dirname(HERE)
 REF = "/root/reference"
 GOLD = os.path.join(REPO, "tests", "golden")
 
-sys.path.insert(0, os.path.join(HERE, "refshim"))
+# refshim FIRST (the documented PYTHONPATH=tools/refshim:/root/reference
+# precedence): its shadowing modules must win over same-named reference
+# files for the numpy-2 compatibility patches to take effect.
 sys.path.insert(0, REF)
+sys.path.insert(0, os.path.join(HERE, "refshim"))
 
 import numpy as np  # noqa: E402
 
@@ -39,7 +42,6 @@ def main():
     # ----------------------------------------------------------------- #
     # 1. J(omega) kernels                                               #
     # ----------------------------------------------------------------- #
-    pairs = sd.relaxationModel("NH", sd._return_time_fact("T") if False else 14.1)
     # relaxationModel(bondType, B0): use 600.133 MHz -> B0 in Tesla
     B0 = 2.0 * np.pi * 600.133e6 / 267.513e6
     robj = sd.relaxationModel("NH", B0)
