@@ -24,8 +24,6 @@ intended product-form models are implemented and tested.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +32,6 @@ import numpy as np
 from .lm import lm_solve
 
 # Maximum number of exponential terms across both families.
-_MAX_TERMS = 5
 
 
 def _split_params(params, num_pars: int):
@@ -60,12 +57,15 @@ def exp_decay(t, params, num_pars: int):
     exponentials; even DoF uses the implicit constant 1 - sum(A), odd DoF
     fits the constant S2 explicitly.  num_pars==1 is exp(-t/tau)."""
     t = jnp.asarray(t)
+    scalar = t.ndim == 0  # the reference evaluates pointwise too
+    tv = jnp.atleast_1d(t)
     s2, amps, taus = _split_params(params, num_pars)
-    terms = jnp.sum(amps[:, None] * jnp.exp(-t[None, :] / taus[:, None]), axis=0)
+    terms = jnp.sum(amps[:, None] * jnp.exp(-tv[None, :] / taus[:, None]), axis=0)
     if num_pars == 1:
-        return terms
+        return terms[0] if scalar else terms
     const = s2 if s2 is not None else 1.0 - jnp.sum(amps)
-    return const + terms
+    out = const + terms
+    return out[0] if scalar else out
 
 
 def ls_decay(t, params, num_pars: int):
@@ -76,14 +76,16 @@ def ls_decay(t, params, num_pars: int):
     t = jnp.asarray(t)
     if num_pars == 1:
         return jnp.exp(-t / jnp.asarray(params)[0])
+    scalar = t.ndim == 0  # pointwise evaluation like the reference
+    tv = jnp.atleast_1d(t)
     s2_0, amps, taus = _split_params(params, num_pars)
     factors = amps[:, None] + (1.0 - amps[:, None]) * jnp.exp(
-        -t[None, :] / taus[:, None]
+        -tv[None, :] / taus[:, None]
     )
     out = jnp.prod(factors, axis=0)
     if s2_0 is not None:
         out = s2_0 * out
-    return out
+    return out[0] if scalar else out
 
 
 def _exp_guess(num_pars: int, t_max: float) -> np.ndarray:
@@ -183,8 +185,14 @@ def _fit_family(model_fn, guess_fn, num_pars: int, x, y, dy=None,
 
         return lm_solve(resid, p0j, loj, hij)
 
-    sg = jnp.ones_like(jnp.asarray(yb)) if dyb is None else jnp.asarray(dyb)
-    res = jax.vmap(fit_one)(jnp.asarray(yb), sg)
+    yj = jnp.asarray(yb)
+    if dyb is None:
+        sg = jnp.ones_like(yj)
+    else:
+        # A single shared (T,) sigma must broadcast across the batch
+        # (vmap rejects mismatched leading axes).
+        sg = jnp.broadcast_to(jnp.asarray(dyb), yj.shape)
+    res = jax.vmap(fit_one)(yj, sg)
     params = np.asarray(res.params)
     perr = np.asarray(res.perr)
     ymodel = np.asarray(
@@ -205,7 +213,7 @@ def do_expstyle_fit(num_pars: int, x, y, dy=None):
     Returns (chi, params, perr, ymodel)."""
     if not 1 <= num_pars <= 9:
         raise ValueError(f"num_pars must be in 1..9, got {num_pars}")
-    return _fit_family(exp_decay, lambda n, t: _exp_guess(n, t), num_pars, x, y, dy)
+    return _fit_family(exp_decay, _exp_guess, num_pars, x, y, dy)
 
 
 def do_lsstyle_fit(num_pars: int, x, y, dy=None):
@@ -214,7 +222,7 @@ def do_lsstyle_fit(num_pars: int, x, y, dy=None):
     raises NameError for num_pars >= 2; see module docstring)."""
     if not 1 <= num_pars <= 9:
         raise ValueError(f"num_pars must be in 1..9, got {num_pars}")
-    return _fit_family(ls_decay, lambda n, t: _ls_guess(n, t), num_pars, x, y, dy)
+    return _fit_family(ls_decay, _ls_guess, num_pars, x, y, dy)
 
 
 # Named aliases mirroring the reference's public function family

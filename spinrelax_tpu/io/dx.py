@@ -46,6 +46,10 @@ def read_dx(fn: str, units: str = "A"):
                     for tok in parts:
                         data[count] = float(tok)
                         count += 1
+    if data is None:
+        raise ValueError(
+            f"{fn}: no 'data follows' section found (truncated DX file?)"
+        )
     data = (1.0 / scale**3) * np.reshape(data, dims, order="C")
     return data, dims, orig, abc
 

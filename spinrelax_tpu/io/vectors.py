@@ -115,8 +115,17 @@ class PhiThetaStreamWriter:
                 out = np.lib.format.open_memmap(
                     datafile, mode="w+", dtype=np.float64, shape=(n_res, self._n, 2)
                 )
-                for i in range(n_res):
-                    out[i] = src[:, i, :]
+                # Frame-chunked transpose: whole-column reads (src[:, i])
+                # touch ~one page per frame once the temp file exceeds
+                # the page cache (~n_res x read amplification).  Reading
+                # sequential frame blocks and writing contiguous
+                # out[i, s:e] slices keeps total I/O at O(file size).
+                chunk = max(1, (64 << 20) // max(n_res * 16, 1))
+                for s in range(0, self._n, chunk):
+                    e = min(self._n, s + chunk)
+                    block = np.array(src[s:e])  # (e-s, nRes, 2) sequential
+                    for i in range(n_res):
+                        out[i, s:e] = block[:, i, :]
                 out.flush()
                 del out
                 meta = {

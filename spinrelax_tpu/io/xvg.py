@@ -8,7 +8,7 @@ rendering, ``&`` set terminators, ``@s%d legend`` lines).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import csv
 
