@@ -68,6 +68,14 @@ def _parse_csa(csa_arg, names):
         if abs(vals[0]) > 1.0:
             vals = vals * 1e-6
         order = {str(int(r)): v for r, v in zip(resid, vals)}
+        missing = [str(n) for n in names if str(n) not in order]
+        if missing:
+            # The reference exits with a resid-mismatch message here
+            # (sanity_check_two_list, calculate-relaxations-from-Ct.py:730).
+            sys.exit(
+                "= = = ERROR: CSA file %r lacks residues present in the "
+                "fitted-Ct data: %s" % (csa_arg, ", ".join(missing[:8]))
+            )
         return np.array([order[str(n)] for n in names])
     val = float(csa_arg)
     if abs(val) > 1.0:
@@ -199,6 +207,12 @@ def cmd_ct(argv):
             sys.exit(f"= = = ERROR: input rotation quaternion is malformed! {q_rot}")
     storage = "Histogram" if a.do_hist else ("PhiTheta" if a.binary else "TextPhiTheta")
     if a.split_groups > 0:
+        if a.S2mode != "outer":
+            sys.exit(
+                "= = = ERROR: --S2mode ired/wired needs the in-memory "
+                "path (drop --split): the streamed stage computes "
+                "outer-product S2 only."
+            )
         stage_ct_streamed(
             a.infn, a.topfn, a.outpref, a.tau,
             chunk_groups=a.split_groups, timestep=a.timestep,
@@ -209,7 +223,7 @@ def cmd_ct(argv):
         )
     else:
         stage_ct(
-            a.infn, a.topfn, a.outpref, a.tau,
+            a.infn, a.topfn, a.outpref, a.tau, timestep=a.timestep,
             q_rot=q_rot, h_sel=a.Hsel, x_sel=a.Xsel, fit_sel=a.fitsel, zeta=a.zeta,
             do_ct=a.do_ct, do_s2=a.do_s2, s2_mode=a.S2mode,
             do_vec_dist=(a.do_vec or a.do_hist),
@@ -270,7 +284,7 @@ def cmd_relax(argv):
                         "but never applies this flag; implemented as "
                         "documented)")
     p.add_argument("-q", "--q_rot", default="")
-    p.add_argument("-n", "--nuclei", default="NH")
+    p.add_argument("-n", "--nuclei", default="NH", choices=("NH", "CH"))
     p.add_argument("-B", "--B0", type=float, default=None)
     p.add_argument("-F", "--freq", type=float, default=None, help="1H frequency [Hz]")
     p.add_argument("--Jomega", action="store_true")
@@ -308,10 +322,20 @@ def cmd_relax(argv):
         sys.exit("= = = ERROR: give either --B0 [T] or --freq [Hz]")
     diffusion = _parse_diffusion(a)
     if a.theoretical:
+        if diffusion.kind == "direct":
+            # Reference errors here too (calculate-relaxations-from-Ct.py
+            # :672-674): a rigid baseline needs a tumbling model.
+            sys.exit(
+                "= = = ERROR: --theoretical requires --tau or -D "
+                "(a rigid baseline needs a diffusion model)"
+            )
         rates = stage_relax_theoretical(
             diffusion, freq_mhz=freq_mhz, nuclei=a.nuclei, zeta=a.zeta
         )
-        label = "Isotropic" if diffusion.kind == "isotropic" else "Anisotropic axial"
+        label = {
+            "isotropic": "Isotropic",
+            "axisymmetric": "Anisotropic axial",
+        }.get(diffusion.kind, diffusion.kind.capitalize())
         print(f"...{label} baseline values:")
         print("R1:", np.asarray(rates.R1))
         print("R2:", np.asarray(rates.R2))
@@ -319,8 +343,10 @@ def cmd_relax(argv):
         return
     if a.opt is not None and a.expfn is None:
         sys.exit("= = = ERROR: --opt requires an experimental file (--expfn)")
-    names = fctio.read_fittedct(a.in_ct).names
-    csa = _parse_csa(a.csa, names)
+    csa = None
+    if a.csa is not None:
+        names = fctio.read_fittedct(a.in_ct).names
+        csa = _parse_csa(a.csa, names)
     q_rot = np.array(_split_floats(a.q_rot)) if a.q_rot else None
     zeta = a.zeta if a.rXH is None else (1.02 / a.rXH) ** 6
     stage_relax(
@@ -365,8 +391,10 @@ def cmd_multifield(argv):
     from .stages import stage_multifield
 
     diffusion = _parse_diffusion(a)
-    names = fctio.read_fittedct(a.in_ct).names
-    csa = _parse_csa(a.csa, names)
+    csa = None
+    if a.csa is not None:
+        names = fctio.read_fittedct(a.in_ct).names
+        csa = _parse_csa(a.csa, names)
     opt = a.opt.split(",") if a.opt else None
     final = stage_multifield(
         a.in_ct, a.expFiles, a.outpref, diffusion,
@@ -389,13 +417,15 @@ def cmd_rho(argv):
     )
     p.add_argument("-f", dest="exptFile", required=True)
     p.add_argument("-o", dest="outputFile", default="out_expRho.dat")
-    p.add_argument("-n", "--nuclei", default="NH")
+    p.add_argument("-n", "--nuclei", default="NH", choices=("NH", "CH"))
     a = p.parse_args(argv)
     from ..constants import gamma
     from ..io import xvg
     from ..ops.relaxation import rho_from_rates
 
-    iso_a = {"NH": "15N", "CH": "13C"}[a.nuclei]
+    from ..constants import BOND_ISOTOPES
+
+    iso_a = BOND_ISOTOPES[a.nuclei]
     resid, block = xvg.load_xys(a.exptFile)
     ny = block.shape[1]
     if ny == 6:
@@ -509,11 +539,17 @@ def cmd_center(argv):
         boxes = _ortho_box(boxes33)
         dt = float(times[1] - times[0]) if len(times) > 1 else 1.0
     else:
-        xyz, dt = trjio.load_trajectory(a.infn, top_fn=a.topfn)
         if a.infn.endswith(".npz"):
+            # One archive read: load_trajectory would decode the same
+            # multi-GB npz a second time just to drop the box.
             obj = np.load(a.infn)
+            xyz = np.asarray(obj["xyz"])
+            t = obj["time"] if "time" in obj else None
+            dt = float(t[1] - t[0]) if t is not None and len(t) > 1 else 1.0
             if "box" in obj:
                 boxes = np.asarray(obj["box"])
+        else:
+            xyz, dt = trjio.load_trajectory(a.infn, top_fn=a.topfn)
     if a.box is not None:
         boxes = np.asarray(_split_floats(a.box))
     if boxes is None:
@@ -606,8 +642,11 @@ def cmd_check(argv):
             status = "MISSING (required)" if required else "absent (optional)"
             print(f"  [{'!!' if required else '--'}]   {mod}: {status}")
             ok &= not required
-    import jax
-
+    try:
+        import jax
+    except ImportError:
+        print("= = check FAILED = =")
+        sys.exit(1)
     try:
         devs = jax.devices()
         print(f"  [ok]   jax devices: {devs}")

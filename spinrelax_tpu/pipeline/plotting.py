@@ -42,8 +42,16 @@ def main(argv=None):
     s2fast = np.asarray(cts.s2_fast())
     resids = np.array([float(n) for n in cts.names])
 
-    tmin = a.tmin if a.tmin is not None else max(tau[mask].min() * 0.5, 1e-3)
-    tmax = a.tmax if a.tmax is not None else tau[mask].max() * 2.0
+    # S2-only models (no exponential components anywhere) still plot
+    # meaningful S2 bars — fall back to a nominal tau range instead of
+    # crashing on a zero-size reduction.
+    any_comp = bool(np.any(mask))
+    tmin = a.tmin if a.tmin is not None else (
+        max(tau[mask].min() * 0.5, 1e-3) if any_comp else 1e-3
+    )
+    tmax = a.tmax if a.tmax is not None else (
+        tau[mask].max() * 2.0 if any_comp else 1.0
+    )
 
     s2_slow_plot = S2.copy()
     s2_fast_plot = s2fast.copy()

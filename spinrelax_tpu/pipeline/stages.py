@@ -15,7 +15,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 import jax.numpy as jnp
 
-from ..constants import DEFAULT_ZETA, NucleusPair, field_from_mhz
+from ..constants import BOND_ISOTOPES, DEFAULT_ZETA, NucleusPair, field_from_mhz
 from ..core import geometry
 from ..core import quaternion as qt
 from ..fit.expfit import fit_ct_ladder
@@ -377,10 +377,14 @@ def stage_ct(
     vec_storage: str = "Histogram",  # Histogram | PhiTheta | TextPhiTheta
     hist_bins: int = 72,
     force: bool = False,
+    timestep: Optional[float] = None,
 ):
     """Compute bond-vector statistics.  Writes {pref}_Ctext.dat,
     {pref}_Ctint.dat, {pref}_vecHistogram.npz / _vecPhiTheta.*,
-    {pref}_avgvec.dat, {pref}_S2.dat."""
+    {pref}_avgvec.dat, {pref}_S2.dat.
+
+    ``timestep`` overrides the frame spacing reported by the trajectory
+    loader (for formats that carry no time axis)."""
     if len(ref_pdbs) == 1:
         ref_pdbs = list(ref_pdbs) * len(traj_files)
 
@@ -394,6 +398,8 @@ def stage_ct(
         w = np.zeros(top.n_atoms)
         w[fit_idx] = 1.0
         xyz, dt = trajio.load_trajectory(trj_fn, top_fn=ref_fn)
+        if timestep is not None:
+            dt = timestep
         bv = orient.bond_vectors(
             jnp.asarray(xyz), jnp.asarray(ref_xyz[0]), jnp.asarray(idx_h),
             jnp.asarray(idx_x), jnp.asarray(w),
@@ -602,7 +608,7 @@ def stage_relax(
     DisoCSA / DisoS2CSA / new, calculate-relaxations-from-Ct.py:865-1000).
     """
     cts = fctio.read_fittedct(fittedct_file).with_zeta(zeta)
-    iso_a = {"NH": "15N", "CH": "13C"}[nuclei]
+    iso_a = BOND_ISOTOPES[nuclei]
     pair = NucleusPair(
         isotope_a=iso_a, B0=field_from_mhz(freq_mhz), time_unit=time_unit
     )
@@ -747,7 +753,7 @@ def stage_relax_theoretical(
     calculate-relaxations-from-Ct.py:671-687): relaxation of a rigid body
     with no internal motion.  Isotropic -> one triple; axisymmetric ->
     per-axis triples for the three lab axes."""
-    iso_a = {"NH": "15N", "CH": "13C"}[nuclei]
+    iso_a = BOND_ISOTOPES[nuclei]
     pair = NucleusPair(isotope_a=iso_a, B0=field_from_mhz(freq_mhz), time_unit="ps")
     if diffusion.kind == "isotropic":
         cts = CtModelSet.from_lists(["1"], [zeta], [[0.0]], [[99999.0]])
