@@ -17,7 +17,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 from ..models.ctmodel import CtModelSet
-from .lm import fit_multiexp
+from .lm import fit_multiexp, fit_multiexp_stacked  # noqa: F401 (fit_multiexp is part of the public surface)
 
 LADDER_WITH_FAST = (2, 3, 5, 7, 9)
 LADDER_NO_FAST = (2, 4, 6, 8)
@@ -39,6 +39,7 @@ def fit_ct_ladder(
     n_components: Optional[int] = None,
     zeta: float = 1.0,
     verbose: bool = False,
+    mesh=None,
 ) -> CtModelSet:
     """Fit all residues' C(t) and select per-residue model complexity.
 
@@ -64,15 +65,68 @@ def fit_ct_ladder(
     else:
         ladder = list(LADDER_WITH_FAST if use_s2fast else LADDER_NO_FAST)
 
+    # ALL ladder rungs solve as ONE padded batched LM (one dispatch, one
+    # compile) — inactive components are frozen by masking, which leaves
+    # each rung's active sub-problem identical to a dense per-rung solve
+    # (see fit.lm.fit_multiexp_stacked; reference fits rungs sequentially
+    # per residue, fitting_Ct_functions.py:278-304).
+    specs = [(n_par, *_rung_spec(n_par)) for n_par in ladder]
+    Kmax_l = max(K for _, K, _ in specs)
+    R = len(specs)
+    dt_arr = np.asarray(dt, dtype=float)
+    step = float(np.mean(dt_arr[1:] - dt_arr[:-1]))
+    tau0_rows = np.full((R, Kmax_l), dt_arr[-1])
+    for i, (_, K, _) in enumerate(specs):
+        tau0_rows[i, :K] = np.logspace(
+            np.log10(step), np.log10(dt_arr[-1] * 2.0), K + 2
+        )[1:-1]
+    stack_args = [
+        np.tile(decays, (R, 1)),
+        np.tile(sigma, (R, 1)),
+        np.repeat([K for _, K, _ in specs], B),
+        np.repeat([s2f for _, _, s2f in specs], B),
+        np.repeat(tau0_rows, B, axis=0),
+    ]
+    n_stack = R * B
+    if mesh is not None:
+        # Residue-shard the stacked batch over EVERY mesh axis: the LM is
+        # embarrassingly parallel over batch elements, so GSPMD partitions
+        # the whole solve with zero communication (SURVEY §2.5 "residue
+        # tensor-parallel").  The batch is padded to a device-count
+        # multiple with copies of row 0 (well-conditioned dummies) and
+        # sliced back after the solve.
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        ndev = int(mesh.devices.size)
+        pad = (-n_stack) % ndev
+        if pad:
+            stack_args = [
+                np.concatenate([a, np.repeat(a[:1], pad, axis=0)], axis=0)
+                for a in stack_args
+            ]
+        stack_args = [
+            jax.device_put(
+                a,
+                NamedSharding(
+                    mesh,
+                    PartitionSpec(
+                        tuple(mesh.axis_names), *([None] * (a.ndim - 1))
+                    ),
+                ),
+            )
+            for a in stack_args
+        ]
+    stacked = fit_multiexp_stacked(dt_arr, *stack_args, Kmax=Kmax_l)
+    stacked = {k: v[:n_stack] for k, v in jax_to_np(stacked).items()}
     rungs = []
-    for n_par in ladder:
-        K, s2_free = _rung_spec(n_par)
-        fit = fit_multiexp(dt, decays, sigma, K=K, s2_free=s2_free)
-        rungs.append((n_par, K, s2_free, jax_to_np(fit)))
+    for i, (n_par, K, s2_free) in enumerate(specs):
+        fit = {k: v[i * B : (i + 1) * B] for k, v in stacked.items()}
+        rungs.append((n_par, K, s2_free, fit))
         if verbose:
             print(
                 f"    ...ladder rung nParams={n_par}: median chisq "
-                f"{np.median(np.asarray(fit.chisq)):.3g}"
+                f"{np.median(fit['chisq']):.3g}"
             )
 
     # Per-residue sequential selection (fitting_Ct_functions.py:283-304).

@@ -81,13 +81,37 @@ def _eval_all(es: ExperimentSet, diso, aniso, zeta, csa):
         if e.pair not in pairs:
             pairs.append(e.pair)
     omega_all = jnp.concatenate([jnp.asarray(p.omega5()) for p in pairs])
-    J_all = diffusion.j_combined(
-        omega_all, cts.S2, cts.C, cts.tau, mask=cts.mask, vecs=vecs, zeta=cts.zeta
-    )
     rates_by_pair = {}
-    for i, p in enumerate(pairs):
-        J = J_all[..., 5 * i : 5 * (i + 1)]
-        rates_by_pair[p] = obs.rates_from_j_newapi(p, J, weights=weights, csa=csa)
+    if es.diffusion.kind == "axisymmetric" and vecs is not None and vecs.ndim == 3:
+        # Moment-collapsed fast path: rates are linear in the per-sample
+        # A-coefficients, so the ensemble statistics follow from the
+        # precomputed (mu, cov) A-moments — O(nRes*3) per step instead of
+        # O(nRes*nSamp) (reference evaluates J over every sample every
+        # step, spectral_densities.py:751-763,1710-1737).  Both
+        # prolate/oblate moment sets are jit constants; the branch is
+        # selected in-graph because Daniso is traced.
+        from ..ops import jomega as jw
+
+        mu_p, cov_p, mu_o, cov_o = es.symmtop_a_moments()
+        dpar, dperp = diffusion.dpar_dperp()
+        prolate = dpar > dperp
+        mu = jnp.where(prolate, jnp.asarray(mu_p), jnp.asarray(mu_o))
+        cov = jnp.where(prolate, jnp.asarray(cov_p), jnp.asarray(cov_o))
+        G_all = jw.symmtop_g_factors(
+            omega_all, dpar, dperp, cts.S2, cts.C, cts.tau,
+            comp_mask=cts.mask, zeta=cts.zeta,
+        )
+        for i, p in enumerate(pairs):
+            rates_by_pair[p] = obs.rates_from_a_moments_newapi(
+                p, G_all[..., 5 * i : 5 * (i + 1)], mu, cov, csa=csa
+            )
+    else:
+        J_all = diffusion.j_combined(
+            omega_all, cts.S2, cts.C, cts.tau, mask=cts.mask, vecs=vecs, zeta=cts.zeta
+        )
+        for i, p in enumerate(pairs):
+            J = J_all[..., 5 * i : 5 * (i + 1)]
+            rates_by_pair[p] = obs.rates_from_j_newapi(p, J, weights=weights, csa=csa)
     for e in es.experiments:
         rates = rates_by_pair[e.pair]
         if e.expt_type == "R1":

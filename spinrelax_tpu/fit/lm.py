@@ -46,11 +46,17 @@ def lm_solve(
     max_iter: int = 60,
     lam0: float = 1e-3,
     xtol: float = 1e-10,
+    n_par_eff=None,
 ) -> LMResult:
     """Minimise 0.5*||residual_fn(p)||^2 subject to lo <= p <= hi.
 
     ``residual_fn`` maps (P,) -> (N,).  Designed to be vmapped over a batch
     of independent problems (each with its own p0/lo/hi closure data).
+
+    ``n_par_eff``: effective (traced) parameter count for the
+    reduced-chi-square DoF when some of the P parameters are frozen masks
+    (their Jacobian columns are exactly zero, which decouples them from
+    the LM step); defaults to the static P.
     """
     t0 = _to_unconstrained(p0, lo, hi)
 
@@ -98,7 +104,7 @@ def lm_solve(
     Jp = jax.jacfwd(residual_fn)(p_fin)  # (N, P)
     H = jnp.matmul(Jp.T, Jp, precision=jax.lax.Precision.HIGHEST)
     n_data = r_fin.shape[0]
-    dof = jnp.maximum(n_data - n_par, 1)
+    dof = jnp.maximum(n_data - (n_par if n_par_eff is None else n_par_eff), 1)
     red_chisq = jnp.sum(r_fin * r_fin) / dof
     cov = jnp.linalg.pinv(H) * red_chisq
     perr = jnp.sqrt(jnp.clip(jnp.diag(cov), 0.0))
@@ -214,4 +220,95 @@ def fit_multiexp(dt, decay, sigma, K: int, s2_free: bool) -> MultiExpFit:
         return C, tau, S2, dC, dtau, dS2, chisq, ok_fit, ok_err, ok_sum
 
     out = jax.vmap(fit_one)(decay, sigma)
+    return MultiExpFit(*out)
+
+
+@partial(jax.jit, static_argnames=("Kmax",))
+def fit_multiexp_stacked(dt, decay, sigma, Kvals, s2free, tau0, Kmax: int) -> MultiExpFit:
+    """One batched LM over a HETEROGENEOUS batch of multi-exp problems.
+
+    Every element may have its own component count K <= Kmax and its own
+    S2-free flag — this is what lets ALL rungs of the reference's DoF
+    ladder (fitting_Ct_functions.py:278-304) solve as ONE padded LM batch
+    (one dispatch, one compile) instead of one ``fit_multiexp`` call per
+    rung.  Inactive components are frozen by masking: their residual
+    Jacobian columns are exactly zero, so the LM step never moves them and
+    their uncertainties pinv to zero — the active sub-problem's trajectory
+    is identical (in exact arithmetic) to the dense per-rung solve.
+
+    dt     : (T,) shared lag times.
+    decay  : (B, T) target decays (rungs already tiled into B).
+    sigma  : (B, T) uncertainties.
+    Kvals  : (B,) per-element component count (traced).
+    s2free : (B,) per-element bool: S2 is a free parameter vs 1-sum(C).
+    tau0   : (B, Kmax) per-element initial taus (host-precomputed
+             log-spaced grid per rung, padding arbitrary positive).
+
+    Returns MultiExpFit with (B, Kmax) component arrays; for an element
+    with K components the ACTIVE ones occupy [:K] (fast-to-slow), padding
+    is zero-C / inf-sorted-last.
+    """
+    dt = jnp.asarray(dt)
+    decay = jnp.asarray(decay)
+    sigma = jnp.asarray(sigma)
+    tau_max = dt[-1] * 10.0
+    P = 2 * Kmax + 1
+    n_sample = 10
+    karange = jnp.arange(Kmax)
+
+    def fit_one(y, sg, K, s2f, t0):
+        mask = (karange < K).astype(y.dtype)
+        # initialise_for_fit_advanced semantics (fitting_Ct_functions.py:
+        # 359-374), identical to _init_multiexp on the active slots.
+        avg_beg = jnp.mean(y[:n_sample])
+        avg_end = jnp.mean(y[-n_sample:])
+        c0 = jnp.abs(avg_beg - avg_end) / K
+        C0 = jnp.where(mask > 0, c0, 0.5)
+        S20 = jnp.where(s2f, avg_end, 1.0 - c0)
+        t0p = jnp.where(mask > 0, t0, dt[-1])
+        p0 = jnp.concatenate([C0, t0p, S20[None]])
+        lo = jnp.concatenate([jnp.zeros(Kmax), jnp.full(Kmax, 1e-8), jnp.zeros(1)])
+        hi = jnp.concatenate([jnp.ones(Kmax), jnp.full(Kmax, tau_max), jnp.ones(1)])
+
+        def residual(p):
+            C = p[:Kmax] * mask
+            tau = p[Kmax : 2 * Kmax]
+            S2 = jnp.where(s2f, p[-1], 1.0 - jnp.sum(C))
+            model = S2 + jnp.sum(
+                C[:, None] * jnp.exp(-dt[None, :] / tau[:, None]), axis=0
+            )
+            return (model - y) / sg
+
+        n_eff = 2 * K + jnp.where(s2f, 1, 0)
+        res = lm_solve(residual, p0, lo, hi, n_par_eff=n_eff)
+        C = res.params[:Kmax] * mask
+        tau = res.params[Kmax : 2 * Kmax]
+        S2 = jnp.where(s2f, res.params[-1], 1.0 - jnp.sum(C))
+        dC = res.perr[:Kmax]
+        dtau = res.perr[Kmax : 2 * Kmax]
+        dS2 = jnp.where(s2f, res.perr[-1], 0.0)
+        # Sort fast-to-slow with padding last, so [:K] are the active
+        # components (fitting_Ct_functions.py:203-209).
+        order = jnp.argsort(jnp.where(mask > 0, tau, jnp.inf))
+        C, tau, dC, dtau, mask_s = (
+            C[order], tau[order], dC[order], dtau[order], mask[order]
+        )
+
+        model = S2 + jnp.sum(
+            (C * mask_s)[:, None] * jnp.exp(-dt[None, :] / tau[:, None]), axis=0
+        )
+        chisq = jnp.mean((model - y) ** 2 / sg)
+
+        # Validity flags over ACTIVE parameters only, matching the dense
+        # per-rung vectors (see fit_multiexp for the reference quirks).
+        act = jnp.concatenate([mask_s, mask_s, jnp.where(s2f, 1.0, 0.0)[None]])
+        params_vec = jnp.concatenate([C, tau, jnp.atleast_1d(S2)])
+        perr_vec = jnp.concatenate([dC, dtau, jnp.atleast_1d(dS2)])
+        ok_fit = jnp.all(jnp.isfinite(params_vec) | (act == 0))
+        ok_err = ~jnp.any((perr_vec > params_vec) & (act > 0))
+        ok_sum = jnp.where(s2f, (S20 + jnp.sum(C0 * mask)) <= 1.0 + 1e-12, True)
+        return C, tau, S2, dC, dtau, dS2, chisq, ok_fit, ok_err, ok_sum
+
+    out = jax.vmap(fit_one)(decay, sigma, jnp.asarray(Kvals),
+                            jnp.asarray(s2free), jnp.asarray(tau0))
     return MultiExpFit(*out)

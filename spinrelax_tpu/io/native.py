@@ -167,6 +167,13 @@ def _load_xtc():
             ctypes.c_float,
         ]
         lib.xtc_write.restype = ctypes.c_int
+        lib.xtc_append.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_int,
+            ctypes.c_float, ctypes.c_long,
+        ]
+        lib.xtc_append.restype = ctypes.c_int
         lib.xtc_open.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int)]
         lib.xtc_open.restype = ctypes.c_void_p
         lib.xtc_next.argtypes = [
@@ -254,24 +261,38 @@ def iter_xtc(fn: str, chunk_frames: int):
         lib.xtc_close(handle)
 
 
-def write_xtc(fn: str, xyz, times=None, boxes=None, precision: float = 1000.0):
+def write_xtc(fn: str, xyz, times=None, boxes=None, precision: float = 1000.0,
+              append: bool = False, step0: int = 0):
+    """Write (or, with ``append=True``, extend) an .xtc file.  XTC frames
+    are self-delimiting, so appending produces a valid trajectory — the
+    streaming-writer path for >RAM conversions (``step0`` numbers the
+    appended frames and is the default time stamp when ``times`` is
+    omitted)."""
     lib = _load_xtc()
     if lib is None:
         raise OSError("native XTC codec unavailable (no compiler?)")
     xyz = np.ascontiguousarray(xyz, dtype=np.float32)
     nf, na, _ = xyz.shape
     if times is None:
-        times = np.arange(nf, dtype=np.float32)
+        times = np.arange(step0, step0 + nf, dtype=np.float32)
     times = np.ascontiguousarray(times, dtype=np.float32)
     boxes_ptr = None
     if boxes is not None:
         boxes = np.ascontiguousarray(boxes, dtype=np.float32)
         boxes_ptr = boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
-    rc = lib.xtc_write(
-        fn.encode(),
-        xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        times.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        boxes_ptr, nf, na, precision,
-    )
+    if append:
+        rc = lib.xtc_append(
+            fn.encode(),
+            xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            times.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            boxes_ptr, nf, na, precision, step0,
+        )
+    else:
+        rc = lib.xtc_write(
+            fn.encode(),
+            xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            times.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            boxes_ptr, nf, na, precision,
+        )
     if rc != 0:
         raise OSError(f"xtc_write failed on {fn!r} (code {rc})")

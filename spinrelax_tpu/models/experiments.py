@@ -54,6 +54,19 @@ class ExperimentSet:
     def n_residues(self) -> int:
         return self.cts.n_models
 
+    def symmtop_a_moments(self):
+        """Cached (mu_p, cov_p, mu_o, cov_o) A-coefficient moments of the
+        vector ensemble (``ops.jomega.a_moments_symmtop``) — geometry-only,
+        so computed once per ExperimentSet and folded into the optimiser's
+        jit as constants.  Requires ``vecs`` with a sample axis."""
+        cached = getattr(self, "_a_moments", None)
+        if cached is None:
+            from ..ops.jomega import a_moments_symmtop
+
+            cached = a_moments_symmtop(self.vecs, self.weights)
+            object.__setattr__(self, "_a_moments", cached)
+        return cached
+
     def coverage_counts(self) -> np.ndarray:
         """Experiments covering each residue (report_maps analogue)."""
         if not self.experiments:

@@ -564,7 +564,7 @@ int xtc_info(const char* path, long* n_frames, int* natoms) {
     if (!fp) return -1;
     Reader rd{fp};
     long count = 0;
-    FrameHeader h;
+    FrameHeader h{};
     while (!rd.eof()) {
         if (!read_frame(rd, h, nullptr)) {
             // Bytes remained but the frame did not parse: corrupt or
@@ -589,7 +589,7 @@ long xtc_read(const char* path, float* xyz, float* times, float* boxes,
     if (!fp) return -1;
     Reader rd{fp};
     long f = 0;
-    FrameHeader h;
+    FrameHeader h{};
     while (f < max_frames && !rd.eof()) {
         // Loop entry guarantees bytes remain, so a failed frame is
         // corruption/truncation — NOT a clean EOF to silently accept.
@@ -638,7 +638,7 @@ long xtc_next(void* handle, float* xyz, float* times, float* boxes,
     XtcStream* s = (XtcStream*)handle;
     Reader rd{s->fp};
     long f = 0;
-    FrameHeader h;
+    FrameHeader h{};
     while (f < max_frames && !rd.eof()) {
         // natoms is validated INSIDE read_frame before any decompression
         // write (the xyz chunk is sized for s->natoms), and a failure
@@ -670,5 +670,25 @@ int xtc_write(const char* path, const float* xyz, const float* times,
     }
     int rc = fclose(fp);
     return (wr.ok && rc == 0) ? 0 : -2;  // I/O failure or overflow
+}
+
+// Append frames to an existing .xtc (or create it), numbering steps from
+// step0.  XTC frames are self-delimiting, so file-level concatenation is
+// a valid trajectory — this is the streaming writer used by incremental
+// converters (e.g. `spinrelax center` on >RAM trajectories).
+int xtc_append(const char* path, const float* xyz, const float* times,
+               const float* boxes, long n_frames, int natoms,
+               float precision, long step0) {
+    FILE* fp = fopen(path, "ab");
+    if (!fp) return -1;
+    Writer wr{fp};
+    for (long f = 0; f < n_frames && wr.ok; f++) {
+        write_frame(wr, natoms, (int)(step0 + f),
+                    times ? times[f] : (float)(step0 + f),
+                    boxes ? boxes + (size_t)f * 9 : nullptr,
+                    xyz + (size_t)f * natoms * 3, precision);
+    }
+    int rc = fclose(fp);
+    return (wr.ok && rc == 0) ? 0 : -2;
 }
 }

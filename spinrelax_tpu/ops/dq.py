@@ -56,14 +56,31 @@ def _dq_vectors(q, delta, n_data):
     return dq[..., 1:4] * mask[:, None], mask
 
 
+def _np_dq_pairs(qa, qb) -> np.ndarray:
+    """reduce(qa^-1 * qb).v in plain numpy — shared by the in-memory and
+    streamed histogram paths so their vectors are BITWISE equal (XLA
+    compiles the same elementwise chain differently for different shapes,
+    perturbing the last ulp, which can flip a histogram bin)."""
+    w1, x1, y1, z1 = qa[:, 0], -qa[:, 1], -qa[:, 2], -qa[:, 3]
+    w2, x2, y2, z2 = qb[:, 0], qb[:, 1], qb[:, 2], qb[:, 3]
+    w = w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2
+    v = np.stack(
+        [
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 + y1 * w2 + z1 * x2 - x1 * z2,
+            w1 * z2 + z1 * w2 + x1 * y2 - y1 * x2,
+        ],
+        axis=-1,
+    )
+    return v * np.where(w >= 0, 1.0, -1.0)[:, None]
+
+
 def dq_vectors(q, delta: int) -> np.ndarray:
     """Host-facing helper: the valid delta-q vector parts for one lag
     (used for the 3D histogram output, calculate-dq-distribution.py:632-647).
     """
-    q = jnp.asarray(q)
-    v, mask = _dq_vectors(q, delta, q.shape[0])
-    n_valid = q.shape[0] - delta
-    return np.asarray(v)[:n_valid]
+    q = np.asarray(q, dtype=np.float64)
+    return _np_dq_pairs(q[: q.shape[0] - delta], q[delta:])
 
 
 @partial(jax.jit, static_argnames=("n_chunks",))
@@ -259,6 +276,11 @@ class DqResult(NamedTuple):
     D_iso: float
     D_axes: np.ndarray  # (3,) in s^-1
     anisotropies: tuple  # (Diso, aniL, rhomL, aniS, rhomS) of D_axes
+    M: Optional[np.ndarray] = None  # (L, 3, 3) raw <v v^T> per lag
+    hist: Optional[np.ndarray] = None  # (L, B, B, B) per-lag dq histograms
+    # (density-normalised like np.histogramdd(density=True) over (-1,1)^3;
+    # populated only by the streamed path when hist_bins > 0 — the
+    # in-memory stage computes histograms directly from dq_vectors)
 
 
 def analyse_dq_multi(
@@ -354,6 +376,7 @@ def _finalise_dq(stats: DqStats, lags, delta_t: float, n_chunks: int) -> "DqResu
         float(np.asarray(v)) for v in calculate_anisotropies(jnp.asarray(np.sort(D_axes)))
     )
     return DqResult(
+        M=np.asarray(stats.M),
         lag_times=x,
         iso=iso,
         iso_tau=tau_iso,
@@ -407,8 +430,10 @@ def analyse_dq(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("max_lag", "chunk_len"))
-def _dq_chunk_sums(buf, buf_len, chunk, chunk_valid, lags, max_lag: int, chunk_len: int):
+@partial(jax.jit, static_argnames=("max_lag", "chunk_len", "n_chunks"))
+def _dq_chunk_sums(buf, buf_len, chunk, chunk_valid, lags, max_lag: int,
+                   chunk_len: int, n_chunks: int = 0, nblock=None,
+                   global_start=0):
     """Per-lag partial sums contributed by one chunk of the stream.
 
     buf   : (max_lag, 4) previous tail, RIGHT-aligned valid region of
@@ -416,14 +441,25 @@ def _dq_chunk_sums(buf, buf_len, chunk, chunk_valid, lags, max_lag: int, chunk_l
     chunk : (chunk_len, 4) new frames, valid prefix of length chunk_valid.
 
     A pair (t, t+d) is attributed to the chunk containing t+d, so each
-    pair is counted exactly once across the stream.  Returns
-    (s_iso (L,), s_M (L,3,3), cnt (L,), new_buf, new_buf_len).
+    pair is counted exactly once across the stream.
+
+    With n_chunks > 0 the per-lag sums are additionally split over the
+    reference's uncertainty sub-chunks (calculate-dq-distribution.py:
+    128-144): block id = t // nblock[lag] of the pair's FIRST frame, with
+    nblock = ceil((n_total - lag)/n_chunks) precomputed on the host from
+    the known total stream length; ``global_start`` is the global frame
+    index of chunk[0].
+
+    Returns (s_iso (L,), s_M (L,3,3), cnt (L,), s_iso_c (L,C),
+    s_M_c (L,C,3,3), cnt_c (L,C), new_buf, new_buf_len).
     """
     ext = jnp.concatenate([buf, chunk], axis=0)
     idx = jnp.arange(max_lag + chunk_len)
     q_inv = qt.qconj(ext)
+    if nblock is None:
+        nblock = jnp.zeros_like(lags)
 
-    def per_lag(d):
+    def per_lag(d, nb):
         v = qt.qreduce(qt.qmult(q_inv, jnp.roll(ext, -d, axis=0)))[..., 1:4]
         lo = jnp.maximum(max_lag - buf_len, max_lag - d)
         hi = max_lag + chunk_valid - d
@@ -431,50 +467,136 @@ def _dq_chunk_sums(buf, buf_len, chunk, chunk_valid, lags, max_lag: int, chunk_l
         v2 = jnp.sum(v * v, axis=-1)
         s_iso = jnp.sum((1.0 - 2.0 * v2) * m)
         s_M = jnp.einsum("ij,ik,i->jk", v, v, m, precision=_HI)
-        return s_iso, s_M, jnp.sum(m)
+        if n_chunks > 0:
+            t_glob = global_start - max_lag + idx
+            cid = jnp.clip(t_glob // jnp.maximum(nb, 1), 0, n_chunks - 1)
+            oh = (cid[:, None] == jnp.arange(n_chunks)[None, :]).astype(
+                ext.dtype
+            ) * m[:, None]
+            s_iso_c = jnp.sum((1.0 - 2.0 * v2)[:, None] * oh, axis=0)
+            s_M_c = jnp.einsum("ij,ik,ic->cjk", v, v, oh, precision=_HI)
+            cnt_c = jnp.sum(oh, axis=0)
+        else:
+            s_iso_c = jnp.zeros((0,), ext.dtype)
+            s_M_c = jnp.zeros((0, 3, 3), ext.dtype)
+            cnt_c = jnp.zeros((0,), ext.dtype)
+        return s_iso, s_M, jnp.sum(m), s_iso_c, s_M_c, cnt_c
 
-    s_iso, s_M, cnt = jax.vmap(per_lag)(lags)
+    s_iso, s_M, cnt, s_iso_c, s_M_c, cnt_c = jax.vmap(per_lag)(lags, nblock)
     # New tail = last max_lag valid frames of ext: valid region ends at
     # max_lag + chunk_valid, so the tail slice starts at chunk_valid.
     new_buf = jax.lax.dynamic_slice(ext, (chunk_valid, 0), (max_lag, 4))
     new_buf_len = jnp.minimum(max_lag, buf_len + chunk_valid)
-    return s_iso, s_M, cnt, new_buf, new_buf_len
+    return s_iso, s_M, cnt, s_iso_c, s_M_c, cnt_c, new_buf, new_buf_len
 
 
-def dq_statistics_streamed(chunk_iter, lags, chunk_len: int) -> tuple:
+
+
+def dq_statistics_streamed(chunk_iter, lags, chunk_len: int,
+                           n_chunks: int = 0, n_total: Optional[int] = None,
+                           hist_bins: int = 0) -> tuple:
     """Accumulate DqStats over an iterator of (n, 4) quaternion chunks
     without ever materialising the full trajectory.  Exact: matches
     dq_statistics on the concatenated stream to float tolerance.
 
-    Returns (DqStats, total_frames)."""
+    n_chunks > 0 additionally accumulates the reference's per-sub-chunk
+    statistics for uncertainty estimation
+    (calculate-dq-distribution.py:128-144,613-630); this requires the
+    total stream length ``n_total`` up front (the reference knows it
+    because it loads everything; a streaming caller counts frames with
+    one cheap pre-pass).
+
+    hist_bins > 0 accumulates per-lag 3D histogram COUNTS of the delta-q
+    vectors over (-1, 1)^3 (the stage's -hist output, :632-647); the
+    vectors are bitwise identical to the in-memory path's, so the counts
+    match np.histogramdd exactly.
+
+    Returns (DqStats, total_frames, hist_counts or None)."""
     lags = np.asarray(lags, dtype=np.int32)
+    L = len(lags)
     max_lag = int(lags.max())
     lags_j = jnp.asarray(lags)
     buf = jnp.zeros((max_lag, 4))
     buf_len = jnp.asarray(0)
-    s_iso = jnp.zeros((len(lags),))
-    s_M = jnp.zeros((len(lags), 3, 3))
-    cnt = jnp.zeros((len(lags),))
+    s_iso = jnp.zeros((L,))
+    s_M = jnp.zeros((L, 3, 3))
+    cnt = jnp.zeros((L,))
+    if n_chunks > 0:
+        if n_total is None:
+            raise ValueError(
+                "streamed sub-chunk uncertainties need n_total (count the "
+                "stream first)"
+            )
+        nblock_j = jnp.asarray(
+            np.ceil((n_total - lags.astype(np.int64)) / n_chunks).astype(
+                np.int64
+            )
+        )
+        s_iso_c = jnp.zeros((L, n_chunks))
+        s_M_c = jnp.zeros((L, n_chunks, 3, 3))
+        cnt_c = jnp.zeros((L, n_chunks))
+    else:
+        nblock_j = None
+    hist = (
+        np.zeros((L, hist_bins, hist_bins, hist_bins), dtype=np.int64)
+        if hist_bins > 0 else None
+    )
+    # Host-side tail mirror for the histogram path: the per-pair vectors
+    # are computed with the SAME numpy elementwise chain as the in-memory
+    # dq_vectors, so the accumulated counts are bitwise identical.
+    np_tail = np.zeros((0, 4))
     total = 0
+    global_pos = 0
     for chunk in chunk_iter:
         chunk = np.asarray(chunk, dtype=np.float64)
         total += chunk.shape[0]
         for off in range(0, chunk.shape[0], chunk_len):
             part = chunk[off : off + chunk_len]
             nv = part.shape[0]
+            if hist is not None:
+                B = np_tail.shape[0]
+                ext_np = np.concatenate([np_tail, part], axis=0)
+                for i, d in enumerate(lags):
+                    lo = max(0, B - int(d))
+                    hi = B + nv - int(d)
+                    if hi <= lo:
+                        continue
+                    vv = _np_dq_pairs(
+                        ext_np[lo:hi], ext_np[lo + int(d) : hi + int(d)]
+                    )
+                    h, _ = np.histogramdd(
+                        vv, bins=(hist_bins,) * 3, range=((-1, 1),) * 3
+                    )
+                    hist[i] += h.astype(np.int64)
+                np_tail = ext_np[-max_lag:]
             if nv < chunk_len:
                 part = np.pad(part, ((0, chunk_len - nv), (0, 0)))
-            d_iso, d_M, d_cnt, buf, buf_len = _dq_chunk_sums(
-                buf, buf_len, jnp.asarray(part), jnp.asarray(nv), lags_j,
-                max_lag, chunk_len,
+            part_j = jnp.asarray(part)
+            nv_j = jnp.asarray(nv)
+            out = _dq_chunk_sums(
+                buf, buf_len, part_j, nv_j, lags_j,
+                max_lag, chunk_len, n_chunks=n_chunks, nblock=nblock_j,
+                global_start=jnp.asarray(global_pos),
             )
+            d_iso, d_M, d_cnt, d_iso_c, d_M_c, d_cnt_c, buf, buf_len = out
             s_iso = s_iso + d_iso
             s_M = s_M + d_M
             cnt = cnt + d_cnt
+            if n_chunks > 0:
+                s_iso_c = s_iso_c + d_iso_c
+                s_M_c = s_M_c + d_M_c
+                cnt_c = cnt_c + d_cnt_c
+            global_pos += nv
     iso = s_iso / cnt
     M = s_M / cnt[:, None, None]
-    stats = DqStats(lags_j, iso, M, jnp.zeros((len(lags), 0)), jnp.zeros((len(lags), 0, 3, 3)))
-    return stats, total
+    if n_chunks > 0:
+        iso_c = s_iso_c / cnt_c
+        M_c = s_M_c / cnt_c[..., None, None]
+    else:
+        iso_c = jnp.zeros((L, 0))
+        M_c = jnp.zeros((L, 0, 3, 3))
+    stats = DqStats(lags_j, iso, M, iso_c, M_c)
+    return stats, total, hist
 
 
 def analyse_dq_streamed(
@@ -484,19 +606,45 @@ def analyse_dq_streamed(
     max_dt: float,
     skip_dt: float,
     chunk_frames: int = 65536,
+    n_chunks: int = 0,
+    n_total: Optional[int] = None,
+    hist_bins: int = 0,
 ) -> DqResult:
     """analyse_dq over a lazy stream of quaternion chunks (constant memory).
 
-    Chunked uncertainty estimation (n_chunks) is not available in
-    streamed mode; use the in-memory path for that."""
+    ``n_chunks`` > 0 adds the reference's sub-chunk uncertainty estimates
+    (requires ``n_total``, the total frame count, known up front — count
+    the stream with one cheap pre-pass).  ``hist_bins`` > 0 additionally
+    accumulates the per-lag delta-q histograms into ``DqResult.hist``
+    (density-normalised like np.histogramdd(density=True))."""
     skip_int = max(1, int(skip_dt / delta_t))
     min_int = max(skip_int, int(min_dt / delta_t))
     max_int = int(max_dt / delta_t)
     lags = np.arange(min_int, max_int + 1, skip_int, dtype=np.int32)
-    stats, n = dq_statistics_streamed(chunk_iter, lags, chunk_frames)
+    stats, n, hist = dq_statistics_streamed(
+        chunk_iter, lags, chunk_frames, n_chunks=n_chunks, n_total=n_total,
+        hist_bins=hist_bins,
+    )
     if max_int * delta_t > (n - 1) * delta_t / 2.0:
         raise ValueError(
             f"max_dt ({max_dt}) exceeds half the streamed trajectory length "
             f"({(n - 1) * delta_t / 2.0})"
         )
-    return _finalise_dq(stats, lags, delta_t, 0)
+    res = _finalise_dq(stats, lags, delta_t, n_chunks)
+    if hist is not None:
+        # Density normalisation replicating np.histogramdd(density=True)
+        # OPERATION-FOR-OPERATION (divide by each dimension's bin-width
+        # array, then by the total count): the counts are bitwise equal
+        # to the in-memory path's, so this makes the densities bitwise
+        # equal too (a mathematically equivalent counts/(n*vol) differs
+        # in the last ulp).
+        edges = np.linspace(-1.0, 1.0, hist_bins + 1)
+        dens = hist.astype(np.float64)
+        s = dens.sum(axis=(1, 2, 3))
+        for i in range(3):
+            shape = [1, 1, 1, 1]
+            shape[1 + i] = hist_bins
+            dens = dens / np.diff(edges).reshape(shape)
+        dens = dens / s[:, None, None, None]
+        res = res._replace(hist=dens)
+    return res

@@ -221,6 +221,79 @@ def j_combine_symmtop(omega, v, dpar, dperp, S2, C, tau, comp_mask=None, zeta=1.
     return zeta * J
 
 
+def symmtop_g_factors(omega, dpar, dperp, S2, C, tau, comp_mask=None, zeta=1.0):
+    """Per-decay-mode Lorentzian factors G_j(w) of the axisymmetric
+    combined spectral density, exposing its A-linearity:
+
+        j_combine_symmtop(v, ...) == sum_j A_j(v) * G_j(w)
+
+    with A_j the geometry coefficients of :func:`a_coefficients_symmtop`
+    (the reference's J, spectral_densities.py:2057-2077, is linear in the
+    A coefficients).  This is what lets a vector *ensemble* collapse to
+    its first/second A-moments: ensemble mean/sd of any rate linear in J
+    follow from (mu, cov) of A without ever materialising the sample axis
+    (see :func:`a_moments_symmtop` and
+    ops.observables.rates_from_a_moments_newapi).
+
+    Shapes: S2 (...,), C/tau/comp_mask (..., K); returns (..., 3, nOm).
+    """
+    omega = jnp.asarray(omega)
+    D_J = d_coefficients_symmtop(dpar, dperp)  # (3,)
+    S2 = jnp.asarray(S2)
+    C = jnp.asarray(C)
+    tau = jnp.asarray(tau)
+    safe_tau = jnp.where(tau > 0, tau, 1.0)
+    lor0 = D_J[..., None] / (D_J[..., None] ** 2 + omega**2)  # (3, nOm)
+    G = S2[..., None, None] * lor0
+    Dk = D_J + 1.0 / safe_tau[..., None]  # (..., K, 3)
+    lork = Dk[..., None] / (Dk[..., None] ** 2 + omega**2)  # (..., K, 3, nOm)
+    Ck = C if comp_mask is None else C * comp_mask
+    G = G + jnp.sum(Ck[..., None, None] * lork, axis=-3)
+    return zeta * G
+
+
+def a_moments_symmtop(vecs, weights=None):
+    """Weighted first moment and second *central* moment of the three
+    axisymmetric A-coefficients over the sample axis, for BOTH
+    prolate/oblate branches (the branch depends on the traced Daniso, so
+    precompute both and select in-graph with ``jnp.where``).
+
+    Normalisation matches :func:`core.stats.weighted_mean_std` exactly
+    (sum-of-weights denominator with a >0 guard), so rates rebuilt from
+    these moments equal the per-sample ensemble statistics to machine
+    precision.
+
+    vecs : (nRes, nSamp, 3) unit vectors; weights: (nRes, nSamp) or None.
+    Returns (mu_p, cov_p, mu_o, cov_o): mu (nRes, 3), cov (nRes, 3, 3).
+    Host-side numpy (f64): called once per geometry, the results are
+    jit-time constants of the optimiser.
+    """
+    import numpy as np
+
+    vecs = np.asarray(vecs, dtype=np.float64)
+    out = []
+    for prolate in (True, False):
+        z2 = vecs[..., 2 if prolate else 0] ** 2
+        onemz2 = 1.0 - z2
+        A = np.stack(
+            [3.0 * z2 * onemz2, 0.75 * onemz2**2, 0.25 * (3.0 * z2 - 1.0) ** 2],
+            axis=-1,
+        )  # (nRes, nSamp, 3)
+        if weights is None:
+            mu = A.mean(axis=1)
+            d = A - mu[:, None, :]
+            cov = np.einsum("rsj,rsk->rjk", d, d) / A.shape[1]
+        else:
+            w = np.asarray(weights, dtype=np.float64)
+            wsum = w.sum(axis=1)
+            safe = np.where(wsum > 0, wsum, 1.0)
+            mu = np.einsum("rs,rsj->rj", w, A) / safe[:, None]
+            d = A - mu[:, None, :]
+            cov = np.einsum("rs,rsj,rsk->rjk", w, d, d) / safe[:, None, None]
+        out.extend([mu, cov])
+    return tuple(out)
+
+
 def j_combine_ellipsoid(omega, v, D, S2, C, tau, comp_mask=None, zeta=1.0):
     """Fully-anisotropic tumbling + local C(t)
     (spectral_densities.py:2094-2105).  D = (Dx, Dy, Dz), Dx<=Dy<=Dz."""

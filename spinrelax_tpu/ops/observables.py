@@ -124,6 +124,62 @@ def rates_from_j_newapi(pair: NucleusPair, J, weights=None, csa=None) -> RatesWi
     return RatesWithErrors(R1, R2, NOE, rho, dR1, dR2, dNOE, drho)
 
 
+def rates_from_a_moments_newapi(pair: NucleusPair, G, mu, cov, csa=None) -> RatesWithErrors:
+    """New-API ensemble rates WITHOUT materialising the sample axis.
+
+    R1/R2 (and the NOE cross-relaxation numerator) are linear in J, and
+    the axisymmetric J is linear in the per-sample A-coefficients
+    (reference spectral_densities.py:2057-2077; rate formulas :824-907),
+    so the weighted ensemble mean and sd collapse onto the first/second
+    central A-moments:
+
+        mean(R)  = mu . r        with  r_j = R(G_j)
+        sd(R)^2  = r^T cov r
+
+    This is algebraically identical to :func:`rates_from_j_newapi` over
+    the full (nRes, nSamp, 5) J — at O(nRes*3) instead of O(nRes*nSamp)
+    per optimiser step (the multi-field fit's former hot loop).
+
+    G   : (nRes, 3, 5) from ``ops.jomega.symmtop_g_factors`` at the
+          pair's omega5 grid.
+    mu  : (nRes, 3), cov : (nRes, 3, 3) from ``ops.jomega.a_moments_symmtop``
+          (select the prolate/oblate branch before calling).
+    csa : None, scalar, or (nRes,).
+
+    ``rho`` = J(wX)/J(0) is NOT linear in A; the returned rho is the
+    ratio of the ensemble-MEAN J (drho=None).  Optimisers only consume
+    R1/R2/NOE; use :func:`predict_rates_newapi` for reported rho errors.
+    """
+    mu = jnp.asarray(mu)
+    cov = jnp.asarray(cov)
+    f_dd = pair.factor_dd()
+    csa_v = None if csa is None else jnp.asarray(csa)
+    if csa_v is not None and csa_v.ndim == 1:
+        csa_v = csa_v[:, None]  # broadcast (nRes,) over the 3 decay modes
+    f_csa = pair.factor_csa(csa_v)
+    tf = pair.time_fact
+
+    r1_j = rx.r1_from_j(G, f_dd, f_csa, tf)  # (nRes, 3)
+    r2_j = rx.r2_from_j(G, f_dd, f_csa, tf)
+    sig_j = tf * (pair.gamma_b / pair.gamma_a) * f_dd * (
+        6 * G[..., rx.IOMBPX] - G[..., rx.IOMBMX]
+    )
+
+    def _stats(r):
+        mean = jnp.sum(mu * r, axis=-1)
+        var = jnp.einsum("rj,rjk,rk->r", r, cov, r)
+        return mean, jnp.sqrt(jnp.maximum(var, 0.0))
+
+    R1, dR1 = _stats(r1_j)
+    R2, dR2 = _stats(r2_j)
+    y, dy = _stats(sig_j)
+    NOE = 1.0 + y / R1
+    dNOE = dy / jnp.abs(R1)
+    J_mean = jnp.einsum("rj,rjw->rw", mu, G)
+    rho = rx.rho_from_j(J_mean)
+    return RatesWithErrors(R1, R2, NOE, rho, dR1, dR2, dNOE, None)
+
+
 def predict_jomega(
     pair: NucleusPair,
     diffusion: Diffusion,

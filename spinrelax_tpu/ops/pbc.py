@@ -103,6 +103,23 @@ def molecule_ids(top, water_ion_resnames=WATER_ION_RESNAMES):
     return mol
 
 
+def apply_molecule_breaks(mol, top, break_resids):
+    """Force new-molecule boundaries at the FIRST atom of each residue
+    number in ``break_resids`` (a ligand numbered contiguously after a
+    protein chain is otherwise fused with it — molecule_ids has no bond
+    table to know better).  Keeps ids monotonic contiguous runs."""
+    mol = np.asarray(mol, dtype=np.int32).copy()
+    res = np.asarray(top.res_seqs)
+    for b in break_resids:
+        starts = np.flatnonzero(
+            (res == int(b)) & np.concatenate([[True], res[1:] != res[:-1]])
+        )
+        for i in starts:
+            if i > 0:
+                mol[i:] += 1
+    return mol
+
+
 def solute_mask(top, water_ion_resnames=WATER_ION_RESNAMES):
     """(nAtoms,) bool — everything that is not water/ions (the script's
     auto-generated "Solute" group, center-solute-gromacs.bash:62-67)."""

@@ -233,6 +233,124 @@ def make_sharded_finish(mesh: Mesh, delta_t: float = 1.0,
     return jax.jit(finish)
 
 
+class FlagshipRates(NamedTuple):
+    """Output of the PRODUCTION sharded finish: the quantities
+    ``stage_fit_ct`` + ``stage_relax`` produce for the same stream."""
+
+    Ct: jnp.ndarray   # (nRes, nDeltas) pooled C(t)
+    dCt: jnp.ndarray  # (nRes, nDeltas) pooled SEM
+    cts: object       # CtModelSet from the DoF-ladder selection
+    R1: jnp.ndarray   # (nRes,) ensemble-averaged rates (legacy semantics)
+    R2: jnp.ndarray
+    NOE: jnp.ndarray
+    rho: jnp.ndarray
+    dR1: Optional[jnp.ndarray] = None
+    dR2: Optional[jnp.ndarray] = None
+    dNOE: Optional[jnp.ndarray] = None
+    drho: Optional[jnp.ndarray] = None
+
+
+def run_sharded_finish(
+    mesh: Mesh,
+    acc_s,
+    acc_s2,
+    count,
+    *,
+    n_res: int,
+    delta_t: float,
+    diffusion,
+    pair: Optional[NucleusPair] = None,
+    vecs=None,
+    weights=None,
+    csa=None,
+    zeta: float = 1.0,
+    use_s2fast: bool = True,
+    n_components: Optional[int] = None,
+    chisq_threshold: float = 0.5,
+    names=None,
+) -> FlagshipRates:
+    """The FLAGSHIP post-stream physics, residues sharded over the mesh:
+
+    pooled Palmer stats -> DoF-ladder model selection (ALL rungs as one
+    residue-sharded stacked LM, ``fit.lm.fit_multiexp_stacked``) ->
+    axisymmetric/ellipsoid/isotropic J with per-residue PAF vector
+    ensembles + weights -> legacy-semantics ensemble rates — i.e. exactly
+    what ``stage_fit_ct`` + ``stage_relax`` compute single-device
+    (reference workhorse: spectral_densities.py:2057-2077 symmtop J,
+    fitting_Ct_functions.py:278-304 ladder).
+
+    The ladder's per-residue model SELECTION is ragged host logic
+    (reference :283-304); everything numeric runs sharded: the pooled
+    stats on the "res"-sharded accumulators, every ladder rung inside one
+    batch-sharded LM, and the final ensemble-rate jit with residues +
+    vector samples sharded over all devices.
+
+    diffusion : models.Diffusion (any kind; anisotropic kinds need vecs).
+    vecs      : (nRes, nSamp, 3) PAF vector ensemble (or (nRes, 3)).
+    weights   : (nRes, nSamp) ensemble weights or None.
+    """
+    from ..fit.expfit import fit_ct_ladder
+    from ..ops.autocorr import palmer_pooled_stats
+    from ..ops import observables as obs
+
+    pair = pair or NucleusPair(time_unit="ps")
+
+    # 1. Pooled statistics, computed where the accumulators live.
+    mean, dct = jax.jit(palmer_pooled_stats)(acc_s, acc_s2, count)
+    Ct = np.asarray(mean)[:n_res]
+    dCt = np.asarray(dct)[:n_res]
+    n_deltas = Ct.shape[1]
+    dt = (np.arange(n_deltas, dtype=Ct.dtype) + 1.0) * delta_t
+
+    # 2. DoF ladder, residue-sharded (SEM-weighted like stage_fit_ct).
+    if names is None:
+        names = [str(i) for i in range(n_res)]
+    cts = fit_ct_ladder(
+        names=names,
+        dt=dt,
+        decays=Ct,
+        ddecays=dCt,
+        use_s2fast=use_s2fast,
+        n_components=n_components,
+        chisq_threshold=chisq_threshold,
+        zeta=zeta,
+        mesh=mesh,
+    )
+
+    # 3. Ensemble rates with residues sharded over every device; the
+    # sample axis stays local so the ensemble mean/sd needs no collective.
+    # Residues pad to a device-count multiple (row-0 copies) on the host,
+    # are sharded over every mesh axis, and the outputs slice back.
+    ndev = int(mesh.devices.size)
+    pad = (-n_res) % ndev
+    idx = np.concatenate([np.arange(n_res), np.zeros(pad, dtype=int)])
+
+    def put(a):
+        a = np.asarray(a)[idx]
+        return jax.device_put(
+            jnp.asarray(a),
+            NamedSharding(
+                mesh, P(tuple(mesh.axis_names), *([None] * (a.ndim - 1)))
+            ),
+        )
+
+    vecs_d = None if vecs is None else put(vecs)
+    w_d = None if weights is None else put(weights)
+    csa_d = None if csa is None else put(csa)
+    cts_pad = cts.select(idx) if pad else cts
+
+    def _rates_fn(cts_, vecs_, w_, csa_):
+        return obs.predict_rates(pair, diffusion, cts_, vecs=vecs_, weights=w_, csa=csa_)
+
+    rates = jax.jit(_rates_fn)(cts_pad, vecs_d, w_d, csa_d)
+    return FlagshipRates(
+        Ct, dCt, cts,
+        *(None if x is None else np.asarray(x)[:n_res]
+          for x in (rates.R1, rates.R2, rates.NOE, rates.rho,
+                    rates.dR1, rates.dR2, rates.dNOE, rates.drho)),
+    )
+
+
 def run_streamed_pipeline(chunk_iter, mesh: Mesh, n_frames_per_chunk: int,
                           n_res: int, delta_t: float = 1.0,
                           tau_iso: float = 4242.0, n_components: int = 2,

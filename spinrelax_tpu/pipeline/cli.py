@@ -133,7 +133,9 @@ def cmd_dq(argv):
                    help="write all nine <q_i q_j> components per lag in the PAF")
     p.add_argument("--stream", type=int, default=0, metavar="FRAMES",
                    help="constant-memory streaming mode: analyse the colvar "
-                        "in blocks of FRAMES frames (no chunked errors/hists)")
+                        "in blocks of FRAMES frames (chunked errors, "
+                        "histograms and the full tensor all supported; "
+                        "--multi still needs the in-memory path)")
     a = p.parse_args(argv)
     from .stages import stage_dq
 
@@ -184,6 +186,10 @@ def cmd_ct(argv):
                         "workaround; all vector-storage modes supported)")
     p.add_argument("--timestep", type=float, default=None,
                    help="frame spacing [ps] for bare .npy trajectories")
+    p.add_argument("--devices", type=int, default=0, metavar="N",
+                   help="with --split: shard the streamed C(t) "
+                        "accumulation over an N-device ('rep','res') jax "
+                        "mesh (<= jax.device_count())")
     p.add_argument("--help_sel", action="store_true",
                    help="display help for selection texts and exit")
     if "--help_sel" in argv:
@@ -206,6 +212,8 @@ def cmd_ct(argv):
         if len(q_rot) != 4 or not np.allclose(np.dot(q_rot, q_rot), 1, atol=1e-5):
             sys.exit(f"= = = ERROR: input rotation quaternion is malformed! {q_rot}")
     storage = "Histogram" if a.do_hist else ("PhiTheta" if a.binary else "TextPhiTheta")
+    if a.devices > 0 and a.split_groups <= 0:
+        sys.exit("= = = ERROR: --devices requires the streaming path (--split N).")
     if a.split_groups > 0:
         if a.S2mode != "outer":
             sys.exit(
@@ -213,13 +221,18 @@ def cmd_ct(argv):
                 "path (drop --split): the streamed stage computes "
                 "outer-product S2 only."
             )
+        mesh = None
+        if a.devices > 0:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(a.devices)
         stage_ct_streamed(
             a.infn, a.topfn, a.outpref, a.tau,
             chunk_groups=a.split_groups, timestep=a.timestep,
             q_rot=q_rot, h_sel=a.Hsel, x_sel=a.Xsel, fit_sel=a.fitsel,
             zeta=a.zeta, do_ct=a.do_ct, do_s2=a.do_s2,
             do_vec_dist=(a.do_vec or a.do_hist), do_vec_avg=a.do_avg,
-            vec_storage=storage, hist_bins=a.histBin,
+            vec_storage=storage, hist_bins=a.histBin, mesh=mesh,
         )
     else:
         stage_ct(
@@ -519,63 +532,113 @@ def cmd_center(argv):
                    default="system",
                    help="atoms written out (the reference keeps Solute)")
     p.add_argument("--batch", type=int, default=256, help="frames per device dispatch")
+    p.add_argument("--mol-breaks", default=None, metavar="RESID[,RESID...]",
+                   help="force new-molecule boundaries at these residue "
+                        "numbers (a ligand numbered contiguously after the "
+                        "protein is otherwise imaged as part of it — a PDB "
+                        "carries no bond table)")
     a = p.parse_args(argv)
     from ..io import pdb as pdbio
     from ..io import trajectory as trjio
-    from ..ops.pbc import center_solute
+    from ..ops.pbc import center_solute, molecule_ids, apply_molecule_breaks
 
     top, _ = pdbio.read_pdb(a.topfn)
-    boxes = None
-    if a.infn.endswith(".xtc"):
-        from ..io import native
+    box_override = (
+        np.asarray(_split_floats(a.box)) if a.box is not None else None
+    )
 
-        xyz, boxes33, times = native.read_xtc(a.infn)
-        boxes = _ortho_box(boxes33)
-        dt = float(times[1] - times[0]) if len(times) > 1 else 1.0
-    elif a.infn.endswith(".trr"):
-        from ..io import gmx
+    # xtc/trr inputs stream in --batch-sized chunks (the command targets
+    # multi-GB solvated trajectories; the frames are repaired
+    # independently, so chunking is exact); .xtc outputs append
+    # incrementally so system-group conversions stay constant-memory.
+    def chunk_iter():
+        if a.infn.endswith(".xtc"):
+            from ..io import native
 
-        xyz, boxes33, times = gmx.read_trr(a.infn)
-        boxes = _ortho_box(boxes33)
-        dt = float(times[1] - times[0]) if len(times) > 1 else 1.0
-    else:
-        if a.infn.endswith(".npz"):
+            for xyz_c, b33, t_c in native.iter_xtc(a.infn, a.batch):
+                yield xyz_c, _ortho_box(b33), t_c
+        elif a.infn.endswith(".trr"):
+            from ..io import gmx
+
+            fs, bs, ts = [], [], []
+            for xyz_f, box_f, t_f in gmx.iter_trr(a.infn):
+                fs.append(xyz_f)
+                bs.append(box_f)
+                ts.append(t_f)
+                if len(fs) == a.batch:
+                    yield np.stack(fs), _ortho_box(np.stack(bs)), np.asarray(ts)
+                    fs, bs, ts = [], [], []
+            if fs:
+                yield np.stack(fs), _ortho_box(np.stack(bs)), np.asarray(ts)
+        elif a.infn.endswith(".npz"):
             # One archive read: load_trajectory would decode the same
             # multi-GB npz a second time just to drop the box.
             obj = np.load(a.infn)
             xyz = np.asarray(obj["xyz"])
-            t = obj["time"] if "time" in obj else None
-            dt = float(t[1] - t[0]) if t is not None and len(t) > 1 else 1.0
-            if "box" in obj:
-                boxes = np.asarray(obj["box"])
+            t = np.asarray(obj["time"]) if "time" in obj else None
+            boxes = np.asarray(obj["box"]) if "box" in obj else None
+            yield xyz, boxes, t
         else:
-            xyz, dt = trjio.load_trajectory(a.infn, top_fn=a.topfn)
-    if a.box is not None:
-        boxes = np.asarray(_split_floats(a.box))
-    if boxes is None:
-        raise SystemExit("= = No box in input; pass --box x,y,z [nm].")
+            xyz, dt_ = trjio.load_trajectory(a.infn, top_fn=a.topfn)
+            yield xyz, None, np.arange(xyz.shape[0]) * dt_
+
     solute = None
     if a.solute is not None:
         mask = np.zeros(top.n_atoms, dtype=bool)
         mask[top.select(a.solute)] = True
         solute = mask
-    print(f"= = Repairing PBC for {xyz.shape[0]} frames x {xyz.shape[1]} atoms...")
-    out = center_solute(xyz, boxes, top=top, solute=solute, batch=a.batch)
+    mol_id = None
+    if a.mol_breaks is not None:
+        mol_id = apply_molecule_breaks(
+            molecule_ids(top), top,
+            [int(x) for x in a.mol_breaks.split(",") if x],
+        )
+    keep = None
     if a.output_group == "solute":
         from ..ops.pbc import solute_mask as _smask
 
         keep = solute if solute is not None else _smask(top)
-        out = out[:, keep]
-    if a.outfn.endswith(".xtc"):
-        from ..io import native
 
-        nf = out.shape[0]
-        b = np.broadcast_to(boxes, (nf, 3)) if np.ndim(boxes) == 1 else boxes
-        boxes33 = np.zeros((nf, 3, 3), dtype=np.float32)
-        boxes33[:, [0, 1, 2], [0, 1, 2]] = b
-        native.write_xtc(a.outfn, out, times=np.arange(nf) * dt, boxes=boxes33)
-    else:
-        trjio.save_trajectory_npz(a.outfn, out, timestep=dt)
+    out_chunks = []  # npz path only; .xtc appends incrementally
+    n_done = 0
+    dt = 1.0
+    for xyz_c, boxes_c, times_c in chunk_iter():
+        if box_override is not None:
+            boxes_c = box_override
+        if boxes_c is None:
+            raise SystemExit("= = No box in input; pass --box x,y,z [nm].")
+        if times_c is not None and len(times_c) > 1:
+            dt = float(times_c[1] - times_c[0])
+        out = center_solute(xyz_c, boxes_c, top=top, mol_id=mol_id,
+                            solute=solute, batch=a.batch)
+        if keep is not None:
+            out = out[:, keep]
+        if a.outfn.endswith(".xtc"):
+            from ..io import native
+
+            nf = out.shape[0]
+            b = (
+                np.broadcast_to(boxes_c, (nf, 3))
+                if np.ndim(boxes_c) == 1 else boxes_c
+            )
+            boxes33 = np.zeros((nf, 3, 3), dtype=np.float32)
+            boxes33[:, [0, 1, 2], [0, 1, 2]] = b
+            times_w = (
+                np.asarray(times_c, dtype=np.float32)
+                if times_c is not None else np.arange(n_done, n_done + nf) * dt
+            )
+            native.write_xtc(a.outfn, out, times=times_w, boxes=boxes33,
+                             append=n_done > 0, step0=n_done)
+        else:
+            out_chunks.append(np.asarray(out))
+        n_done += out.shape[0]
+        print(f"= = ...repaired {n_done} frames x {xyz_c.shape[1]} atoms")
+    if n_done == 0:
+        raise SystemExit("= = Empty trajectory input.")
+    if not a.outfn.endswith(".xtc"):
+        trjio.save_trajectory_npz(
+            a.outfn, np.concatenate(out_chunks, axis=0), timestep=dt
+        )
     print(f"= = Wrote {a.outfn}")
 
 

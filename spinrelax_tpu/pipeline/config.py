@@ -44,6 +44,7 @@ class IOParams:
     qfile: str = "colvar-qorient"
     vec_storage: str = "Histogram"
     stream_groups: int = 0  # >0: constant-memory C(t) stage group size
+    devices: int = 0  # >0: shard the streamed C(t) over an n-device mesh
 
     def __post_init__(self):
         if self.vec_storage not in VEC_STORAGE_CHOICES:
@@ -102,6 +103,10 @@ class WorkflowConfig:
             raise ValueError(
                 "fit modes selected, but no experimental file has been given"
             )
+        if self.io.devices > 0 and self.io.stream_groups <= 0:
+            raise ValueError(
+                "-devices requires the streaming C(t) stage (-stream GROUPS)"
+            )
         return self
 
 
@@ -123,6 +128,11 @@ _FLAG_TABLE = [
         "help": "constant-memory C(t) stage: stream trajectories in "
                 "GROUPS Palmer chunks per device step "
                 "(supports all -vecstorage modes)"}),
+    ("-devices", (), "io", "devices", {
+        "type": int, "metavar": "N",
+        "help": "with -stream: shard the C(t) accumulation over an "
+                "N-device ('rep','res') jax mesh (all local devices "
+                "participate; N must not exceed jax.device_count())"}),
     ("-t_mem", (), "tumbling", "tau_mem", {"type": float, "help": "memory time [ps]"}),
     ("-num_chunks", (), "tumbling", "num_chunks", {"type": int}),
     ("-D_ext", (), "tumbling", "d_ext", {

@@ -185,10 +185,15 @@ def run_workflow(cfg: WorkflowConfig):
         params=ct_params,
     ):
         if io.stream_groups > 0:
+            mesh = None
+            if io.devices > 0:
+                from ..parallel.mesh import make_mesh
+
+                mesh = make_mesh(io.devices)
             stages.stage_ct_streamed(
                 trajs, refs, outpref, tum.tau_mem,
                 chunk_groups=io.stream_groups, q_rot=quat, fit_sel=phy.fit_atoms,
-                zeta=phy.zeta, vec_storage=io.vec_storage,
+                zeta=phy.zeta, vec_storage=io.vec_storage, mesh=mesh,
             )
         else:
             stages.stage_ct(

