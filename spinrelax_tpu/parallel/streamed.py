@@ -25,7 +25,6 @@ embarrassingly parallel there).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional
 
 import numpy as np

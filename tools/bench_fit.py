@@ -24,6 +24,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--nres", type=int, default=10_000)
     p.add_argument("--ndeltas", type=int, default=500)
+    p.add_argument("--ladder", action="store_true",
+                   help="benchmark the FULL DoF ladder (all rungs as one "
+                        "stacked batched LM + host model selection) "
+                        "instead of the fixed-K finish")
     a = p.parse_args()
 
     import jax
@@ -68,6 +72,35 @@ def main():
     n_iter = 5
     key = jax.random.PRNGKey(int(time.time()) & 0x7FFFFFFF)
     inputs = [gen(k) for k in jax.random.split(key, 2 * n_iter)]
+
+    if a.ladder:
+        # Full ladder: 5 rungs (2,3,5,7,9 params) solved as ONE stacked
+        # batched LM + the reference's sequential per-residue selection
+        # on the host (fit.expfit.fit_ct_ladder).
+        from spinrelax_tpu.fit.expfit import fit_ct_ladder
+
+        names = [str(i) for i in range(N)]
+        dt_np = np.asarray(dt)
+        host_inputs = [np.asarray(x, dtype=np.float32) for x in inputs]
+        fit_ct_ladder(names, dt_np, host_inputs[-1])  # compile
+        dtime = None
+        for rnd in range(2):
+            batch = host_inputs[rnd * n_iter : (rnd + 1) * n_iter]
+            t0 = time.perf_counter()
+            for x in batch:
+                model = fit_ct_ladder(names, dt_np, x)
+            dtime = (time.perf_counter() - t0) / n_iter
+            assert np.isfinite(np.asarray(model.S2)).all()
+        rate = N / dtime
+        print(json.dumps({
+            "metric": "fit_ladder_residues_per_s",
+            "value": rate,
+            "unit": "residues/s",
+            "config": f"{N} residues x {D} lags, full DoF ladder "
+                      "(stacked LM + selection)",
+            "vs_baseline": rate / REFERENCE_CPU_RES_PER_S,
+        }))
+        return
     float(step(inputs[-1], jnp.float32(0.0)))  # compile + settle
     dtime = None
     for rnd in range(2):
