@@ -17,7 +17,9 @@ from typing import Optional, Sequence
 import numpy as np
 
 from ..models.ctmodel import CtModelSet
-from .lm import fit_multiexp, fit_multiexp_stacked  # noqa: F401 (fit_multiexp is part of the public surface)
+from .lm import (  # noqa: F401 (fit_multiexp is part of the public surface)
+    fit_multiexp, fit_multiexp_ladder, fit_multiexp_stacked,
+)
 
 LADDER_WITH_FAST = (2, 3, 5, 7, 9)
 LADDER_NO_FAST = (2, 4, 6, 8)
@@ -40,6 +42,7 @@ def fit_ct_ladder(
     zeta: float = 1.0,
     verbose: bool = False,
     mesh=None,
+    stacked: bool = False,
 ) -> CtModelSet:
     """Fit all residues' C(t) and select per-residue model complexity.
 
@@ -65,11 +68,12 @@ def fit_ct_ladder(
     else:
         ladder = list(LADDER_WITH_FAST if use_s2fast else LADDER_NO_FAST)
 
-    # ALL ladder rungs solve as ONE padded batched LM (one dispatch, one
-    # compile) — inactive components are frozen by masking, which leaves
-    # each rung's active sub-problem identical to a dense per-rung solve
-    # (see fit.lm.fit_multiexp_stacked; reference fits rungs sequentially
-    # per residue, fitting_Ct_functions.py:278-304).
+    # Each rung is a dense vmapped LM over all residues (reference fits
+    # rungs sequentially PER RESIDUE, fitting_Ct_functions.py:278-304).
+    # ``stacked=True`` instead solves every rung in ONE padded batched LM
+    # (fit.lm.fit_multiexp_stacked) — measured slower for the ladder on
+    # TPU (docs/PERF.md round 3) but the right tool for heterogeneous
+    # per-residue model batches.
     specs = [(n_par, *_rung_spec(n_par)) for n_par in ladder]
     Kmax_l = max(K for _, K, _ in specs)
     R = len(specs)
@@ -80,15 +84,53 @@ def fit_ct_ladder(
         tau0_rows[i, :K] = np.logspace(
             np.log10(step), np.log10(dt_arr[-1] * 2.0), K + 2
         )[1:-1]
-    stack_args = [
-        np.tile(decays, (R, 1)),
-        np.tile(sigma, (R, 1)),
-        np.repeat([K for _, K, _ in specs], B),
-        np.repeat([s2f for _, _, s2f in specs], B),
-        np.repeat(tau0_rows, B, axis=0),
-    ]
     n_stack = R * B
-    if mesh is not None:
+    if not stacked:
+        # DEFAULT: one dense vmapped LM per rung.  The all-rungs-stacked
+        # solve was MEASURED 5.9x slower on the TPU (docs/PERF.md round-3
+        # "stacked ladder" entry: padding every rung to Kmax params and
+        # gating the shared while_loop on the globally slowest element
+        # cost far more than the 4 saved dispatches) — it remains
+        # available via ``stacked=True`` / fit.lm.fit_multiexp_stacked
+        # for heterogeneous per-residue model batches.
+        dec_d, sig_d = decays, sigma
+        n_keep = B
+        if mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            ndev = int(mesh.devices.size)
+            pad = (-B) % ndev
+            if pad:
+                dec_d = np.concatenate(
+                    [decays, np.repeat(decays[:1], pad, axis=0)], axis=0
+                )
+                sig_d = np.concatenate(
+                    [sigma, np.repeat(sigma[:1], pad, axis=0)], axis=0
+                )
+            sh = NamedSharding(
+                mesh, PartitionSpec(tuple(mesh.axis_names), None)
+            )
+            dec_d = jax.device_put(dec_d, sh)
+            sig_d = jax.device_put(sig_d, sh)
+        rungs = []
+        for i, (n_par, K, s2_free) in enumerate(specs):
+            fit = fit_multiexp(dt_arr, dec_d, sig_d, K=K, s2_free=s2_free)
+            fit = {k: v[:n_keep] for k, v in jax_to_np(fit).items()}
+            rungs.append((n_par, K, s2_free, fit))
+            if verbose:
+                print(
+                    f"    ...ladder rung nParams={n_par}: median chisq "
+                    f"{np.median(fit['chisq']):.3g}"
+                )
+    elif mesh is None:
+        # In-graph rung tiling: decays/sigma ship to the device ONCE
+        # (the host-side 5x tile dominated wall time on remote links).
+        stacked_np = jax_to_np(fit_multiexp_ladder(
+            dt_arr, decays, sigma, tau0_rows,
+            tuple((K, s2f) for _, K, s2f in specs), Kmax=Kmax_l,
+        ))
+    else:
         # Residue-shard the stacked batch over EVERY mesh axis: the LM is
         # embarrassingly parallel over batch elements, so GSPMD partitions
         # the whole solve with zero communication (SURVEY §2.5 "residue
@@ -98,6 +140,13 @@ def fit_ct_ladder(
         import jax
         from jax.sharding import NamedSharding, PartitionSpec
 
+        stack_args = [
+            np.tile(decays, (R, 1)),
+            np.tile(sigma, (R, 1)),
+            np.repeat([K for _, K, _ in specs], B),
+            np.repeat([s2f for _, _, s2f in specs], B),
+            np.repeat(tau0_rows, B, axis=0),
+        ]
         ndev = int(mesh.devices.size)
         pad = (-n_stack) % ndev
         if pad:
@@ -117,17 +166,18 @@ def fit_ct_ladder(
             )
             for a in stack_args
         ]
-    stacked = fit_multiexp_stacked(dt_arr, *stack_args, Kmax=Kmax_l)
-    stacked = {k: v[:n_stack] for k, v in jax_to_np(stacked).items()}
-    rungs = []
-    for i, (n_par, K, s2_free) in enumerate(specs):
-        fit = {k: v[i * B : (i + 1) * B] for k, v in stacked.items()}
-        rungs.append((n_par, K, s2_free, fit))
-        if verbose:
-            print(
-                f"    ...ladder rung nParams={n_par}: median chisq "
-                f"{np.median(fit['chisq']):.3g}"
-            )
+        out = fit_multiexp_stacked(dt_arr, *stack_args, Kmax=Kmax_l)
+        stacked_np = {k: v[:n_stack] for k, v in jax_to_np(out).items()}
+    if stacked:
+        rungs = []
+        for i, (n_par, K, s2_free) in enumerate(specs):
+            fit = {k: v[i * B : (i + 1) * B] for k, v in stacked_np.items()}
+            rungs.append((n_par, K, s2_free, fit))
+            if verbose:
+                print(
+                    f"    ...ladder rung nParams={n_par}: median chisq "
+                    f"{np.median(fit['chisq']):.3g}"
+                )
 
     # Per-residue sequential selection (fitting_Ct_functions.py:283-304).
     sel = np.full(B, -1, dtype=int)

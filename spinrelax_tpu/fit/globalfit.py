@@ -42,6 +42,9 @@ from ..ops import observables as obs
 from .scalar import golden_vec
 
 ALLOWED_VARIABLES = ("Diso", "Daniso", "CSA", "zeta", "rsCSA")
+# Moment-collapsed ensemble statistics for the axisymmetric fit (exact;
+# see _eval_all).  Module-level so benchmarks can A/B the paths.
+USE_MOMENT_COLLAPSE = True
 # Powell step sizes (spectral_densities.py:1219)
 STEP_SIZES = {"Diso": 1e-5, "Daniso": 0.1, "zeta": 0.1, "CSA": 1e-5, "rsCSA": 1e-5}
 EXPORT_SCALING = {"Diso": 1.0, "Daniso": 1.0, "zeta": 1.0, "CSA": 1e6, "rsCSA": 1e6}
@@ -82,7 +85,8 @@ def _eval_all(es: ExperimentSet, diso, aniso, zeta, csa):
             pairs.append(e.pair)
     omega_all = jnp.concatenate([jnp.asarray(p.omega5()) for p in pairs])
     rates_by_pair = {}
-    if es.diffusion.kind == "axisymmetric" and vecs is not None and vecs.ndim == 3:
+    if (USE_MOMENT_COLLAPSE and es.diffusion.kind == "axisymmetric"
+            and vecs is not None and vecs.ndim == 3):
         # Moment-collapsed fast path: rates are linear in the per-sample
         # A-coefficients, so the ensemble statistics follow from the
         # precomputed (mu, cov) A-moments — O(nRes*3) per step instead of

@@ -223,6 +223,27 @@ def fit_multiexp(dt, decay, sigma, K: int, s2_free: bool) -> MultiExpFit:
     return MultiExpFit(*out)
 
 
+@partial(jax.jit, static_argnames=("specs", "Kmax"))
+def fit_multiexp_ladder(dt, decays, sigma, tau0_rows, specs, Kmax: int) -> MultiExpFit:
+    """All ladder rungs over one (B, T) batch in ONE jit, with the
+    rung-tiling done IN-GRAPH: the host ships decays/sigma once (not
+    once per rung copy — through a remote-TPU link the 5x host tile was
+    the dominant cost of the stacked ladder).
+
+    specs : static tuple of (K, s2_free) per rung.
+    tau0_rows : (R, Kmax) per-rung initial taus.
+    Returns the stacked MultiExpFit with batch R*B (rung-major).
+    """
+    R = len(specs)
+    B = decays.shape[0]
+    dec_t = jnp.tile(decays, (R, 1))
+    sig_t = jnp.tile(sigma, (R, 1))
+    Kv = jnp.repeat(jnp.asarray([k for k, _ in specs]), B)
+    s2 = jnp.repeat(jnp.asarray([s for _, s in specs]), B)
+    t0 = jnp.repeat(jnp.asarray(tau0_rows), B, axis=0)
+    return _fit_multiexp_stacked_core(dt, dec_t, sig_t, Kv, s2, t0, Kmax)
+
+
 @partial(jax.jit, static_argnames=("Kmax",))
 def fit_multiexp_stacked(dt, decay, sigma, Kvals, s2free, tau0, Kmax: int) -> MultiExpFit:
     """One batched LM over a HETEROGENEOUS batch of multi-exp problems.
@@ -248,6 +269,12 @@ def fit_multiexp_stacked(dt, decay, sigma, Kvals, s2free, tau0, Kmax: int) -> Mu
     with K components the ACTIVE ones occupy [:K] (fast-to-slow), padding
     is zero-C / inf-sorted-last.
     """
+    return _fit_multiexp_stacked_core(dt, decay, sigma, Kvals, s2free,
+                                      tau0, Kmax)
+
+
+def _fit_multiexp_stacked_core(dt, decay, sigma, Kvals, s2free, tau0,
+                               Kmax: int) -> MultiExpFit:
     dt = jnp.asarray(dt)
     decay = jnp.asarray(decay)
     sigma = jnp.asarray(sigma)

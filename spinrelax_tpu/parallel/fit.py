@@ -1,14 +1,19 @@
 """Residue-sharded multi-field fitting.
 
 Everything downstream of C(t) is embarrassingly parallel per residue
-(ARCHITECTURE.md "Parallelism"), and the multi-field chi-square's big
-tensors — per-residue PAF vector ensembles (nRes, nSamp, 3) and weights
-— are the memory/compute sink of the fit stage at >10^3 residues
-(SURVEY §3.5).  :func:`shard_experiment_set` pads the residue axis and
-commits every residue-leading array of an :class:`ExperimentSet` to a
-mesh sharding over BOTH axes ("rep", "res"), so the jitted chi-square /
-GlobalFitter programs (fit/globalfit.py) run residue-parallel with
-GSPMD-inserted reductions — no code change in the fit itself.
+(ARCHITECTURE.md "Parallelism").  :func:`shard_experiment_set` pads the
+residue axis and commits every residue-leading array of an
+:class:`ExperimentSet` to a mesh sharding over BOTH axes ("rep",
+"res"), so the jitted chi-square / GlobalFitter programs
+(fit/globalfit.py) run residue-parallel with GSPMD-inserted reductions
+— no code change in the fit itself.
+
+Since the round-3 moment collapse (fit/globalfit._eval_all), the
+axisymmetric optimiser's per-step cost no longer scales with the
+vector-sample axis at all — the (nRes, nSamp, 3) ensembles fold into
+per-residue A-moment constants once per fit.  Sharding still carries
+the per-residue arrays (targets, masks, CSA, C(t) params) and matters
+for the legacy per-sample evaluators and >10^5-residue fits.
 """
 
 from __future__ import annotations
