@@ -96,23 +96,9 @@ def fit_ct_ladder(
         dec_d, sig_d = decays, sigma
         n_keep = B
         if mesh is not None:
-            import jax
-            from jax.sharding import NamedSharding, PartitionSpec
+            from ..parallel.mesh import pad_and_shard
 
-            ndev = int(mesh.devices.size)
-            pad = (-B) % ndev
-            if pad:
-                dec_d = np.concatenate(
-                    [decays, np.repeat(decays[:1], pad, axis=0)], axis=0
-                )
-                sig_d = np.concatenate(
-                    [sigma, np.repeat(sigma[:1], pad, axis=0)], axis=0
-                )
-            sh = NamedSharding(
-                mesh, PartitionSpec(tuple(mesh.axis_names), None)
-            )
-            dec_d = jax.device_put(dec_d, sh)
-            sig_d = jax.device_put(sig_d, sh)
+            (dec_d, sig_d), _ = pad_and_shard(mesh, [decays, sigma])
         rungs = []
         for i, (n_par, K, s2_free) in enumerate(specs):
             fit = fit_multiexp(dt_arr, dec_d, sig_d, K=K, s2_free=s2_free)
@@ -134,38 +120,17 @@ def fit_ct_ladder(
         # Residue-shard the stacked batch over EVERY mesh axis: the LM is
         # embarrassingly parallel over batch elements, so GSPMD partitions
         # the whole solve with zero communication (SURVEY §2.5 "residue
-        # tensor-parallel").  The batch is padded to a device-count
-        # multiple with copies of row 0 (well-conditioned dummies) and
-        # sliced back after the solve.
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec
+        # tensor-parallel"); pad_and_shard pads to a device multiple and
+        # the results slice back to n_stack rows.
+        from ..parallel.mesh import pad_and_shard
 
-        stack_args = [
+        stack_args, _ = pad_and_shard(mesh, [
             np.tile(decays, (R, 1)),
             np.tile(sigma, (R, 1)),
             np.repeat([K for _, K, _ in specs], B),
             np.repeat([s2f for _, _, s2f in specs], B),
             np.repeat(tau0_rows, B, axis=0),
-        ]
-        ndev = int(mesh.devices.size)
-        pad = (-n_stack) % ndev
-        if pad:
-            stack_args = [
-                np.concatenate([a, np.repeat(a[:1], pad, axis=0)], axis=0)
-                for a in stack_args
-            ]
-        stack_args = [
-            jax.device_put(
-                a,
-                NamedSharding(
-                    mesh,
-                    PartitionSpec(
-                        tuple(mesh.axis_names), *([None] * (a.ndim - 1))
-                    ),
-                ),
-            )
-            for a in stack_args
-        ]
+        ])
         out = fit_multiexp_stacked(dt_arr, *stack_args, Kmax=Kmax_l)
         stacked_np = {k: v[:n_stack] for k, v in jax_to_np(out).items()}
     if stacked:

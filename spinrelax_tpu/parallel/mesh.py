@@ -38,15 +38,50 @@ def make_mesh(
     axis_names: Sequence[str] = ("rep", "res"),
     devices=None,
 ) -> Mesh:
-    """Build a 2D mesh over the available (or given) devices."""
+    """Build a 2D mesh over the available (or given) devices.
+
+    Asking for more devices than exist is an error, not a silent
+    truncation — a CLI `--devices 8` on a 1-chip host must not quietly
+    run unsharded while the user believes otherwise."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} JAX device(s) are available "
+                f"(jax.devices()={[str(d) for d in devices]})"
+            )
         devices = devices[:n_devices]
     n = len(devices)
     shape = _factor2(n)
     dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, axis_names=tuple(axis_names))
+
+
+def pad_and_shard(mesh: Mesh, arrays):
+    """Pad every array's LEADING axis to a device-count multiple with
+    copies of row 0 (well-conditioned dummies) and device_put it sharded
+    over all mesh axes.  Returns (sharded_arrays, n_orig) — slice device
+    results back to ``n_orig`` rows.  The shared idiom of the
+    residue-parallel fit paths (fit_ct_ladder, run_sharded_finish)."""
+    arrays = [np.asarray(a) for a in arrays]
+    n_orig = arrays[0].shape[0]
+    ndev = int(mesh.devices.size)
+    pad = (-n_orig) % ndev
+    out = []
+    for a in arrays:
+        if a.shape[0] != n_orig:
+            raise ValueError(
+                f"leading axes differ: {a.shape[0]} vs {n_orig}"
+            )
+        if pad:
+            a = np.concatenate([a, np.repeat(a[:1], pad, axis=0)], axis=0)
+        sh = NamedSharding(
+            mesh, P(tuple(mesh.axis_names), *([None] * (a.ndim - 1)))
+        )
+        out.append(jax.device_put(a, sh))
+    return out, n_orig
 
 
 def vecs_sharding(mesh: Mesh) -> NamedSharding:

@@ -119,24 +119,32 @@ class ShardedCtStream:
     def update(self, group) -> None:
         """group: (g, n_frames_per_chunk, n_res, 3) host or device array.
 
-        Device arrays already shaped (g % rep == 0, F, n_res_pad, 3) take
-        the zero-copy fast path (at most a reshard onto the mesh) — this
-        is how the streaming north-star driver feeds device-generated
-        groups without a host round-trip."""
+        Device arrays NEVER round-trip to the host: chunk/residue padding
+        (zero rows, zero WEIGHTS for padded chunks) happens with one
+        device-side pad, then a reshard onto the mesh — this is how the
+        streaming north-star driver and the ``--devices`` CLI stream feed
+        device-generated groups."""
         g, F, N = group.shape[0], group.shape[1], group.shape[2]
         if F != self.n_frames:
             raise ValueError(f"group has {F} frames/chunk, expected {self.n_frames}")
+        if N not in (self.n_res, self.n_res_pad):
+            raise ValueError(f"group has {N} residues, expected {self.n_res}")
         g_pad = _pad_to(g, self.rep_dim)
-        if isinstance(group, jax.Array) and g_pad == g and N == self.n_res_pad:
-            vd = jax.device_put(group, self._group_sharding)
-            wd = self._ones_w.get(g)
+        if isinstance(group, jax.Array):
+            vd = group.astype(self.dtype)
+            if g_pad != g or N != self.n_res_pad:
+                vd = jnp.pad(
+                    vd,
+                    ((0, g_pad - g), (0, 0), (0, self.n_res_pad - N), (0, 0)),
+                )
+            vd = jax.device_put(vd, self._group_sharding)
+            wd = self._ones_w.get((g_pad, g))
             if wd is None:
-                wd = self._ones_w[g] = jax.device_put(
-                    jnp.ones(g, self.dtype), self._w_sharding
+                w = (jnp.arange(g_pad) < g).astype(self.dtype)
+                wd = self._ones_w[(g_pad, g)] = jax.device_put(
+                    w, self._w_sharding
                 )
         else:
-            if N != self.n_res:
-                raise ValueError(f"group has {N} residues, expected {self.n_res}")
             group = np.asarray(group, dtype=np.dtype(self.dtype))
             w = np.zeros(g_pad, dtype=group.dtype)
             w[:g] = 1.0
@@ -270,18 +278,19 @@ def run_sharded_finish(
 ) -> FlagshipRates:
     """The FLAGSHIP post-stream physics, residues sharded over the mesh:
 
-    pooled Palmer stats -> DoF-ladder model selection (ALL rungs as one
-    residue-sharded stacked LM, ``fit.lm.fit_multiexp_stacked``) ->
-    axisymmetric/ellipsoid/isotropic J with per-residue PAF vector
-    ensembles + weights -> legacy-semantics ensemble rates — i.e. exactly
-    what ``stage_fit_ct`` + ``stage_relax`` compute single-device
-    (reference workhorse: spectral_densities.py:2057-2077 symmtop J,
+    pooled Palmer stats -> DoF-ladder model selection -> axisymmetric/
+    ellipsoid/isotropic J with per-residue PAF vector ensembles +
+    weights -> legacy-semantics ensemble rates — i.e. exactly what
+    ``stage_fit_ct`` + ``stage_relax`` compute single-device (reference
+    workhorse: spectral_densities.py:2057-2077 symmtop J,
     fitting_Ct_functions.py:278-304 ladder).
 
     The ladder's per-residue model SELECTION is ragged host logic
     (reference :283-304); everything numeric runs sharded: the pooled
-    stats on the "res"-sharded accumulators, every ladder rung inside one
-    batch-sharded LM, and the final ensemble-rate jit with residues +
+    stats on the "res"-sharded accumulators, each ladder rung's dense
+    batched LM over mesh-sharded residues (per-rung is the measured-fast
+    default — see docs/PERF.md round 3; ``fit_ct_ladder(stacked=True)``
+    remains available), and the final ensemble-rate jit with residues +
     vector samples sharded over all devices.
 
     diffusion : models.Diffusion (any kind; anisotropic kinds need vecs).
@@ -318,24 +327,21 @@ def run_sharded_finish(
 
     # 3. Ensemble rates with residues sharded over every device; the
     # sample axis stays local so the ensemble mean/sd needs no collective.
-    # Residues pad to a device-count multiple (row-0 copies) on the host,
-    # are sharded over every mesh axis, and the outputs slice back.
-    ndev = int(mesh.devices.size)
-    pad = (-n_res) % ndev
-    idx = np.concatenate([np.arange(n_res), np.zeros(pad, dtype=int)])
+    # Residues pad to a device-count multiple (row-0 copies) and slice
+    # back (parallel.mesh.pad_and_shard).
+    from .mesh import pad_and_shard
 
     def put(a):
-        a = np.asarray(a)[idx]
-        return jax.device_put(
-            jnp.asarray(a),
-            NamedSharding(
-                mesh, P(tuple(mesh.axis_names), *([None] * (a.ndim - 1)))
-            ),
-        )
+        if a is None:
+            return None
+        (out,), _ = pad_and_shard(mesh, [a])
+        return out
 
-    vecs_d = None if vecs is None else put(vecs)
-    w_d = None if weights is None else put(weights)
-    csa_d = None if csa is None else put(csa)
+    vecs_d = put(vecs)
+    w_d = put(weights)
+    csa_d = put(csa)
+    pad = (-n_res) % int(mesh.devices.size)
+    idx = np.concatenate([np.arange(n_res), np.zeros(pad, dtype=int)])
     cts_pad = cts.select(idx) if pad else cts
 
     def _rates_fn(cts_, vecs_, w_, csa_):

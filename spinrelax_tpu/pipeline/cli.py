@@ -601,14 +601,16 @@ def cmd_center(argv):
 
     out_chunks = []  # npz path only; .xtc appends incrementally
     n_done = 0
-    dt = 1.0
+    first_times = []  # first two timestamps across chunk boundaries
     for xyz_c, boxes_c, times_c in chunk_iter():
         if box_override is not None:
             boxes_c = box_override
         if boxes_c is None:
             raise SystemExit("= = No box in input; pass --box x,y,z [nm].")
-        if times_c is not None and len(times_c) > 1:
-            dt = float(times_c[1] - times_c[0])
+        if times_c is not None and len(first_times) < 2:
+            first_times.extend(
+                float(t) for t in np.atleast_1d(times_c)[: 2 - len(first_times)]
+            )
         out = center_solute(xyz_c, boxes_c, top=top, mol_id=mol_id,
                             solute=solute, batch=a.batch)
         if keep is not None:
@@ -625,7 +627,8 @@ def cmd_center(argv):
             boxes33[:, [0, 1, 2], [0, 1, 2]] = b
             times_w = (
                 np.asarray(times_c, dtype=np.float32)
-                if times_c is not None else np.arange(n_done, n_done + nf) * dt
+                if times_c is not None
+                else np.arange(n_done, n_done + nf, dtype=np.float32)
             )
             native.write_xtc(a.outfn, out, times=times_w, boxes=boxes33,
                              append=n_done > 0, step0=n_done)
@@ -636,6 +639,9 @@ def cmd_center(argv):
     if n_done == 0:
         raise SystemExit("= = Empty trajectory input.")
     if not a.outfn.endswith(".xtc"):
+        dt = (
+            first_times[1] - first_times[0] if len(first_times) == 2 else 1.0
+        )
         trjio.save_trajectory_npz(
             a.outfn, np.concatenate(out_chunks, axis=0), timestep=dt
         )

@@ -71,7 +71,10 @@ def main():
 
     n_iter = 5
     key = jax.random.PRNGKey(int(time.time()) & 0x7FFFFFFF)
-    inputs = [gen(k) for k in jax.random.split(key, 2 * n_iter)]
+    # 2*n_iter+1 inputs: the LAST is reserved for compile/warm-up so no
+    # timed round re-submits a (program, input) pair the pool server has
+    # already cached (CLAUDE.md measurement rules; same as bench.py).
+    inputs = [gen(k) for k in jax.random.split(key, 2 * n_iter + 1)]
 
     if a.ladder:
         # Full ladder: 5 rungs (2,3,5,7,9 params) solved as ONE stacked
