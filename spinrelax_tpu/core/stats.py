@@ -9,6 +9,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def _safe_sqrt(var):
+    """sqrt with a finite gradient at 0: jnp.sqrt's derivative is inf/NaN
+    at var == 0 (a zero-variance ensemble — e.g. duplicated vectors —
+    would NaN-poison any jacobian through the error bars)."""
+    safe = jnp.where(var > 0, var, 1.0)
+    return jnp.where(var > 0, jnp.sqrt(safe), 0.0)
+
+
 def weighted_mean_std(values, weights=None, axis=-1):
     """Weighted mean and population-style weighted stdev along ``axis``
     (general_maths.py:100-110).  ``weights=None`` gives the plain
@@ -16,14 +24,16 @@ def weighted_mean_std(values, weights=None, axis=-1):
     values = jnp.asarray(values)
     if weights is None:
         avg = jnp.mean(values, axis=axis)
-        std = jnp.std(values, axis=axis)
-        return avg, std
+        var = jnp.mean(
+            (values - jnp.expand_dims(avg, axis)) ** 2, axis=axis
+        )
+        return avg, _safe_sqrt(var)
     weights = jnp.asarray(weights)
     wsum = jnp.sum(weights, axis=axis)
     safe = jnp.where(wsum > 0, wsum, 1.0)
     avg = jnp.sum(values * weights, axis=axis) / safe
     var = jnp.sum((values - jnp.expand_dims(avg, axis)) ** 2 * weights, axis=axis) / safe
-    return avg, jnp.sqrt(var)
+    return avg, _safe_sqrt(var)
 
 
 def simple_total_mean_square(means, sigmas, axis=0):

@@ -239,7 +239,10 @@ class GlobalFitter:
 
         self._chisq = _chisq_packed
         self._chisq_res = _chisq_res
-        self._grad = jax.jit(jax.grad(_chisq_packed, argnums=(0, 1, 2)))
+        # csa included (argnums 3): the scalar-CSA direction is the SUM
+        # of the per-residue csa gradient, so the gradient path needs no
+        # second un-jitted re-trace of the chi-square graph per iterate.
+        self._grad = jax.jit(jax.grad(_chisq_packed, argnums=(0, 1, 2, 3)))
 
         # One-dispatch device optimiser (method="device"): pure-JAX BFGS
         # over the scaled packed globals; current state values ride in as
@@ -289,12 +292,15 @@ class GlobalFitter:
 
                 eye = jnp.eye(n_p)
 
+                _hi = jax.lax.Precision.HIGHEST  # TPU f32 matmuls default
+                # to bf16 passes; the LM curvature must not (CLAUDE.md)
+
                 def body(state):
                     z, lam, f, it, _moved = state
                     J = jax.jacfwd(resid)(z)  # (nR, n_p)
                     r = resid(z)
-                    g = J.T @ r
-                    H = J.T @ J
+                    g = jnp.matmul(J.T, r, precision=_hi)
+                    H = jnp.matmul(J.T, J, precision=_hi)
                     dz = jnp.linalg.solve(H + lam * eye, -g)
                     z_new = z + dz
                     f_new = fval(z_new)
@@ -385,13 +391,9 @@ class GlobalFitter:
                     elif v == "zeta":
                         gsel.append(float(g_full[2]))
                     elif v == "CSA":
-                        # dchi/dCSA_scalar = sum_i dchi/dcsa_i
-                        gc = jax.grad(
-                            lambda c: self._chisq(
-                                s.diso, s.aniso, s.zeta, jnp.full_like(csa_j, c)
-                            )
-                        )(jnp.asarray(float(np.mean(s.csa))))
-                        gsel.append(float(gc))
+                        # dchi/dCSA_scalar = sum_i dchi/dcsa_i (one jitted
+                        # grad covers it; no per-iterate re-trace)
+                        gsel.append(float(jnp.sum(g_full[3])))
                 return f, np.array(gsel)
 
             # Scale parameters so L-BFGS sees O(1) magnitudes.  jac=True
@@ -455,16 +457,12 @@ class GlobalFitter:
         def f(c):
             return self._chisq_res(s.diso, s.aniso, s.zeta, c)
 
-        # golden_vec wants f: (B,)->(B,); embed candidates in full vector.
-        def fv(cand):
-            return f(cand)
-
         hw = jnp.full_like(csa0, half_width)
         best = csa0
         for _ in range(max_expand):
             lo = best - hw
             hi = best + hw
-            best = golden_vec(fv, lo, hi, n_iter=n_iter)
+            best = golden_vec(f, lo, hi, n_iter=n_iter)
             # Edge detection in units of the bracket width: golden-section
             # converges interior minima well inside the bracket, so a
             # result within 1% of an edge means the true optimum may lie
@@ -500,11 +498,17 @@ class GlobalFitter:
             prev_glob = self._get_globals()
             self.global_step(method)
             now_glob = self._get_globals()
-            if not first and np.allclose(prev_glob, now_glob, rtol=tol):
+            # atol=0: allclose's default atol=1e-8 would dominate rtol for
+            # the small-magnitude parameters here (Diso ~4e-5 ps^-1,
+            # CSA ~1.7e-4) and stop the alternation orders of magnitude
+            # before the requested relative tolerance.
+            if not first and np.allclose(prev_glob, now_glob, rtol=tol, atol=0.0):
                 break
             prev_csa = self.state.csa.copy()
             self.local_step()
-            if not first and np.allclose(prev_csa, self.state.csa, rtol=tol):
+            if not first and np.allclose(
+                prev_csa, self.state.csa, rtol=tol, atol=0.0
+            ):
                 self.state.chisq = self.chisq()
                 break
             first = False

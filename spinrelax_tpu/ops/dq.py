@@ -283,6 +283,29 @@ class DqResult(NamedTuple):
     # in-memory stage computes histograms directly from dq_vectors)
 
 
+def _lag_grid(delta_t: float, min_dt: float, max_dt: float, skip_dt: float,
+              n: Optional[int] = None, what: str = "trajectory") -> np.ndarray:
+    """The reference's lag-grid construction (:509-523), shared by every
+    analyse_dq* entry point: lags from max(skip, min) to max in steps of
+    skip (frames).  ``n`` (frame count) enables the half-length check;
+    pass None when the stream length is only known afterwards."""
+    skip_int = max(1, int(skip_dt / delta_t))
+    min_int = max(skip_int, int(min_dt / delta_t))
+    max_int = int(max_dt / delta_t)
+    if n is not None and max_int * delta_t > (n - 1) * delta_t / 2.0:
+        raise ValueError(
+            f"max_dt ({max_dt}) exceeds half the {what} length "
+            f"({(n - 1) * delta_t / 2.0})"
+        )
+    lags = np.arange(min_int, max_int + 1, skip_int, dtype=np.int32)
+    if len(lags) == 0:
+        raise ValueError(
+            f"empty lag grid: min_dt={min_dt}, max_dt={max_dt}, "
+            f"skip_dt={skip_dt} at delta_t={delta_t} produce no lags"
+        )
+    return lags
+
+
 def analyse_dq_multi(
     q_trajs,
     delta_t: float,
@@ -302,16 +325,12 @@ def analyse_dq_multi(
     q_list = [np.asarray(q, dtype=np.float64) for q in q_trajs]
     n_rep = len(q_list)
     n_min = min(q.shape[0] for q in q_list)
-    skip_int = max(1, int(skip_dt / delta_t))
-    min_int = max(skip_int, int(min_dt / delta_t))
-    max_int = int(max_dt / delta_t)
-    if max_int * delta_t > (n_min - 1) * delta_t / 2.0:
-        raise ValueError("max_dt exceeds half the shortest replica trajectory")
     if n_chunks > 0 and n_rep % n_chunks != 0:
         raise ValueError(
             f"n_chunks ({n_chunks}) must divide nReplicas ({n_rep})"
         )
-    lags = np.arange(min_int, max_int + 1, skip_int, dtype=np.int32)
+    lags = _lag_grid(delta_t, min_dt, max_dt, skip_dt, n_min,
+                     what="shortest replica trajectory")
     lags_j = jnp.asarray(lags)
 
     # The reference pools the delta-q SAMPLES of all replicas at each lag
@@ -409,16 +428,7 @@ def analyse_dq(
     from max(skip, min) to max in steps of skip (in frames).
     """
     q_traj = np.asarray(q_traj)
-    n = q_traj.shape[0]
-    skip_int = max(1, int(skip_dt / delta_t))
-    min_int = max(skip_int, int(min_dt / delta_t))
-    max_int = int(max_dt / delta_t)
-    if max_int * delta_t > (n - 1) * delta_t / 2.0:
-        raise ValueError(
-            f"max_dt ({max_dt}) exceeds half the trajectory length "
-            f"({(n - 1) * delta_t / 2.0})"
-        )
-    lags = np.arange(min_int, max_int + 1, skip_int, dtype=np.int32)
+    lags = _lag_grid(delta_t, min_dt, max_dt, skip_dt, q_traj.shape[0])
     stats = dq_statistics(jnp.asarray(q_traj), jnp.asarray(lags), n_chunks=n_chunks)
     return _finalise_dq(stats, lags, delta_t, n_chunks)
 
@@ -587,6 +597,12 @@ def dq_statistics_streamed(chunk_iter, lags, chunk_len: int,
                 s_M_c = s_M_c + d_M_c
                 cnt_c = cnt_c + d_cnt_c
             global_pos += nv
+    if n_chunks > 0 and total != n_total:
+        raise ValueError(
+            f"streamed frame count ({total}) != pre-counted n_total "
+            f"({n_total}): the sub-chunk blocking would be wrong (did the "
+            f"input change between the counting pre-pass and this pass?)"
+        )
     iso = s_iso / cnt
     M = s_M / cnt[:, None, None]
     if n_chunks > 0:
@@ -617,15 +633,12 @@ def analyse_dq_streamed(
     the stream with one cheap pre-pass).  ``hist_bins`` > 0 additionally
     accumulates the per-lag delta-q histograms into ``DqResult.hist``
     (density-normalised like np.histogramdd(density=True))."""
-    skip_int = max(1, int(skip_dt / delta_t))
-    min_int = max(skip_int, int(min_dt / delta_t))
-    max_int = int(max_dt / delta_t)
-    lags = np.arange(min_int, max_int + 1, skip_int, dtype=np.int32)
+    lags = _lag_grid(delta_t, min_dt, max_dt, skip_dt, None)
     stats, n, hist = dq_statistics_streamed(
         chunk_iter, lags, chunk_frames, n_chunks=n_chunks, n_total=n_total,
         hist_bins=hist_bins,
     )
-    if max_int * delta_t > (n - 1) * delta_t / 2.0:
+    if int(max_dt / delta_t) * delta_t > (n - 1) * delta_t / 2.0:
         raise ValueError(
             f"max_dt ({max_dt}) exceeds half the streamed trajectory length "
             f"({(n - 1) * delta_t / 2.0})"

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..constants import NucleusPair
@@ -167,15 +168,26 @@ def rates_from_a_moments_newapi(pair: NucleusPair, G, mu, cov, csa=None) -> Rate
 
     def _stats(r):
         mean = jnp.sum(mu * r, axis=-1)
-        var = jnp.einsum("rj,rjk,rk->r", r, cov, r)
-        return mean, jnp.sqrt(jnp.maximum(var, 0.0))
+        var = jnp.einsum(
+            "rj,rjk,rk->r", r, cov, r,
+            precision=jax.lax.Precision.HIGHEST,  # bf16 TPU default loses
+            # ~1e-3 on f32 contractions (CLAUDE.md precision rule)
+        )
+        # sqrt has a NaN *gradient* at 0 even though the primal is fine:
+        # a residue with exactly zero ensemble variance (duplicated or
+        # single-sample vectors) would NaN-poison the whole jacobian of
+        # the device-LM / L-BFGS optimisers.  Route the gradient through
+        # a safe positive value instead.
+        safe = jnp.where(var > 0, var, 1.0)
+        return mean, jnp.where(var > 0, jnp.sqrt(safe), 0.0)
 
     R1, dR1 = _stats(r1_j)
     R2, dR2 = _stats(r2_j)
     y, dy = _stats(sig_j)
     NOE = 1.0 + y / R1
     dNOE = dy / jnp.abs(R1)
-    J_mean = jnp.einsum("rj,rjw->rw", mu, G)
+    J_mean = jnp.einsum("rj,rjw->rw", mu, G,
+                        precision=jax.lax.Precision.HIGHEST)
     rho = rx.rho_from_j(J_mean)
     return RatesWithErrors(R1, R2, NOE, rho, dR1, dR2, dNOE, None)
 

@@ -65,6 +65,53 @@ def test_rates_from_a_moments_match_sample_path(rng, aniso, weighted):
         np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-12, err_msg=field)
 
 
+def test_zero_variance_ensemble_keeps_gradients_finite(rng):
+    """A duplicated-vector (zero ensemble variance) residue must not
+    NaN-poison the chi-square jacobian: sqrt'(0) is inf, so the error
+    bars route their gradient through a safe branch (review finding,
+    round 3)."""
+    import jax
+
+    from spinrelax_tpu.fit.globalfit import chisq_total
+
+    cts, diff, v, w = _setup(rng, n=5, s=7, aniso=1.3)
+    v[2] = v[2, :1]  # one residue's ensemble collapses to a point
+    pair = NucleusPair(B0=field_from_mhz(600.133), time_unit="ps")
+    rates = obs.predict_rates_newapi(
+        pair, diff, cts, vecs=jnp.asarray(v), weights=jnp.asarray(w)
+    )
+    experiments = [
+        AlignedExperiment(
+            expt_type="R1", pair=pair,
+            target=np.asarray(rates.R1) * 1.01,
+            error=np.abs(np.asarray(rates.dR1)) + 1e-3,
+            mask=np.ones(cts.n_models),
+        )
+    ]
+    es = ExperimentSet(
+        experiments=experiments, cts=cts, diffusion=diff, vecs=v, weights=w
+    )
+    g = jax.grad(
+        lambda d: chisq_total(es, d, float(diff.aniso), 0.89,
+                              jnp.full(cts.n_models, pair.csa_value))
+    )(float(diff.diso))
+    assert np.isfinite(float(g)), g
+
+    # Same guarantee for the per-sample (non-collapsed) path.
+    from spinrelax_tpu.fit import globalfit as gf
+
+    old = gf.USE_MOMENT_COLLAPSE
+    try:
+        gf.USE_MOMENT_COLLAPSE = False
+        g2 = jax.grad(
+            lambda d: chisq_total(es, d, float(diff.aniso), 0.89,
+                                  jnp.full(cts.n_models, pair.csa_value))
+        )(float(diff.diso))
+    finally:
+        gf.USE_MOMENT_COLLAPSE = old
+    assert np.isfinite(float(g2)), g2
+
+
 def test_eval_all_uses_collapse_and_matches(rng):
     """chisq_total through _eval_all (which now routes the axisymmetric
     ensemble through the moment collapse) equals a hand-built chi-square
