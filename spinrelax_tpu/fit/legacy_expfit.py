@@ -137,11 +137,14 @@ def bound_check(params, num_pars: int) -> np.ndarray:
 
 def calc_chi(y, ymodel, dy=None):
     """Reference chi (fitting_Ct_functions.py:547-551): mean squared
-    residual, divided by dy — sic, NOT dy^2 (quirk replicated)."""
+    residual, divided by dy — sic, NOT dy^2 (quirk replicated).
+
+    The reference's default sentinel is an EMPTY LIST (``dy=[]``, :547),
+    meaning unweighted — accept both None and any zero-length array."""
     y = np.asarray(y)
     ymodel = np.asarray(ymodel)
     sq = (y - ymodel) ** 2.0
-    if dy is not None:
+    if dy is not None and np.asarray(dy).size:
         sq = sq / np.asarray(dy)
     return np.sum(sq, axis=-1) / y.shape[-1]
 

@@ -46,10 +46,25 @@ def save_histogram(fn: str, names, hist: np.ndarray, edges_phi, edges_cos):
 
 
 def load_vector_distribution(fn: str) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
-    """Load either npz format -> (names, vecs (nRes, nSamp, 3),
+    """Load a vector distribution -> (names, vecs (nRes, nSamp, 3),
     weights (nRes, nSamp) or None), mirroring
     read_vector_distribution_from_file
-    (calculate-relaxations-from-Ct.py:424-454)."""
+    (calculate-relaxations-from-Ct.py:424-454).
+
+    Accepts the npz formats (PhiTheta samples / Lambert histogram) AND
+    the TextPhiTheta ``.dat`` xvg blocks the text writers emit — so a
+    ``-vecstorage TextPhiTheta`` workflow round-trips through run-all
+    without crashing on np.load of a text file."""
+    if not fn.endswith((".npz", ".npy")):
+        from . import xvg
+
+        legs, phis, thetas, _ = xvg.load_sxydylist(fn, "legend")
+        pt = np.stack(
+            [np.asarray(phis, dtype=np.float64),
+             np.asarray(thetas, dtype=np.float64)], axis=-1
+        )
+        vecs = np.asarray(geometry.pt_to_xyz(pt))
+        return np.asarray(legs), vecs, None
     obj = np.load(fn, allow_pickle=True)
     names = obj["names"]
     if obj["bHistogram"]:

@@ -365,7 +365,12 @@ def palmer_pooled_stats(acc_s, acc_s2, count):
     var = jnp.maximum(acc_s2 / count - mean**2, 0.0)
     denom = jnp.sqrt(count) - 1.0
     safe = jnp.where(denom > 0, denom, 1.0)
-    dct = jnp.where(denom > 0, jnp.sqrt(var) / safe, jnp.zeros_like(var))
+    # count == 1: the reference's 0/0 gives NaN dCt
+    # (calculate-Ct-from-traj.py:228) and ct_palmer reproduces that —
+    # the pooled path must agree, not silently report zero error bars.
+    dct = jnp.where(
+        denom > 0, jnp.sqrt(var) / safe, jnp.full_like(var, jnp.nan)
+    )
     return mean, dct
 
 
@@ -464,6 +469,8 @@ def ct_palmer_streamed(chunk_iter, n_frames_per_chunk: int, mesh=None):
             acc_s = acc_s + jnp.sum(per, axis=0)
             acc_s2 = acc_s2 + jnp.sum(per**2, axis=0)
         n_rep += group.shape[0]
+    if acc_s is None:
+        raise ValueError("empty chunk iterator")
     mean, dCt = palmer_pooled_stats(acc_s, acc_s2, float(n_rep))
     return mean.T, dCt.T
 

@@ -19,6 +19,17 @@ sits in the unit cell around the box centre.
 All per-frame geometry is jitted and vmapped over frames (orthorhombic
 cells); the whole repair of an (nFrames, nAtoms, 3) trajectory is a
 single device computation.
+
+Documented deviation (a deliberate twist, CLAUDE.md convention): every
+"centre" here is the UNWEIGHTED geometric mean of the atoms involved,
+where GROMACS uses mass-weighted molecule COMs for -pbc mol/cluster and
+the selection's bounding-box midpoint for trjconv -center.  For solvated
+proteins the three definitions differ by well under half a box, so each
+molecule lands in the same periodic image and the repaired trajectories
+agree up to a rigid whole-box translation (which cancels in every
+downstream observable — bond vectors, orientations, C(t)).  Pathological
+mass/shape-asymmetric systems near half-box boundaries could image a
+molecule differently from real trjconv output.
 """
 
 from __future__ import annotations
@@ -107,15 +118,28 @@ def apply_molecule_breaks(mol, top, break_resids):
     """Force new-molecule boundaries at the FIRST atom of each residue
     number in ``break_resids`` (a ligand numbered contiguously after a
     protein chain is otherwise fused with it — molecule_ids has no bond
-    table to know better).  Keeps ids monotonic contiguous runs."""
+    table to know better).  Keeps ids monotonic contiguous runs.
+
+    Break specs may be plain residue numbers (every matching residue-run
+    start breaks — beware same-numbered residues in other chains) or
+    chain-qualified ``"A:200"`` strings.  Atoms that already start a
+    molecule are left alone (a double increment would violate the
+    contiguous-run invariant center_solute checks)."""
     mol = np.asarray(mol, dtype=np.int32).copy()
     res = np.asarray(top.res_seqs)
+    chains = np.asarray(top.chain_ids)
     for b in break_resids:
+        chain = None
+        if isinstance(b, str) and ":" in b:
+            chain, b = b.split(":", 1)
+        sel = res == int(b)
+        if chain is not None:
+            sel &= chains == chain
         starts = np.flatnonzero(
-            (res == int(b)) & np.concatenate([[True], res[1:] != res[:-1]])
+            sel & np.concatenate([[True], res[1:] != res[:-1]])
         )
         for i in starts:
-            if i > 0:
+            if i > 0 and mol[i] == mol[i - 1]:
                 mol[i:] += 1
     return mol
 

@@ -607,6 +607,12 @@ def cmd_center(argv):
             boxes_c = box_override
         if boxes_c is None:
             raise SystemExit("= = No box in input; pass --box x,y,z [nm].")
+        if not np.all(np.asarray(boxes_c) > 0):
+            # A TRR/XTC written without a box block decodes as zeros;
+            # imaging with box=0 would silently emit all-NaN coordinates.
+            raise SystemExit(
+                "= = Input frames carry a zero/absent box; pass --box x,y,z [nm]."
+            )
         if times_c is not None and len(first_times) < 2:
             first_times.extend(
                 float(t) for t in np.atleast_1d(times_c)[: 2 - len(first_times)]

@@ -113,7 +113,14 @@ def run_workflow(cfg: WorkflowConfig):
     )
     if use_ext:
         quat = np.array(tum.q_ext)
-        diso, dani = tum.d_ext[0], tum.d_ext[1]
+        # Same precedence as the non-q_ext branch (and the reference,
+        # where -tau_ext and -D_ext write the SAME Diso_ext variable,
+        # run-all.bash:206-216): an explicit -tau_ext wins over D_ext[0].
+        diso = (
+            1.0 / (6.0 * tum.tau_ext) if tum.tau_ext is not None
+            else tum.d_ext[0]
+        )
+        dani = tum.d_ext[1]
     else:
         dq_params = dict(t100=t100, tau=tum.tau_mem, chunks=tum.num_chunks, multi=multi)
         if cfg.force or not stage_is_current(
@@ -179,7 +186,8 @@ def run_workflow(cfg: WorkflowConfig):
     trajs = [os.path.join(path, io.traj) for path in folders]
     refs = [_resolve_ref(path, io.refpdb) for path in folders]
     ct_params = dict(tau=tum.tau_mem, quat=[float(x) for x in quat],
-                     storage=io.vec_storage, zeta=phy.zeta)
+                     storage=io.vec_storage, zeta=phy.zeta,
+                     fit_atoms=phy.fit_atoms)
     if cfg.force or not stage_is_current(
         outpref, "ct", trajs + refs, [vec_file, outpref + "_Ctint.dat"],
         params=ct_params,
@@ -231,10 +239,16 @@ def run_workflow(cfg: WorkflowConfig):
     csa = _parse_csa(phy.csa_file, names)
     for bf in exp.bfields_mhz:
         of = f"{outpref}-{int(bf)}"
-        relax_params = dict(bf=bf, diso=float(diso), dani=float(dani), zeta=phy.zeta)
+        # csa_file is listed as an INPUT so edited CSA contents invalidate
+        # the stage through the content-hash manifest (its path also sits
+        # in params for the removed-flag case).
+        relax_params = dict(bf=bf, diso=float(diso), dani=float(dani),
+                            zeta=phy.zeta, csa_file=phy.csa_file)
+        relax_inputs = [outpref + "_fittedCt.dat", vec_file]
+        if phy.csa_file:
+            relax_inputs.append(phy.csa_file)
         if cfg.force or not stage_is_current(
-            outpref, f"relax:{bf}",
-            [outpref + "_fittedCt.dat", vec_file],
+            outpref, f"relax:{bf}", relax_inputs,
             [of + "_R1.dat", of + "_R2.dat"],
             params=relax_params,
         ):
@@ -242,8 +256,8 @@ def run_workflow(cfg: WorkflowConfig):
                 outpref + "_fittedCt.dat", of, diffusion,
                 vec_file=vec_file, freq_mhz=bf, zeta=phy.zeta, csa=csa,
             )
-            record_stage(outpref, f"relax:{bf}",
-                         [outpref + "_fittedCt.dat", vec_file], params=relax_params)
+            record_stage(outpref, f"relax:{bf}", relax_inputs,
+                         params=relax_params)
         else:
             print(f" = = = Note: relaxations at {bf} already done. Skipping.")
         if exp.do_jomega and (not _exists(of + "_Jw.dat") or cfg.force):

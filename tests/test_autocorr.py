@@ -167,3 +167,28 @@ def test_iter_trajectory_npy(tmp_path, rng):
     assert [g[0].shape[0] for g in got] == [10, 10, 5]
     np.testing.assert_array_equal(np.concatenate([g[0] for g in got]), xyz)
     assert got[0][1] == 2.0
+
+
+def test_single_chunk_sem_is_nan_on_every_path(rng):
+    """nReplicates=1: the reference's sqrt(1)-1 denominator gives 0/0 =
+    NaN dCt (calculate-Ct-from-traj.py:228); the pooled/streamed paths
+    must agree with ct_palmer instead of reporting zero error bars."""
+    import numpy as np
+
+    from spinrelax_tpu.ops.autocorr import ct_palmer, ct_palmer_streamed
+
+    v = rng.normal(size=(1, 32, 4, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    _, d1 = ct_palmer(v)
+    _, d2 = ct_palmer_streamed(iter([v]), 32)
+    assert np.all(np.isnan(np.asarray(d1)))
+    assert np.all(np.isnan(np.asarray(d2)))
+
+
+def test_streamed_empty_iterator_raises():
+    import pytest as _pytest
+
+    from spinrelax_tpu.ops.autocorr import ct_palmer_streamed
+
+    with _pytest.raises(ValueError, match="empty chunk iterator"):
+        ct_palmer_streamed(iter([]), 32)

@@ -384,3 +384,9 @@ def test_stage_dq_fractional_timestep_tensor_lags(tmp_path, rng):
         R = np.asarray(qt.quat_to_mat(jnp.asarray(res.q_frame)))
         MR = R @ M @ R.T
         np.testing.assert_allclose(rows[k, 1:10], MR.reshape(9), atol=5e-6)
+
+
+def test_empty_lag_grid_raises_clear_error(qtraj):
+    q, _ = qtraj
+    with pytest.raises(ValueError, match="empty lag grid"):
+        dq.analyse_dq(q[:400], 1.0, min_dt=100.0, max_dt=50.0, skip_dt=5.0)

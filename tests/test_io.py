@@ -550,3 +550,29 @@ def test_write_pdb_preserves_4char_resnames(tmp_path):
     top2, _ = read_pdb(fn)
     assert top2.res_names == ["ALA", "TIP3"]
     assert solute_mask(top2).tolist() == [True, False]
+
+
+def test_text_phitheta_loads_as_vector_distribution(tmp_path, rng):
+    """-vecstorage TextPhiTheta artefacts must round-trip into
+    load_vector_distribution (run-all step 4 consumed them with np.load
+    and crashed — review finding, round 3)."""
+    import numpy as np
+
+    from spinrelax_tpu.io import vectors as vecio
+
+    names = ["2", "3", "4"]
+    pt = np.stack(
+        [rng.uniform(-np.pi, np.pi, (3, 11)), rng.uniform(0.1, 3.0, (3, 11))],
+        axis=-1,
+    )
+    # text writer (residue-major xvg blocks)
+    w = vecio.PhiThetaStreamWriter(str(tmp_path / "v.dat"), names, fmt="text")
+    w.append(np.swapaxes(pt, 0, 1))  # (nFrames, nRes, 2)
+    w.close()
+    n_t, v_t, w_t = vecio.load_vector_distribution(str(tmp_path / "v.dat"))
+    # npz path as the ground truth
+    vecio.save_phitheta(str(tmp_path / "v.npz"), names, pt)
+    n_z, v_z, w_z = vecio.load_vector_distribution(str(tmp_path / "v.npz"))
+    assert [str(x) for x in n_t] == [str(x) for x in n_z]
+    np.testing.assert_allclose(v_t, v_z, atol=1e-5)  # %g text rounding
+    assert w_t is None and w_z is None

@@ -158,3 +158,17 @@ def test_lsstyle_sum_gt_one_sentinel():
     chi, p, perr, ym = lx.do_lsstyle_fit(5, t, y)
     np.testing.assert_allclose(ym, y, atol=1e-6)
     assert chi == 9999.99
+
+
+def test_calc_chi_accepts_empty_sigma_sentinel():
+    """The reference's default sentinel is dy=[] (fitting_Ct_functions.py
+    :547) meaning unweighted — an empty array must not broadcast-crash."""
+    import numpy as np
+
+    from spinrelax_tpu.fit.legacy_expfit import calc_chi
+
+    y = np.array([1.0, 2.0, 3.0])
+    m = np.array([1.1, 1.9, 3.2])
+    want = calc_chi(y, m, None)
+    np.testing.assert_allclose(calc_chi(y, m, []), want)
+    np.testing.assert_allclose(calc_chi(y, m, np.array([])), want)

@@ -280,3 +280,68 @@ def test_center_solute_property_random_breaks():
         np.testing.assert_allclose(got, want, atol=1e-5)
 
     prop()
+
+
+def test_apply_molecule_breaks_idempotent_and_chain_qualified():
+    """--mol-breaks on a residue that ALREADY starts a molecule must not
+    double-increment (center_solute rejects id jumps >1), and "A:200"
+    breaks only in the named chain (review findings, round 3)."""
+    from spinrelax_tpu.ops.pbc import apply_molecule_breaks, molecule_ids
+
+    n = 9
+    top = Topology(
+        atom_names=["CA"] * n,
+        # chain A residues 1,2,200 (jump already breaks at 200);
+        # chain B residues 199,200,201 (contiguous run)
+        res_seqs=np.array([1, 1, 2, 200, 200, 199, 200, 200, 201]),
+        res_names=["ALA"] * n,
+        chain_ids=["A"] * 5 + ["B"] * 4,
+        occupancies=np.ones(n),
+        elements=["C"] * n,
+    )
+    mol = molecule_ids(top)
+    # 200 in chain A already starts a molecule (residue jump): no change
+    out = apply_molecule_breaks(mol, top, [200])
+    d = np.diff(out)
+    assert np.all((d == 0) | (d == 1)), out  # still contiguous runs
+    # chain A's existing boundary survives; chain B got ONE new break
+    assert out[3] - out[2] == 1
+    assert out[6] - out[5] == 1
+    # chain-qualified: B:200 only touches chain B
+    out2 = apply_molecule_breaks(mol, top, ["B:200"])
+    assert out2[6] - out2[5] == 1
+    np.testing.assert_array_equal(out2[:5], mol[:5])
+
+
+def test_center_cli_rejects_zero_box(tmp_path, rng):
+    """A TRR-style zero box must be an explicit error, not NaN output."""
+    import subprocess
+    import sys
+    import os
+
+    from spinrelax_tpu.io import pdb as pdbio, native
+
+    n = 12
+    top = Topology(
+        atom_names=["CA"] * n, res_seqs=np.arange(n) + 1,
+        res_names=["ALA"] * n, chain_ids=["A"] * n,
+        occupancies=np.ones(n), elements=["C"] * n,
+    )
+    pdbio.write_pdb(str(tmp_path / "top.pdb"), top, np.zeros((n, 3)))
+    xyz = rng.uniform(0, 3, (3, n, 3)).astype(np.float32)
+    native.write_xtc(
+        str(tmp_path / "in.xtc"), xyz, boxes=np.zeros((3, 3, 3), np.float32)
+    )
+    env = dict(os.environ, PYTHONPATH=str(
+        __import__("pathlib").Path(__file__).resolve().parents[1]
+    ))
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "from spinrelax_tpu.pipeline.cli import main; main()",
+         "center", "-f", str(tmp_path / "in.xtc"),
+         "-s", str(tmp_path / "top.pdb"), "-o", str(tmp_path / "o.npz")],
+        env=env, capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode != 0
+    assert "zero/absent box" in (r.stdout + r.stderr)
