@@ -59,7 +59,7 @@ def lambert_histogram(vecs, bins_phi: int = 72, bins_cos: int = 36):
 
     Returns
     -------
-    hist : (..., bins_phi, bins_cos) counts (same dtype as vecs)
+    hist : (..., bins_phi, bins_cos) int32 counts
     edges_phi : (bins_phi+1,) edges spanning (-pi, pi)
     edges_cos : (bins_cos+1,) edges spanning (-1, 1)
     """
@@ -77,10 +77,14 @@ def lambert_histogram(vecs, bins_phi: int = 72, bins_cos: int = 36):
     nbins = bins_phi * bins_cos
     lead_shape = flat.shape[:-1]
     flat2 = flat.reshape((-1, flat.shape[-1]))
-    # Vectorised scatter-add over leading axes without a Python loop:
-    hist = jnp.zeros((flat2.shape[0], nbins), dtype=vecs.dtype)
+    # Vectorised scatter-add over leading axes without a Python loop.
+    # Counts accumulate as int32, NOT the coordinate dtype: f32 counts
+    # saturate at 2^24 (+1.0 becomes a no-op), which the streamed >RAM
+    # trajectory path would hit silently on long rigid bonds (callers
+    # that pool chunk histograms should pool in int64/f64).
+    hist = jnp.zeros((flat2.shape[0], nbins), dtype=jnp.int32)
     rows = jnp.arange(flat2.shape[0])[:, None]
-    hist = hist.at[rows, flat2].add(1.0)
+    hist = hist.at[rows, flat2].add(1)
     hist = hist.reshape(lead_shape + (bins_phi, bins_cos))
 
     edges_phi = jnp.linspace(-jnp.pi, jnp.pi, bins_phi + 1)

@@ -112,15 +112,28 @@ def write_colvar(fn: str, field_names: List[str], data: np.ndarray):
 def iter_colvar_chunks(fn: str, chunk_frames: int = 65536):
     """Lazily yield (field_names, (n, nFields) array) blocks of a colvar
     file, never holding more than chunk_frames rows in memory.  Feeds the
-    streaming Delta-q path (ops.dq.analyse_dq_streamed)."""
+    streaming Delta-q path (ops.dq.analyse_dq_streamed).
+
+    A SECOND ``FIELDS`` header is an error: it marks a multi-replica
+    concatenation (read_colvar_multi's format), and streaming across the
+    replica boundary would silently correlate unrelated trajectories —
+    use the in-memory ``--multi`` path for those files."""
     field_names: List[str] = []
+    seen_header = False
     rows: List[str] = []
     with open(fn) as fp:
         for line in fp:
             if line.startswith("#"):
                 parts = line.split()
                 if len(parts) > 1 and parts[1] == "FIELDS":
+                    if seen_header:
+                        raise ValueError(
+                            f"{fn!r}: repeated FIELDS header — this is a "
+                            "multi-replica colvar; streaming would mix "
+                            "replicas (use the in-memory --multi path)"
+                        )
                     field_names = parts[2:]
+                    seen_header = True
                 continue
             if not line.strip():
                 continue

@@ -130,6 +130,11 @@ def read_pdb(fn: str) -> Tuple[Topology, np.ndarray]:
         occupancies=np.array(occs),
         elements=elements,
     )
+    if not models or top.n_atoms == 0:
+        raise ValueError(f"{fn}: no ATOM records found")
+    if any(len(m) != len(models[0]) for m in models):
+        # np.array would raise an opaque "inhomogeneous shape" first.
+        raise ValueError(f"{fn}: inconsistent atom counts across MODELs")
     xyz = np.array(models)
     if xyz.shape[1] != top.n_atoms:
         raise ValueError(f"{fn}: inconsistent atom counts across MODELs")
@@ -193,12 +198,20 @@ def bond_indices(
             f"selection found no atoms: H({h_sel!r})={len(idx_h)}, "
             f"X({x_sel!r})={len(idx_x)}"
         )
-    if not np.array_equal(res_h, res_x):
-        common = np.intersect1d(res_h, res_x)
-        idx_h = idx_h[np.isin(res_h, common)]
-        idx_x = idx_x[np.isin(res_x, common)]
+    # Key the repair on (chain, resSeq), not resSeq alone: duplicate
+    # residue numbers in different chains must not silently pair an H
+    # from one chain with an X from another (the reference hard-exits on
+    # any mismatch, spectral_densities.py:2354-2382 — repairing is our
+    # extension, so it has to be unambiguous).
+    chains = np.asarray(top.chain_ids)
+    key_h = np.array([f"{c}|{r}" for c, r in zip(chains[idx_h], res_h)])
+    key_x = np.array([f"{c}|{r}" for c, r in zip(chains[idx_x], res_x)])
+    if not np.array_equal(key_h, key_x):
+        common = np.intersect1d(key_h, key_x)
+        idx_h = idx_h[np.isin(key_h, common)]
+        idx_x = idx_x[np.isin(key_x, common)]
+        key_h, key_x = key_h[np.isin(key_h, common)], key_x[np.isin(key_x, common)]
         res_h = top.res_seqs[idx_h]
-        res_x = top.res_seqs[idx_x]
-        if not np.array_equal(res_h, res_x):
+        if not np.array_equal(key_h, key_x):
             raise ValueError("H and X selections cover different residues")
     return idx_h, idx_x, res_h

@@ -39,6 +39,11 @@ def load_trajectory(
         else:
             dt = float(obj.get("timestep", 1.0))
         return xyz, dt
+    if fn.endswith(".npy"):
+        # bare array, no time axis (the out-of-core streaming format
+        # iter_trajectory documents) — callers pass dt separately.
+        xyz = np.load(fn, mmap_mode="r")
+        return np.asarray(xyz), 1.0
     if fn.endswith(".pdb"):
         _, xyz = pdbio.read_pdb(fn)
         return xyz, 1.0
@@ -148,8 +153,20 @@ def iter_trajectory(
         return
     if fn.endswith((".npz", ".pdb")):
         xyz, dt = load_trajectory(fn, top_fn=top_fn)
+        # Honour the caller's explicit timestep when the FILE carries no
+        # time information (a .pdb never does; an .npz only when it has a
+        # time/timestep entry) — matching the .npy/.trr/.xtc branches'
+        # contract instead of silently yielding the 1.0 default.
+        has_file_time = False
+        if fn.endswith(".npz"):
+            with np.load(fn) as obj:
+                has_file_time = (
+                    ("time" in obj and len(obj["time"]) > 1)
+                    or "timestep" in obj
+                )
+        dt_out = dt if has_file_time else timestep
         for start in range(0, xyz.shape[0], chunk_frames):
-            yield xyz[start : start + chunk_frames], dt
+            yield xyz[start : start + chunk_frames], dt_out
         return
     if _md is not None:
         for trj in _md.iterload(fn, chunk=chunk_frames, top=top_fn):

