@@ -19,6 +19,7 @@ import numpy as np
 from ..models.ctmodel import CtModelSet
 from .lm import (  # noqa: F401 (fit_multiexp is part of the public surface)
     fit_multiexp, fit_multiexp_ladder, fit_multiexp_stacked,
+    fit_multiexp_varpro,
 )
 
 LADDER_WITH_FAST = (2, 3, 5, 7, 9)
@@ -43,6 +44,7 @@ def fit_ct_ladder(
     verbose: bool = False,
     mesh=None,
     stacked: bool = False,
+    optimiser: str = "lm",
 ) -> CtModelSet:
     """Fit all residues' C(t) and select per-residue model complexity.
 
@@ -53,9 +55,16 @@ def fit_ct_ladder(
     ddecays : (B, T) uncertainties or None.
     n_components : fix the number of transient components (bypasses the
         ladder), mirroring ``calculate-fitted-Ct.py --nc``.
+    optimiser : "lm" (default; curve_fit-parity joint LM) or "varpro"
+        (variable projection: closed-form amplitudes per tau step —
+        faster, but unconstrained amplitudes; see fit_multiexp_varpro).
 
     Returns a CtModelSet padded to the largest selected K.
     """
+    if optimiser not in ("lm", "varpro"):
+        raise ValueError(f"unknown optimiser {optimiser!r} (lm|varpro)")
+    if optimiser == "varpro" and stacked:
+        raise ValueError("optimiser='varpro' uses per-rung solves (stacked=False)")
     decays = np.asarray(decays, dtype=float)
     B = decays.shape[0]
     sigma = (
@@ -100,8 +109,9 @@ def fit_ct_ladder(
 
             (dec_d, sig_d), _ = pad_and_shard(mesh, [decays, sigma])
         rungs = []
+        fit_fn = fit_multiexp_varpro if optimiser == "varpro" else fit_multiexp
         for i, (n_par, K, s2_free) in enumerate(specs):
-            fit = fit_multiexp(dt_arr, dec_d, sig_d, K=K, s2_free=s2_free)
+            fit = fit_fn(dt_arr, dec_d, sig_d, K=K, s2_free=s2_free)
             fit = {k: v[:n_keep] for k, v in jax_to_np(fit).items()}
             rungs.append((n_par, K, s2_free, fit))
             if verbose:

@@ -223,6 +223,129 @@ def fit_multiexp(dt, decay, sigma, K: int, s2_free: bool) -> MultiExpFit:
     return MultiExpFit(*out)
 
 
+@partial(jax.jit, static_argnames=("K", "s2_free", "max_iter"))
+def fit_multiexp_varpro(
+    dt, decay, sigma, K: int, s2_free: bool, max_iter: int = 30
+) -> MultiExpFit:
+    """Variable-projection fit of the K-component multi-exponential.
+
+    OPT-IN alternative to :func:`fit_multiexp` (``fit_ct_ladder(
+    optimiser="varpro")``): the model C(t) = S2 + sum C_i exp(-t/tau_i)
+    is LINEAR in (C, S2), so for any tau the optimal amplitudes solve a
+    (K+1)x(K+1) weighted normal system in closed form.  The outer LM then
+    iterates over the K taus only.  Each varpro step is MORE expensive
+    than a joint step (the normal-equation build is O(K^2 T) vs O(KT),
+    and differentiating through the solve adds matmuls), but every step
+    lands on the amplitude-optimal manifold, so a 10-15-iteration budget
+    reaches the quality the joint solve needs ~60 iterations for —
+    measured ~1.5x quality-adjusted win on CPU; see docs/PERF.md
+    "VarPro ladder" (round 3).  ``max_iter`` defaults to 30 (quality at
+    least the joint solve's; drop to ~15 for the speed point).
+
+    Semantics differences from the reference's curve_fit path (why this
+    is opt-in, not the default): amplitudes are solved UNconstrained
+    (the reference boxes C, S2 into [0, 1]) and tau initialisation is the
+    same log-spaced grid but the C/S2 start is exact rather than the
+    reference's equal-split guess.  Parameter uncertainties are evaluated
+    from the FULL joint Jacobian at the solution, so dC/dtau/dS2 remain
+    comparable with the LM path.
+    """
+    dt = jnp.asarray(dt)
+    decay = jnp.asarray(decay)
+    sigma = jnp.asarray(sigma)
+    tau_max = dt[-1] * 10.0
+    n_par = 2 * K + (1 if s2_free else 0)
+    _hi = jax.lax.Precision.HIGHEST
+
+    def amplitudes(tau, y, sg):
+        """Optimal (C, S2) for fixed taus: weighted linear LSQ."""
+        E = jnp.exp(-dt[None, :] / tau[:, None])  # (K, T)
+        if s2_free:
+            A = jnp.concatenate([E, jnp.ones((1, dt.shape[0]))], axis=0)  # (K+1, T)
+            tgt = y
+        else:
+            # S2 = 1 - sum(C)  =>  C(t) - 1 = sum C_i (e_i - 1)
+            A = E - 1.0
+            tgt = y - 1.0
+        Aw = A / sg[None, :]
+        yw = tgt / sg
+        G = jnp.matmul(Aw, Aw.T, precision=_hi)
+        b = jnp.matmul(Aw, yw, precision=_hi)
+        # Tiny Tikhonov floor: degenerate tau pairs (tau_i == tau_j) make
+        # G singular mid-iteration; the ridge keeps the solve finite
+        # without measurably biasing well-posed solutions.
+        G = G + 1e-10 * jnp.eye(G.shape[0], dtype=G.dtype)
+        coef = jnp.linalg.solve(G, b)
+        C = coef[:K]
+        S2 = coef[-1] if s2_free else 1.0 - jnp.sum(C)
+        return C, S2
+
+    def fit_one(y, sg):
+        C0, tau0, S20 = _init_multiexp(dt, y, K, s2_free)
+
+        def residual(tau):
+            C, S2 = amplitudes(tau, y, sg)
+            model = S2 + jnp.sum(
+                C[:, None] * jnp.exp(-dt[None, :] / tau[:, None]), axis=0
+            )
+            return (model - y) / sg
+
+        res = lm_solve(
+            residual,
+            tau0,
+            jnp.full(K, 1e-8),
+            jnp.full(K, tau_max),
+            max_iter=max_iter,
+        )
+        tau = res.params
+        C, S2 = amplitudes(tau, y, sg)
+
+        # Joint-space uncertainties (same cov construction as lm_solve's
+        # tail): J over the FULL (C, tau[, S2]) vector at the solution.
+        if s2_free:
+            p_full = jnp.concatenate([C, tau, jnp.atleast_1d(S2)])
+        else:
+            p_full = jnp.concatenate([C, tau])
+        Jp = jax.jacfwd(
+            lambda p: _multiexp_residual(p, dt, y, sg, K, s2_free)
+        )(p_full)
+        H = jnp.matmul(Jp.T, Jp, precision=_hi)
+        r_fin = _multiexp_residual(p_full, dt, y, sg, K, s2_free)
+        dof = jnp.maximum(r_fin.shape[0] - n_par, 1)
+        cov = jnp.linalg.pinv(H) * (jnp.sum(r_fin * r_fin) / dof)
+        perr = jnp.sqrt(jnp.clip(jnp.diag(cov), 0.0))
+        dC = perr[:K]
+        dtau = perr[K : 2 * K]
+        dS2 = perr[-1] if s2_free else jnp.asarray(0.0, C.dtype)
+
+        order = jnp.argsort(tau)
+        C, tau, dC, dtau = C[order], tau[order], dC[order], dtau[order]
+
+        model = S2 + jnp.sum(
+            C[:, None] * jnp.exp(-dt[None, :] / tau[:, None]), axis=0
+        )
+        chisq = jnp.mean((model - y) ** 2 / sg)
+
+        params_vec = jnp.concatenate(
+            [C, tau, jnp.atleast_1d(S2) if s2_free else jnp.zeros(0)]
+        )
+        perr_vec = jnp.concatenate(
+            [dC, dtau, jnp.atleast_1d(dS2) if s2_free else jnp.zeros(0)]
+        )
+        ok_fit = jnp.all(jnp.isfinite(params_vec))
+        ok_err = ~jnp.any(perr_vec > params_vec)
+        # Same pre-fit sum quirk as the LM path so ladder selection
+        # behaves identically (see fit_multiexp).
+        if s2_free:
+            ok_sum = (S20 + jnp.sum(C0)) <= 1.0 + 1e-12
+        else:
+            ok_sum = jnp.asarray(True)
+        return C, tau, S2, dC, dtau, dS2, chisq, ok_fit, ok_err, ok_sum
+
+    out = jax.vmap(fit_one)(decay, sigma)
+    return MultiExpFit(*out)
+
+
 @partial(jax.jit, static_argnames=("specs", "Kmax"))
 def fit_multiexp_ladder(dt, decays, sigma, tau0_rows, specs, Kmax: int) -> MultiExpFit:
     """All ladder rungs over one (B, T) batch in ONE jit, with the

@@ -262,6 +262,10 @@ def cmd_fit_ct(argv):
     p.add_argument("-o", "--outpref", default="out")
     p.add_argument("--nc", type=int, default=-1)
     p.add_argument("--nofast", action="store_true")
+    p.add_argument("--optimiser", choices=("lm", "varpro"), default="lm",
+                   help="lm = curve_fit-parity joint solve; varpro = "
+                        "variable projection (faster, unconstrained "
+                        "amplitudes)")
     a = p.parse_args(argv)
     from .stages import stage_fit_ct
 
@@ -269,6 +273,7 @@ def cmd_fit_ct(argv):
         a.infn, a.outpref,
         n_components=None if a.nc < 0 else a.nc,
         use_s2fast=not a.nofast,
+        optimiser=a.optimiser,
     )
     print(" = = Completed C(t)-fits.")
 

@@ -537,6 +537,7 @@ def stage_fit_ct(
     n_components: Optional[int] = None,
     use_s2fast: bool = True,
     force: bool = False,
+    optimiser: str = "lm",
 ) -> CtModelSet:
     out_fn = out_prefix + "_fittedCt.dat"
     legs, dts, cts, dcts = xvg.load_sxydylist(ct_files[0], "legend")
@@ -573,6 +574,7 @@ def stage_fit_ct(
         ddecays=ddecays,
         use_s2fast=use_s2fast,
         n_components=n_components,
+        optimiser=optimiser,
     )
     fctio.write_fittedct(out_fn, model, dt=dt, targets=decays)
     return model

@@ -107,3 +107,38 @@ def test_weighted_fit(rng):
     fit = fit_multiexp(dt, y, sigma, K=1, s2_free=True)
     np.testing.assert_allclose(float(fit.S2[0]), 0.7, atol=1e-4)
     np.testing.assert_allclose(float(fit.tau[0, 0]), 40.0, rtol=1e-3)
+
+
+def test_varpro_matches_lm_quality(rng):
+    """Opt-in VarPro fitter: same model quality as the joint LM on the
+    recovery workload, exact recovery on clean closure data."""
+    from spinrelax_tpu.fit.lm import fit_multiexp_varpro
+
+    dt, y, truth = synth_curves(rng)
+    fit = fit_multiexp_varpro(dt, y, np.ones_like(y), K=2, s2_free=True)
+    np.testing.assert_allclose(np.asarray(fit.S2), truth["S2"], atol=5e-3)
+    np.testing.assert_allclose(np.asarray(fit.tau)[:, 1], truth["t2"], rtol=0.1)
+    # Quality parity with the LM path on the same data.
+    ref = fit_multiexp(dt, y, np.ones_like(y), K=2, s2_free=True)
+    assert np.median(np.asarray(fit.chisq)) <= 1.05 * np.median(np.asarray(ref.chisq))
+
+    # Closure mode (S2 = 1 - sum C) on clean data: exact recovery.
+    dt2 = np.arange(1, 301) * 1.0
+    y2 = (0.8 + 0.2 * np.exp(-dt2 / 50.0))[None, :]
+    f2 = fit_multiexp_varpro(dt2, y2, np.ones_like(y2), K=1, s2_free=False)
+    np.testing.assert_allclose(float(f2.S2[0]), 0.8, atol=1e-5)
+    np.testing.assert_allclose(float(f2.tau[0, 0]), 50.0, rtol=1e-3)
+
+
+def test_ladder_varpro_mode(rng):
+    """fit_ct_ladder(optimiser='varpro') returns a sane CtModelSet and
+    rejects invalid optimiser combinations."""
+    dt, y, truth = synth_curves(rng, noise=1e-3)
+    ms = fit_ct_ladder([str(i) for i in range(y.shape[0])], dt, y,
+                       optimiser="varpro")
+    assert isinstance(ms, CtModelSet)
+    np.testing.assert_allclose(np.asarray(ms.S2), truth["S2"], atol=2e-2)
+    with pytest.raises(ValueError, match="unknown optimiser"):
+        fit_ct_ladder(["0"], dt, y[:1], optimiser="powell")
+    with pytest.raises(ValueError, match="varpro"):
+        fit_ct_ladder(["0"], dt, y[:1], optimiser="varpro", stacked=True)
