@@ -10,13 +10,17 @@ descend together, one batched forward evaluation per iteration.
 
 from __future__ import annotations
 
+import math
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 
-_INVPHI = (jnp.sqrt(5.0) - 1.0) / 2.0
-_INVPHI2 = (3.0 - jnp.sqrt(5.0)) / 2.0
+# Python floats, NOT jnp: a jnp op here would initialise the JAX backend
+# at import time — on this container that grabs the single-slot TPU
+# tunnel before callers can pin the platform to CPU.
+_INVPHI = (math.sqrt(5.0) - 1.0) / 2.0
+_INVPHI2 = (3.0 - math.sqrt(5.0)) / 2.0
 
 
 def golden_vec(f: Callable, lo, hi, n_iter: int = 60):

@@ -96,10 +96,12 @@ def parse_bmrb_entry(entry: nmrstar.Entry, out_prefix: str = "expt") -> List[str
             if freq is None:
                 # The reference fails loudly on a missing frequency
                 # (KeyError at :149); a fabricated default would silently
-                # compute every observable at the wrong field.
-                sys.exit(
-                    "= = = ERROR: save-frame %r has no "
-                    "Spectrometer_frequency_1H tag" % sf.name
+                # compute every observable at the wrong field.  Raise —
+                # not sys.exit — so programmatic callers can catch it
+                # (main() converts it to the loud CLI exit below).
+                raise ValueError(
+                    "save-frame %r has no Spectrometer_frequency_1H tag"
+                    % sf.name
                 )
             loop = _loop_for(sf, expt_type)
             if loop is None:
@@ -198,7 +200,10 @@ def main(argv=None):
         entry = nmrstar.parse(raw)
     else:
         sys.exit("= = = ERROR: give either --id or --infn")
-    files = parse_bmrb_entry(entry, a.outpref)
+    try:
+        files = parse_bmrb_entry(entry, a.outpref)
+    except ValueError as e:
+        sys.exit("= = = ERROR: %s" % e)
     print("= = Finished. %i files written:" % len(files))
     for f in files:
         print("    %s" % f)

@@ -149,8 +149,11 @@ def write_fittedct(
                 print("# Param S2_fast: %g +- 0.0" % s2fast_vals[i], file=fp)
                 print("# Param S2_0: %g +- %g" % (cts_np["S2"][i], dS2), file=fp)
             else:
-                s2err = "%g" % dS2 if has_fit and dS2 else "0.0"
-                print("# Param S2_0: %g +- %s" % (cts_np["S2"][i], s2err), file=fp)
+                # Literal '0.0' ALWAYS — the reference prints the real
+                # dS2 only for S2fast models (fitting_Ct_functions.py:
+                # 249-251); emitting a nonzero dS2 here would break
+                # byte-parity for every fitted non-S2fast model.
+                print("# Param S2_0: %g +- 0.0" % cts_np["S2"][i], file=fp)
             for k in range(k_real):
                 dC = 0.0 if cts_np["dC"] is None else cts_np["dC"][i, k]
                 dtau = 0.0 if cts_np["dtau"] is None else cts_np["dtau"][i, k]
@@ -165,6 +168,8 @@ def write_fittedct(
                     for t, y in zip(np.asarray(dt), np.asarray(targets)[i]):
                         print("%8g %8g" % (t, y), file=fp)
                     print("&", file=fp)
-                s += 2
+                # One set per residue without targets: advancing by 2
+                # would attach later legends to nonexistent set indices.
+                s += 2 if targets is not None else 1
             else:
                 print("", file=fp)

@@ -78,21 +78,35 @@ def iter_trr(fn: str) -> Iterator[Tuple[np.ndarray, np.ndarray, float]]:
             h = _read_frame_header(fp)
             if h is None:
                 return
+            if h.ir_size or h.e_size or h.top_size or h.sym_size:
+                # Vestigial .trj-era blocks: GROMACS's own trr reader
+                # (do_htrn) processes only box/vir/pres/x/v/f and never
+                # these, so their on-disk position is undefined —
+                # guessing would silently desync every later frame.
+                raise ValueError(
+                    f"{fn}: unsupported legacy TRR blocks "
+                    f"(ir={h.ir_size}, e={h.e_size}, top={h.top_size}, "
+                    f"sym={h.sym_size})"
+                )
             dt = np.dtype(">f8") if h.double else np.dtype(">f4")
-            skip = h.ir_size + h.e_size + h.vir_size + h.pres_size
             box = np.zeros((3, 3))
             if h.box_size:
                 box = np.frombuffer(fp.read(h.box_size), dtype=dt).reshape(3, 3).astype(float)
-            if skip:
-                fp.read(skip)
+            # Canonical block order after box (GROMACS do_htrn):
+            # vir, pres, x, v, f.
+            if h.vir_size or h.pres_size:
+                fp.read(h.vir_size + h.pres_size)
             if h.x_size:
                 x = np.frombuffer(fp.read(h.x_size), dtype=dt).reshape(h.natoms, 3)
-            else:
-                x = np.zeros((h.natoms, 3))
             if h.v_size:
                 fp.read(h.v_size)
             if h.f_size:
                 fp.read(h.f_size)
+            if not h.x_size:
+                # Velocity/force-only frame (nstxout != nstvout): not a
+                # coordinate frame — fabricating zeros would NaN the
+                # normalised bond vectors downstream.
+                continue
             yield x.astype(np.float32), box, float(h.time)
 
 

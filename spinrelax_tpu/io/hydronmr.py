@@ -121,9 +121,12 @@ def main(argv=None):
     from . import pdb as pdbio
 
     top, xyz = pdbio.read_pdb(pdb_file)
-    cog = np.mean(xyz[0], axis=0)
-    rotated = np.zeros_like(xyz)
-    rotated[0] = (xyz[0] - cog) @ mat.T + cog
+    # Rotate EVERY model about its own centre of geometry.  The
+    # reference fills only model 0 and leaves the rest all-zero
+    # (parse-hydroNMR-results.py: np.zeros_like + mol.xyz[0]) — a bug we
+    # deliberately do not replicate (CLAUDE.md policy).
+    cog = np.mean(xyz, axis=1, keepdims=True)
+    rotated = (xyz - cog) @ mat.T + cog
     pdbio.write_pdb(a.outPDB, top, rotated)
     print("= = = Done.")
 

@@ -17,6 +17,29 @@ import numpy as np
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libfastio.so")
 
+
+def _build_lib(src: str, out: str):
+    """Compile ``src`` to ``out`` if stale.  The compile targets a
+    pid-suffixed temp path + atomic os.replace: two concurrent processes
+    (parallel CLI runs, pytest workers) may both see a stale .so, and one
+    must never dlopen the other's half-written output."""
+    if os.path.exists(out) and (
+        not os.path.exists(src)
+        or os.path.getmtime(out) >= os.path.getmtime(src)
+    ):
+        return
+    tmp = f"{out}.{os.getpid()}.tmp"
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", src, "-o", tmp],
+            check=True,
+            capture_output=True,
+        )
+        os.replace(tmp, out)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
 _lib = None
 _tried = False
 
@@ -30,15 +53,7 @@ def _load() -> Optional[ctypes.CDLL]:
     try:
         # A deployment may ship only the built .so (the .cpp is a build
         # input): rebuild ONLY when the source exists and is newer.
-        if not os.path.exists(_LIB_PATH) or (
-            os.path.exists(src)
-            and os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)
-        ):
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", src, "-o", _LIB_PATH],
-                check=True,
-                capture_output=True,
-            )
+        _build_lib(src, _LIB_PATH)
         lib = ctypes.CDLL(_LIB_PATH)
         lib.fastio_table_dims.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p,
@@ -140,15 +155,7 @@ def _load_xtc():
     _xtc_tried = True
     src = os.path.join(_NATIVE_DIR, "xtc.cpp")
     try:
-        if not os.path.exists(_XTC_PATH) or (
-            os.path.exists(src)
-            and os.path.getmtime(_XTC_PATH) < os.path.getmtime(src)
-        ):
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", src, "-o", _XTC_PATH],
-                check=True,
-                capture_output=True,
-            )
+        _build_lib(src, _XTC_PATH)
         lib = ctypes.CDLL(_XTC_PATH)
         lib.xtc_info.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int)

@@ -91,9 +91,28 @@ class Diffusion:
         return self.aniso > 1.0
 
     def with_diso(self, diso) -> "Diffusion":
-        return dataclasses.replace(self, diso=jnp.asarray(diso))
+        """Replace Diso.  For the ellipsoid kind this rescales all three
+        principal values by diso/Diso_old (shape-preserving) so that the
+        legacy Diso fit actually moves the ellipsoid J — the reference
+        hard-exits here instead ('change_Diso ... for fully anisotropic
+        models, not implemented', spectral_densities.py:1545-1547); a
+        plain dataclasses.replace would silently change nothing because
+        the ellipsoid J reads only dxyz."""
+        diso = jnp.asarray(diso)
+        if self.kind == ELLIPSOID:
+            return dataclasses.replace(
+                self, diso=diso, dxyz=self.dxyz * (diso / self.diso)
+            )
+        return dataclasses.replace(self, diso=diso)
 
     def with_aniso(self, aniso) -> "Diffusion":
+        if self.kind == ELLIPSOID:
+            # A single anisotropy ratio does not determine the three
+            # principal values; rebuilding dxyz from it is ambiguous.
+            raise ValueError(
+                "with_aniso is undefined for the ellipsoid kind "
+                "(set the principal values via Diffusion.ellipsoid)"
+            )
         return dataclasses.replace(self, aniso=jnp.asarray(aniso))
 
     # -- J(omega) -------------------------------------------------------

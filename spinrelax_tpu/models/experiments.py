@@ -103,14 +103,35 @@ class ExperimentSet:
             error = np.zeros(n_res)
             mask = np.zeros(n_res)
             has_err = e.errors is not None
+            n_unmatched = 0
             for p, name in enumerate(e.names):
                 i = name_to_idx.get(str(name))
                 if i is None:
+                    n_unmatched += 1
+                    continue
+                if mask[i]:
+                    # Duplicate peak row: FIRST occurrence wins, matching
+                    # the reference's np.where(...)[0][0] lookup
+                    # (spectral_densities.py:1088-1091) — and warn, since
+                    # conflicting duplicates usually mean a mangled file.
+                    import warnings
+
+                    warnings.warn(
+                        f"experiment {e.expt_type}: duplicate peak "
+                        f"{name!r} ignored (first value kept)"
+                    )
                     continue
                 target[i] = e.values[p]
                 if has_err:
                     error[i] = e.errors[p]
                 mask[i] = 1.0
+            if n_unmatched:
+                import warnings
+
+                warnings.warn(
+                    f"experiment {e.expt_type}: {n_unmatched}/"
+                    f"{len(e.names)} peaks match no simulated residue"
+                )
             freq = e.frequency
             if e.freq_unit == "MHz":
                 B0 = field_from_mhz(freq)

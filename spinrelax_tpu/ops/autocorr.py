@@ -447,6 +447,20 @@ def ct_palmer_streamed(chunk_iter, n_frames_per_chunk: int, mesh=None):
             raise ValueError("empty chunk iterator")
         return stream.finalize()
 
+    acc_s, acc_s2, n_rep = stream_accumulate(chunk_iter, n_frames_per_chunk)
+    mean, dCt = palmer_pooled_stats(acc_s, acc_s2, float(n_rep))
+    return mean.T, dCt.T
+
+
+def stream_accumulate(chunk_iter, n_frames_per_chunk: int):
+    """Shared per-host streaming accumulation: chunk groups ->
+    (acc_s, acc_s2, count) running sums of per-chunk Palmer C(t) means.
+
+    THE single implementation behind both ct_palmer_streamed and the
+    multi-host ingest loop (parallel.ingest.host_stream) — the
+    associative (sum, sumsq, count) triple both reductions pool must be
+    produced by byte-identical code or the multi-host parity guarantee
+    silently breaks."""
     n_deltas = n_frames_per_chunk // 2
     acc_s = acc_s2 = None
     n_rep = 0
@@ -471,8 +485,7 @@ def ct_palmer_streamed(chunk_iter, n_frames_per_chunk: int, mesh=None):
         n_rep += group.shape[0]
     if acc_s is None:
         raise ValueError("empty chunk iterator")
-    mean, dCt = palmer_pooled_stats(acc_s, acc_s2, float(n_rep))
-    return mean.T, dCt.T
+    return acc_s, acc_s2, n_rep
 
 
 def ct_palmer_direct(vecs):

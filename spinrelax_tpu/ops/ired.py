@@ -36,11 +36,17 @@ def _ired_matrix(vecs):
     """M_ij = < P2(v_i . v_j) > over the frame axis.
 
     vecs : (nFrames, nRes, 3) unit vectors.
-    """
-    dots = jnp.einsum("tik,tjk->tij", vecs, vecs,
-                      precision=jax.lax.Precision.HIGHEST)
-    p2 = 1.5 * dots**2 - 0.5
-    return jnp.mean(p2, axis=0)
+
+    Identity: (v_i . v_j)^2 = Q_i . Q_j with Q_i = vec(v_i v_i^T) (9
+    components), so the frame average collapses to ONE MXU matmul over
+    the (T*9) axis — O(T * nRes * 9) memory instead of materialising the
+    (T, nRes, nRes) dot tensor (0.5 GB/block at 250 res x 1000 frames)."""
+    T = vecs.shape[0]
+    Q = vecs[:, :, :, None] * vecs[:, :, None, :]  # (T, nRes, 3, 3)
+    Q = Q.reshape(T, vecs.shape[1], 9)
+    return (1.5 / T) * jnp.einsum(
+        "tic,tjc->ij", Q, Q, precision=jax.lax.Precision.HIGHEST
+    ) - 0.5
 
 
 @partial(jax.jit, static_argnames=("n_global",))
@@ -87,7 +93,15 @@ def calculate_s2_ired(
     s2, vals, modes = jax.vmap(lambda x: ired_block_s2(x, n_global=n_global))(v)
     S2 = jnp.mean(s2, axis=0)
     denom = jnp.sqrt(jnp.asarray(float(n_blocks), vecs.dtype)) - 1.0
-    dS2 = jnp.where(denom > 0, jnp.std(s2, axis=0) / jnp.where(denom > 0, denom, 1.0), 0.0)
+    # n_blocks == 1 -> NaN, matching the repo-wide Palmer block-stats
+    # convention (core.stats.palmer_pooled_stats): a single block has no
+    # spread estimate, and a silent 0.0 would give that S2 infinite
+    # weight in any chi-square.
+    dS2 = jnp.where(
+        denom > 0,
+        jnp.std(s2, axis=0) / jnp.where(denom > 0, denom, 1.0),
+        jnp.nan,
+    )
     return IredResult(S2, dS2, vals, modes)
 
 

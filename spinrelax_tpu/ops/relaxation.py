@@ -77,13 +77,15 @@ def relaxation_from_j(J, pair: NucleusPair, csa=None) -> RelaxationRates:
     return RelaxationRates(R1, R2, NOE, rho)
 
 
-def eta_z_from_j(J, pair: NucleusPair, beta=0.0):
-    """Longitudinal CSA-DD cross-correlated rate eta_z
-    (Kroenke et al. 1998; spectral_densities.py:1758-1765)."""
+def _eta_fact(pair: NucleusPair, beta):
+    """Shared eta_z/eta_xy prefactor (mu_0 hbar / 4pi = hbar * 1e-7,
+    spectral_densities.py:1758-1773) including the reference's
+    1.5*cos(beta)-0.5 form [sic: cos, not cos^2 — replicated for
+    parity]."""
     import math
 
     r_m = pair.r_ab_nm * 1e-9
-    fact = (
+    return (
         -1.0545718e-41
         * pair.gamma_b
         * pair.gamma_a**2
@@ -91,26 +93,19 @@ def eta_z_from_j(J, pair: NucleusPair, beta=0.0):
         * pair.B0
         * pair.csa_value
         * 0.4
-    )
-    return fact * (1.5 * math.cos(beta) - 0.5) * J[..., IOMX]
+    ) * (1.5 * math.cos(beta) - 0.5)
+
+
+def eta_z_from_j(J, pair: NucleusPair, beta=0.0):
+    """Longitudinal CSA-DD cross-correlated rate eta_z
+    (Kroenke et al. 1998; spectral_densities.py:1758-1765)."""
+    return _eta_fact(pair, beta) * J[..., IOMX]
 
 
 def eta_xy_from_j(J, pair: NucleusPair, beta=0.0):
     """Transverse CSA-DD cross-correlated rate eta_xy
     (spectral_densities.py:1767-1773)."""
-    import math
-
-    r_m = pair.r_ab_nm * 1e-9
-    fact = (
-        -1.0545718e-41
-        * pair.gamma_b
-        * pair.gamma_a**2
-        * r_m**-3.0
-        * pair.B0
-        * pair.csa_value
-        * 0.4
-    )
-    return fact / 6.0 * (1.5 * math.cos(beta) - 0.5) * (4.0 * J[..., IOM0] + 3.0 * J[..., IOMX])
+    return _eta_fact(pair, beta) / 6.0 * (4.0 * J[..., IOM0] + 3.0 * J[..., IOMX])
 
 
 def rho_from_rates(R1, R2, NOE, gamma_a, gamma_b):

@@ -50,34 +50,19 @@ def host_stream(chunk_iter: Iterable, n_frames_per_chunk: int) -> CtPartial:
     """Run one (simulated) host's ingest loop: stream local Palmer-chunk
     groups through the device, return the accumulator triple.
 
-    Mirrors stage_ct_streamed's C(t) accumulation; on a real multi-host
-    deployment this is the per-process loop feeding the local mesh slice
-    via jax.make_array_from_process_local_data."""
-    n_deltas = n_frames_per_chunk // 2
-    acc_s = acc_s2 = None
-    count = 0
-    step = jax.jit(
-        lambda v: autocorr._acf_sums(jnp.swapaxes(v, 1, 2), n_deltas)
-    )
-    n_vals = None
-    for group in chunk_iter:
-        group = jnp.asarray(group)
-        if group.shape[1] != n_frames_per_chunk:
-            raise ValueError(
-                f"chunk group has {group.shape[1]} frames, "
-                f"expected {n_frames_per_chunk}"
-            )
-        if n_vals is None:
-            n_vals = n_frames_per_chunk - jnp.arange(
-                1, n_deltas + 1, dtype=group.dtype
-            )
-        per = -0.5 + 1.5 * step(group) / n_vals
-        s, s2 = jnp.sum(per, axis=0), jnp.sum(per**2, axis=0)
-        acc_s = s if acc_s is None else acc_s + s
-        acc_s2 = s2 if acc_s2 is None else acc_s2 + s2
-        count += group.shape[0]
-    if acc_s is None:
-        raise ValueError("host ingested no chunks")
+    Delegates to autocorr.stream_accumulate — the SAME loop
+    ct_palmer_streamed runs, so the single-host and multi-host paths
+    cannot drift apart; on a real multi-host deployment this is the
+    per-process loop feeding the local mesh slice via
+    jax.make_array_from_process_local_data."""
+    try:
+        acc_s, acc_s2, count = autocorr.stream_accumulate(
+            chunk_iter, n_frames_per_chunk
+        )
+    except ValueError as e:
+        if "empty chunk iterator" in str(e):
+            raise ValueError("host ingested no chunks") from None
+        raise
     return CtPartial(
         np.asarray(acc_s), np.asarray(acc_s2), np.asarray(float(count))
     )

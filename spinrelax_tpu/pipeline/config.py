@@ -179,6 +179,15 @@ def add_workflow_args(parser) -> None:
         kwargs = dict(kw)
         if "action" not in kwargs:
             kwargs.setdefault("default", _default_of(section, name))
+        elif kwargs["action"] == "store_true":
+            # store_true implies default False; if a dataclass default
+            # ever becomes True the CLI would silently override it for
+            # every run — hold the single-source-of-truth invariant for
+            # boolean fields too.
+            assert _default_of(section, name) is False, (
+                f"{section or 'WorkflowConfig'}.{name} defaults True but "
+                f"its flag is store_true (use BooleanOptionalAction)"
+            )
         kwargs["dest"] = f"{section}__{name}" if section else name
         parser.add_argument(flag, *aliases, **kwargs)
 

@@ -497,7 +497,8 @@ def test_fittedct_header_styles(tmp_path):
     fn = str(tmp_path / "a.dat")
     fittedct.write_fittedct(fn, cts)
     text = open(fn).read()
-    assert "# Param S2_0: 0.8 +- 0.01\n" in text
+    # LITERAL 0.0 even though dS2=0.01 internally (reference :251).
+    assert "# Param S2_0: 0.8 +- 0.0\n" in text
     assert "# Param C_a: 0.2 +- 0.02" in text
     back = fittedct.read_fittedct(fn)
     np.testing.assert_allclose(np.asarray(back.S2), [0.8])

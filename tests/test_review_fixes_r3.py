@@ -190,3 +190,274 @@ def test_bond_vectors_fast_path_matches_superpose(rng=np.random.default_rng(11))
     expect = fitted_frames[:, idx_h, :] - fitted_frames[:, idx_x, :]
     expect /= np.linalg.norm(expect, axis=-1, keepdims=True)
     np.testing.assert_allclose(np.asarray(bv.fitted), expect, atol=1e-6)
+
+
+# --- fifth-review batch ----------------------------------------------------
+
+
+def test_with_diso_ellipsoid_rescales():
+    import jax.numpy as jnp
+
+    from spinrelax_tpu.models.diffusion import Diffusion
+
+    d = Diffusion.ellipsoid(jnp.asarray([1e-5, 2e-5, 3e-5]))
+    d2 = d.with_diso(4e-5)
+    np.testing.assert_allclose(float(jnp.mean(d2.dxyz)), 4e-5, rtol=1e-12)
+    # Shape preserved: ratios unchanged.
+    np.testing.assert_allclose(
+        np.asarray(d2.dxyz) / np.asarray(d.dxyz),
+        (4e-5 / float(d.diso)) * np.ones(3),
+        rtol=1e-12,
+    )
+    with pytest.raises(ValueError, match="ellipsoid"):
+        d.with_aniso(1.5)
+
+
+def test_fittedct_nons2fast_literal_zero_error(tmp_path):
+    """Fitted non-S2fast models print the literal '+- 0.0' for S2_0
+    (reference report(style='xmgrace'), fitting_Ct_functions.py:251)
+    even when a nonzero dS2 is carried internally."""
+    from spinrelax_tpu.io.fittedct import write_fittedct
+    from spinrelax_tpu.models import CtModelSet
+
+    cts = CtModelSet.from_lists(
+        names=["5"], S2=[0.8], C_list=[[0.2]], tau_list=[[50.0]],
+        s2fast=[False], dS2=[0.0123], dC_list=[[0.01]],
+        dtau_list=[[5.0]], chisq=[0.5],
+    )
+    fn = str(tmp_path / "f.dat")
+    write_fittedct(fn, cts)
+    text = open(fn).read()
+    assert "# Param S2_0: 0.8 +- 0.0\n" in text
+    assert "0.0123" not in text
+
+
+def test_fittedct_legend_indices_without_targets(tmp_path):
+    from spinrelax_tpu.io.fittedct import write_fittedct
+    from spinrelax_tpu.models import CtModelSet
+
+    cts = CtModelSet.from_lists(
+        names=["1", "2", "3"], S2=[0.8, 0.7, 0.6],
+        C_list=[[0.2], [0.3], [0.4]], tau_list=[[50.0], [60.0], [70.0]],
+    )
+    dt = np.arange(1.0, 5.0)
+    fn = str(tmp_path / "f.dat")
+    write_fittedct(fn, cts, dt=dt)
+    sets = [l.split()[0] for l in open(fn) if l.startswith("@s")]
+    assert sets == ["@s0", "@s1", "@s2"]
+    fn2 = str(tmp_path / "g.dat")
+    write_fittedct(fn2, cts, dt=dt, targets=np.ones((3, 4)) * 0.7)
+    sets = [l.split()[0] for l in open(fn2) if l.startswith("@s")]
+    assert sets == ["@s0", "@s2", "@s4"]
+
+
+def _mini_trr_frame(fp, natoms, time, x=None, v=None):
+    import struct
+
+    def xdr_string(s):
+        b = s.encode()
+        return (
+            struct.pack(">i", len(b) + 1)
+            + struct.pack(">i", len(b))
+            + b + b"\x00" * ((4 - len(b) % 4) % 4)
+        )
+
+    box = np.eye(3, dtype=">f4")
+    fp.write(struct.pack(">i", 1993))
+    fp.write(xdr_string("GMX_trn_file"))
+    fp.write(struct.pack(
+        ">13i", 0, 0, 36, 0, 0, 0, 0,
+        natoms * 12 if x is not None else 0,
+        natoms * 12 if v is not None else 0,
+        0, natoms, 0, 0,
+    ))
+    fp.write(struct.pack(">2f", time, 0.0))
+    fp.write(box.tobytes())
+    if x is not None:
+        fp.write(np.asarray(x, dtype=">f4").tobytes())
+    if v is not None:
+        fp.write(np.asarray(v, dtype=">f4").tobytes())
+
+
+def test_iter_trr_skips_coordinate_less_frames(tmp_path):
+    """A velocity-only TRR frame (nstxout != nstvout) is skipped, not
+    fabricated as all-zero coordinates."""
+    from spinrelax_tpu.io.gmx import read_trr
+
+    fn = str(tmp_path / "t.trr")
+    x0 = np.arange(6, dtype=np.float32).reshape(2, 3)
+    with open(fn, "wb") as fp:
+        _mini_trr_frame(fp, 2, 0.0, x=x0)
+        _mini_trr_frame(fp, 2, 1.0, v=np.ones((2, 3)))  # v only
+        _mini_trr_frame(fp, 2, 2.0, x=x0 + 1.0)
+    xyz, boxes, times = read_trr(fn)
+    assert xyz.shape == (2, 2, 3)
+    np.testing.assert_array_equal(times, [0.0, 2.0])
+    np.testing.assert_allclose(xyz[1], x0 + 1.0)
+
+
+def test_iter_trr_rejects_legacy_blocks(tmp_path):
+    import struct
+
+    from spinrelax_tpu.io.gmx import read_trr
+
+    fn = str(tmp_path / "t.trr")
+    with open(fn, "wb") as fp:
+        b = "GMX_trn_file".encode()
+        fp.write(struct.pack(">i", 1993))
+        fp.write(struct.pack(">i", len(b) + 1) + struct.pack(">i", len(b)) + b)
+        fp.write(struct.pack(">13i", 99, 0, 36, 0, 0, 0, 0, 24, 0, 0, 2, 0, 0))
+        fp.write(struct.pack(">2f", 0.0, 0.0))
+    with pytest.raises(ValueError, match="legacy TRR blocks"):
+        read_trr(fn)
+
+
+def test_experiment_duplicate_peaks_first_wins():
+    import jax.numpy as jnp
+
+    from spinrelax_tpu.io.experiments import ExperimentData
+    from spinrelax_tpu.models import CtModelSet
+    from spinrelax_tpu.models.diffusion import Diffusion
+    from spinrelax_tpu.models.experiments import ExperimentSet
+
+    cts = CtModelSet.from_lists(
+        names=["1", "2"], S2=[0.8, 0.7], C_list=[[0.2], [0.3]],
+        tau_list=[[50.0], [60.0]],
+    )
+    e = ExperimentData(
+        expt_type="R1", nuclei_a="15N", nuclei_b="1H",
+        frequency=600.133, freq_unit="MHz",
+        names=np.array(["1", "1", "7"]),
+        values=np.array([1.5, 9.9, 2.0]),
+        errors=None,
+    )
+    with pytest.warns(UserWarning):
+        es = ExperimentSet.build([e], cts, Diffusion.isotropic(tau=1000.0))
+    a = es.experiments[0]
+    # First duplicate wins (reference np.where(...)[0][0] semantics);
+    # the unmatched peak '7' is dropped.
+    assert float(a.target[0]) == 1.5
+    assert float(a.mask[1]) == 0.0
+
+
+def test_build_lib_atomic(tmp_path):
+    from spinrelax_tpu.io.native import _build_lib
+
+    src = tmp_path / "m.cpp"
+    src.write_text('extern "C" int forty() { return 40; }\n')
+    out = str(tmp_path / "libm.so")
+    _build_lib(str(src), out)
+    assert os.path.exists(out)
+    assert not [f for f in os.listdir(tmp_path) if f.endswith(".tmp")]
+    import ctypes
+
+    assert ctypes.CDLL(out).forty() == 40
+
+
+# --- sixth-review batch ----------------------------------------------------
+
+
+def test_hydronmr_rotate_all_models(tmp_path, monkeypatch):
+    """--rotate rotates EVERY model about its own COG, not just model 0
+    (the reference leaves models 1.. all-zero; bug not replicated)."""
+    from spinrelax_tpu.io import pdb as pdbio
+    from spinrelax_tpu.io.hydronmr import main as hmain
+
+    res = tmp_path / "output.res"
+    res.write_text(
+        "  Structural file: multi.pdb\n"
+        " Dx  1.5e7   eigenvector:  1.0 0.0 0.0\n"
+        " Dy  2.0e7   eigenvector:  0.0 1.0 0.0\n"
+        " Dz  2.5e7   eigenvector:  0.0 0.0 1.0\n"
+    )
+    n = 4
+    top = pdbio.Topology(
+        atom_names=["CA"] * n,
+        res_seqs=np.arange(1, n + 1),
+        res_names=["ALA"] * n,
+        chain_ids=["A"] * n,
+        occupancies=np.ones(n),
+        elements=["C"] * n,
+    )
+    rng = np.random.default_rng(3)
+    xyz = rng.normal(size=(2, n, 3))
+    pdbio.write_pdb(str(tmp_path / "multi.pdb"), top, xyz)
+    monkeypatch.chdir(tmp_path)
+    hmain(["-f", "output.res", "--rotate", "-o", "rot.pdb"])
+    _, out = pdbio.read_pdb(str(tmp_path / "rot.pdb"))
+    assert out.shape == (2, n, 3)
+    # Model 1 must NOT be all-zero and must be a rigid rotation of the
+    # input about its own COG (here mat == identity-ordered frame, but
+    # COG preservation is the invariant we can check independent of mat).
+    assert np.abs(out[1]).max() > 1e-3
+    np.testing.assert_allclose(out[1].mean(axis=0), xyz[1].mean(axis=0), atol=2e-3)
+
+
+def test_ired_matrix_q_identity():
+    """The vec(vv^T) collapsed form equals the direct P2 Gram matrix."""
+    from spinrelax_tpu.ops.ired import _ired_matrix
+
+    rng = np.random.default_rng(7)
+    v = rng.normal(size=(50, 6, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    got = np.asarray(_ired_matrix(jnp.asarray(v)))
+    dots = np.einsum("tik,tjk->tij", v, v)
+    want = (1.5 * dots**2 - 0.5).mean(axis=0)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_ired_single_block_nan_ds2():
+    from spinrelax_tpu.ops.ired import calculate_s2_ired
+
+    rng = np.random.default_rng(5)
+    v = rng.normal(size=(40, 8, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    # window_factor*tau = 40 frames -> exactly ONE block.
+    res = calculate_s2_ired(v, delta_t=1.0, tau=8.0)
+    assert np.all(np.isnan(np.asarray(res.dS2)))
+    # tau=4 -> 20-frame windows -> two blocks -> finite spread.
+    res2 = calculate_s2_ired(v, delta_t=1.0, tau=4.0)
+    assert np.all(np.isfinite(np.asarray(res2.dS2)))
+
+
+def test_bmrb_missing_frequency_raises():
+    from spinrelax_tpu.io import nmrstar
+    from spinrelax_tpu.io.bmrb import parse_bmrb_entry
+
+    text = """data_test
+save_T1_1
+_Heteronucl_T1_list.Sf_category   heteronucl_T1_relaxation
+save_
+"""
+    entry = nmrstar.parse(text)
+    with pytest.raises(ValueError, match="Spectrometer_frequency_1H"):
+        parse_bmrb_entry(entry, "pref")
+
+
+def test_scalar_constants_are_python_floats():
+    """fit.scalar module constants must not be jnp arrays: evaluating a
+    jnp op at import time initialises the backend before callers can pin
+    the platform (grabs the single-slot TPU tunnel on this container)."""
+    from spinrelax_tpu.fit import scalar
+
+    assert type(scalar._INVPHI) is float
+    assert type(scalar._INVPHI2) is float
+
+
+def test_host_stream_delegates_to_stream_accumulate():
+    """host_stream and ct_palmer_streamed share ONE accumulation loop."""
+    from spinrelax_tpu.ops.autocorr import ct_palmer_streamed, palmer_pooled_stats
+    from spinrelax_tpu.parallel.ingest import host_stream
+
+    rng = np.random.default_rng(9)
+    chunks = [rng.normal(size=(2, 16, 3, 3)).astype(np.float32) for _ in range(3)]
+    for c in chunks:
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+    part = host_stream(iter(chunks), 16)
+    mean, dCt = palmer_pooled_stats(
+        jnp.asarray(part.acc_s), jnp.asarray(part.acc_s2), float(part.count)
+    )
+    m2, d2 = ct_palmer_streamed(iter(chunks), 16)
+    np.testing.assert_allclose(np.asarray(mean.T), np.asarray(m2), atol=1e-7)
+    with pytest.raises(ValueError, match="no chunks"):
+        host_stream(iter([]), 16)
