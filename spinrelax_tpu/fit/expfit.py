@@ -87,13 +87,15 @@ def fit_ct_ladder(
     Kmax_l = max(K for _, K, _ in specs)
     R = len(specs)
     dt_arr = np.asarray(dt, dtype=float)
-    step = float(np.mean(dt_arr[1:] - dt_arr[:-1]))
-    tau0_rows = np.full((R, Kmax_l), dt_arr[-1])
-    for i, (_, K, _) in enumerate(specs):
-        tau0_rows[i, :K] = np.logspace(
-            np.log10(step), np.log10(dt_arr[-1] * 2.0), K + 2
-        )[1:-1]
-    n_stack = R * B
+    if stacked:
+        # tau0 grid / stack size: consumed only by the stacked solves.
+        step = float(np.mean(dt_arr[1:] - dt_arr[:-1]))
+        tau0_rows = np.full((R, Kmax_l), dt_arr[-1])
+        for i, (_, K, _) in enumerate(specs):
+            tau0_rows[i, :K] = np.logspace(
+                np.log10(step), np.log10(dt_arr[-1] * 2.0), K + 2
+            )[1:-1]
+        n_stack = R * B
     if not stacked:
         # DEFAULT: one dense vmapped LM per rung.  The all-rungs-stacked
         # solve was MEASURED 5.9x slower on the TPU (docs/PERF.md round-3

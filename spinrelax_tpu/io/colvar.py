@@ -114,10 +114,12 @@ def iter_colvar_chunks(fn: str, chunk_frames: int = 65536):
     file, never holding more than chunk_frames rows in memory.  Feeds the
     streaming Delta-q path (ops.dq.analyse_dq_streamed).
 
-    A SECOND ``FIELDS`` header is an error: it marks a multi-replica
-    concatenation (read_colvar_multi's format), and streaming across the
-    replica boundary would silently correlate unrelated trajectories —
-    use the in-memory ``--multi`` path for those files."""
+    A repeated IDENTICAL ``FIELDS`` header is accepted as a continuation
+    (a restarted PLUMED run re-prints it; the in-memory read_colvar path
+    ignores all # lines, so streaming must match) with a warning that a
+    multi-replica concatenation looks the same and needs ``--multi``.  A
+    repeated DIFFERING header is an error: streaming across it would
+    silently correlate columns with different meanings."""
     field_names: List[str] = []
     seen_header = False
     rows: List[str] = []
@@ -127,11 +129,23 @@ def iter_colvar_chunks(fn: str, chunk_frames: int = 65536):
                 parts = line.split()
                 if len(parts) > 1 and parts[1] == "FIELDS":
                     if seen_header:
-                        raise ValueError(
-                            f"{fn!r}: repeated FIELDS header — this is a "
-                            "multi-replica colvar; streaming would mix "
-                            "replicas (use the in-memory --multi path)"
+                        if parts[2:] != field_names:
+                            raise ValueError(
+                                f"{fn!r}: FIELDS header changed mid-file "
+                                f"({field_names} -> {parts[2:]}); cannot "
+                                "stream across incompatible blocks (a "
+                                "multi-replica colvar needs the in-memory "
+                                "--multi path)"
+                            )
+                        import warnings
+
+                        warnings.warn(
+                            f"{fn!r}: repeated FIELDS header — treating "
+                            "as a restart continuation (matching the "
+                            "non-streamed reader); if this file is a "
+                            "multi-replica concatenation use --multi"
                         )
+                        continue
                     field_names = parts[2:]
                     seen_header = True
                 continue

@@ -185,10 +185,24 @@ _CENTERED_MODES = frozenset(
 ) | {"split3c"}
 
 
+def _tri_dot(tri, x):
+    """Exact 2-pass compensated dot for the BINARY (0/1) TRI constant:
+    tri is bf16-representable exactly, so _dot3's al term is identically
+    zero and its al@bh pass pure waste — hi/lo split the RHS only.
+    Bit-identical to _dot3 (the dropped pass contributes exact zeros)."""
+    th = tri.astype(jnp.bfloat16)
+    xh, xl = _split_bf16(x)
+    f32 = jnp.float32
+    return (
+        jnp.dot(th, xh, preferred_element_type=f32)
+        + jnp.dot(th, xl, preferred_element_type=f32)
+    )
+
+
 def _acf_kernel2(vx, vy, vz, w1r_ref, w1i_ref, twr_ref, twi_ref, w2rt_ref,
                  w2it_ref, cinv_ref, *, N1, N2, nfft, F, mode,
                  tri_ref=None, nd_pad=None, cinv_mode="same",
-                 pcenter=False, ablate=0):
+                 pcenter=False, ablate=0, dg2=False):
     """One 128-bond tile's full chain: (F, 128) component planes ->
     (nd_pad, 128) lag sums (pure value function; refs only for consts)."""
     f32 = vx.dtype
@@ -277,6 +291,42 @@ def _acf_kernel2(vx, vy, vz, w1r_ref, w1i_ref, twr_ref, twi_ref, w2rt_ref,
         if ablate == 3:
             abl_acc = abl_acc + jnp.sum(br) + jnp.sum(bi)
             return None
+        if dg2:
+            # Stage-2 via dot_general contracting the MIDDLE dim of the
+            # (N1, N2, 128) view: the corner turn rides the MXU operand
+            # staging instead of an explicit Mosaic relayout (the
+            # transpose measures 1.5 ms/step of the nrep=32 ablation).
+            def dg_dot(w, b3):
+                if pairs2:
+                    # K-packed split terms concatenated on the CONTRACTED
+                    # middle dim, mirroring _cat_rhs.
+                    n_x = max(xi for _, xi in pairs2) + 1
+                    terms, r = [], b3
+                    for _ in range(n_x):
+                        h = r.astype(jnp.bfloat16)
+                        terms.append(h)
+                        r = r - h.astype(jnp.float32)
+                    b3 = jnp.concatenate(
+                        [terms[xi] for _, xi in pairs2], axis=1
+                    )
+                return jax.lax.dot_general(
+                    w, b3,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=None if pairs2 else _HI,
+                )  # (2*N2, N1, 128)
+
+            w2s = jnp.concatenate([w2rt, w2it], axis=0)
+            o2r = dg_dot(w2s, br.reshape(N1, N2, 128))
+            o2i = dg_dot(w2s, bi.reshape(N1, N2, 128))
+            if ablate == 5:
+                abl_acc = abl_acc + jnp.sum(o2r) + jnp.sum(o2i)
+                return None
+            xr2 = o2r[:N2] - o2i[N2:]  # (N2, N1, 128)
+            xi2 = o2i[:N2] + o2r[N2:]
+            # Leading-dim merge (N2, N1, 128) -> (nfft, 128): a free
+            # row-major view, flat index k2*N1 + k1 matching CINV's kk.
+            return (xr2 * xr2 + xi2 * xi2).reshape(nfft, 128)
         brt = jnp.swapaxes(br.reshape(N1, N2, 128), 0, 1).reshape(N2, N1 * 128)
         bit = jnp.swapaxes(bi.reshape(N1, N2, 128), 0, 1).reshape(N2, N1 * 128)
         if ablate == 4:
@@ -298,7 +348,7 @@ def _acf_kernel2(vx, vy, vz, w1r_ref, w1i_ref, twr_ref, twi_ref, w2rt_ref,
             return None
         return xr2 * xr2 + xi2 * xi2  # (N2, N1*128)
 
-    power = jnp.zeros((N2, N1 * 128), f32)
+    power = jnp.zeros((nfft, 128) if dg2 else (N2, N1 * 128), f32)
     for pair in range(3):
         planes = []
         for idx in (2 * pair, 2 * pair + 1):
@@ -319,7 +369,7 @@ def _acf_kernel2(vx, vy, vz, w1r_ref, w1i_ref, twr_ref, twi_ref, w2rt_ref,
     if ablate:
         return abl_acc
 
-    pf = power.reshape(nfft, 128)
+    pf = power if dg2 else power.reshape(nfft, 128)
     if pcenter:
         # CINV rows sum to zero over k (geometric sum), so subtracting
         # the per-lane spectral mean is EXACT — and it removes the
@@ -328,7 +378,7 @@ def _acf_kernel2(vx, vy, vz, w1r_ref, w1i_ref, twr_ref, twi_ref, w2rt_ref,
         pf = pf - jnp.mean(pf, axis=0, keepdims=True)
     out = cinv_dot(cinv_ref[...], pf)
     if centered:
-        pt = _dot3(tri_ref[...], jnp.concatenate([head_acc, tail_acc], axis=0))
+        pt = _tri_dot(tri_ref[...], jnp.concatenate([head_acc, tail_acc], axis=0))
         d = (
             jax.lax.broadcasted_iota(jnp.int32, (nd_pad, 1), 0).astype(f32)
             + 1.0
@@ -364,7 +414,7 @@ def acf_sums_pallas(vecs, n_deltas: int, mode: str = "cat64c",
                     n1: int = 0, cinv: str = None, pcenter: bool = None,
                     ablate: int = 0, fuse_transpose: bool = False,
                     tiles: int = 1, transpose_out: bool = True,
-                    pretiled: bool = False):
+                    pretiled: bool = False, dg2: bool = False):
     """vecs : (..., nFrames, 3) -> (..., n_deltas) lag sums
     sum_t (v(t).v(t+delta))^2 for delta = 1..n_deltas.
 
@@ -492,7 +542,7 @@ def acf_sums_pallas(vecs, n_deltas: int, mode: str = "cat64c",
                 vx, vy, vz, w1r, w1i, twr_, twi_, w2rt, w2it, cinv,
                 N1=N1, N2=N2, nfft=nfft, F=n_frames, mode=mode,
                 tri_ref=tri_ref, nd_pad=nd_pad, cinv_mode=cinv_mode,
-                pcenter=pcenter, ablate=ablate,
+                pcenter=pcenter, ablate=ablate, dg2=dg2,
             )
             out_ref[:, t * 128 : (t + 1) * 128] = res
 

@@ -582,7 +582,14 @@ def cmd_center(argv):
             xyz = np.asarray(obj["xyz"])
             t = np.asarray(obj["time"]) if "time" in obj else None
             boxes = np.asarray(obj["box"]) if "box" in obj else None
-            yield xyz, boxes, t
+            if boxes is not None and boxes.shape[-2:] == (3, 3):
+                # Full box matrices (the layout cmd_center's own XTC
+                # writer emits): reduce to orthorhombic lengths like the
+                # xtc/trr input paths — a diagonal matrix would otherwise
+                # fail the all-positive check on its off-diagonal zeros.
+                yield xyz, _ortho_box(boxes.reshape(-1, 3, 3)), t
+            else:
+                yield xyz, boxes, t
         else:
             xyz, dt_ = trjio.load_trajectory(a.infn, top_fn=a.topfn)
             yield xyz, None, np.arange(xyz.shape[0]) * dt_
@@ -594,10 +601,16 @@ def cmd_center(argv):
         solute = mask
     mol_id = None
     if a.mol_breaks is not None:
-        mol_id = apply_molecule_breaks(
-            molecule_ids(top), top,
-            [int(x) for x in a.mol_breaks.split(",") if x],
-        )
+        # Specs stay strings: apply_molecule_breaks accepts both plain
+        # residue numbers and chain-qualified "A:200" forms.
+        breaks = [x.strip() for x in a.mol_breaks.split(",") if x.strip()]
+        try:
+            mol_id = apply_molecule_breaks(molecule_ids(top), top, breaks)
+        except ValueError as e:
+            raise SystemExit(
+                f"= = Bad --mol-breaks spec {a.mol_breaks!r} "
+                f"(use RESID or CHAIN:RESID, comma-separated): {e}"
+            )
     keep = None
     if a.output_group == "solute":
         from ..ops.pbc import solute_mask as _smask

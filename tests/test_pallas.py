@@ -71,6 +71,11 @@ def test_vmem_guard():
         ("split3c", dict()),
         ("cat64c", dict(cinv="split4", pcenter=True, tiles=2)),
         ("cat64c", dict(cinv="split4", pcenter=True, fuse_transpose=True)),
+        # dg2: measured-NEGATIVE on hardware (VMEM OOM, docs/PERF.md
+        # round-3 ablation entry) but the math stays pinned so the
+        # experiment record remains verifiable.
+        ("cat64c", dict(cinv="split4", pcenter=True, dg2=True)),
+        ("highest", dict(cinv="highest", dg2=True)),
     ],
 )
 def test_pallas_acf_interpret_matches_xla(mode, kw):

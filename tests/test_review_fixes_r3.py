@@ -25,13 +25,24 @@ from spinrelax_tpu.ops import orient
 from spinrelax_tpu.pipeline.manifest import record_stage, stage_is_current
 
 
-def test_iter_colvar_chunks_rejects_multireplica(tmp_path):
-    fn = str(tmp_path / "multi.colvar")
+def test_iter_colvar_chunks_header_semantics(tmp_path):
+    # Identical repeated header = restart continuation: accepted (with a
+    # warning), streamed as ONE trajectory — matching read_colvar, which
+    # ignores all # lines.
+    fn = str(tmp_path / "restart.colvar")
     with open(fn, "w") as fp:
         fp.write("#! FIELDS time q.w\n0.0 1.0\n1.0 0.9\n")
-        fp.write("#! FIELDS time q.w\n0.0 1.0\n1.0 0.8\n")
-    with pytest.raises(ValueError, match="repeated FIELDS"):
-        for _ in colvar.iter_colvar_chunks(fn, chunk_frames=64):
+        fp.write("#! FIELDS time q.w\n2.0 1.0\n3.0 0.8\n")
+    with pytest.warns(UserWarning, match="restart continuation"):
+        chunks = list(colvar.iter_colvar_chunks(fn, chunk_frames=64))
+    assert sum(c.shape[0] for _, c in chunks) == 4
+    # A DIFFERING header mid-file is incompatible: hard error.
+    fn2 = str(tmp_path / "mixed.colvar")
+    with open(fn2, "w") as fp:
+        fp.write("#! FIELDS time q.w\n0.0 1.0\n")
+        fp.write("#! FIELDS time q.w q.x\n0.0 1.0 0.5\n")
+    with pytest.raises(ValueError, match="changed mid-file"):
+        for _ in colvar.iter_colvar_chunks(fn2, chunk_frames=64):
             pass
     # Single-replica files stream fine.
     fn1 = str(tmp_path / "one.colvar")

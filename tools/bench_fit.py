@@ -25,8 +25,8 @@ def main():
     p.add_argument("--nres", type=int, default=10_000)
     p.add_argument("--ndeltas", type=int, default=500)
     p.add_argument("--ladder", action="store_true",
-                   help="benchmark the FULL DoF ladder (all rungs as one "
-                        "stacked batched LM + host model selection) "
+                   help="benchmark the FULL DoF ladder (per-rung dense LM "
+                        "+ host model selection, the production default) "
                         "instead of the fixed-K finish")
     a = p.parse_args()
 
@@ -77,9 +77,10 @@ def main():
     inputs = [gen(k) for k in jax.random.split(key, 2 * n_iter + 1)]
 
     if a.ladder:
-        # Full ladder: 5 rungs (2,3,5,7,9 params) solved as ONE stacked
-        # batched LM + the reference's sequential per-residue selection
-        # on the host (fit.expfit.fit_ct_ladder).
+        # Full ladder: 5 rungs (2,3,5,7,9 params), one dense vmapped LM
+        # per rung (the production DEFAULT — the all-rungs-stacked solve
+        # measured slower, docs/PERF.md round 3) + the reference's
+        # sequential per-residue selection on the host.
         from spinrelax_tpu.fit.expfit import fit_ct_ladder
 
         names = [str(i) for i in range(N)]
@@ -100,7 +101,7 @@ def main():
             "value": rate,
             "unit": "residues/s",
             "config": f"{N} residues x {D} lags, full DoF ladder "
-                      "(stacked LM + selection)",
+                      "(per-rung LM + selection)",
             "vs_baseline": rate / REFERENCE_CPU_RES_PER_S,
         }))
         return

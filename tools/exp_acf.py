@@ -81,6 +81,11 @@ def variants():
         "v10t": lambda v, d: acf_sums_pallas2(v, d, mode="cat64c",
                                               cinv="split4", pcenter=True,
                                               fuse_transpose=True),
+        # stage-2 via dot_general on the (N1, N2, 128) view (corner turn
+        # folded into MXU operand staging instead of a Mosaic relayout)
+        "v10dg": lambda v, d: acf_sums_pallas2(v, d, mode="cat64c",
+                                               cinv="split4", pcenter=True,
+                                               dg2=True),
         "v10_t2": lambda v, d: acf_sums_pallas2(v, d, mode="cat64c",
                                                 cinv="split4", pcenter=True,
                                                 tiles=2),
@@ -103,6 +108,13 @@ def variants():
             v, d, mode="cat4c", cinv="split4", ablate=k))()
            for k in range(1, 6)},
         "cabl0": lambda v, d: acf_sums_pallas2(v, d, mode="cat4c",
+                                               ablate=-1),
+        # ablation ladder of the PRODUCTION config (cat64c+split4+pcenter)
+        # at --nrep 32: device-resolved per-stage costs (VERDICT r2 #4)
+        **{f"pabl{k}": (lambda k=k: lambda v, d: acf_sums_pallas2(
+            v, d, mode="cat64c", cinv="split4", pcenter=True,
+            ablate=k))() for k in range(1, 6)},
+        "pabl0": lambda v, d: acf_sums_pallas2(v, d, mode="cat64c",
                                                ablate=-1),
         # fused in-kernel input transpose (kills the XLA pre-pass)
         "v7t": lambda v, d: acf_sums_pallas2(v, d, mode="cat4c",
