@@ -10,6 +10,17 @@ Baseline: the reference's numpy lag-loop implementation measured on this
 container's CPU at the same canonical chunk size (1000 frames/chunk):
 2.95e5 frames*vectors/s (measured via tools/bench_reference.py).  The
 TPU path computes the identical statistics via batched FFTs.
+
+What is timed: the PRODUCTION streamed group step
+(ops/autocorr.palmer_group_update_pretiled — fused Pallas ACF kernel +
+per-chunk Palmer statistics folded into running sum/sum-of-squares
+accumulators), exactly the path the >HBM north-star driver runs
+(tools/bench_northstar.py).  Inputs are pre-staged on device in the
+kernel's native (nTiles, 3, nFrames, 128) tile layout — the layout
+production loaders/generators emit (it is only an index reordering at
+ingest) — so the step measures kernel + statistics, not an XLA
+transpose pre-pass.  The pooled finish (palmer_pooled_stats) runs once
+at the end, outside the per-step timing, as in production streaming.
 """
 
 import json
@@ -28,31 +39,43 @@ REFERENCE_CPU_RATE = 2.95e5
 # so the official number reflects device throughput (docs/PERF.md keeps
 # the canonical 8-chunk step for kernel-level comparisons).
 N_REP, N_FRAMES, N_RES = 32, 1000, 1024
+N_DELTAS = N_FRAMES // 2
+N_TILES = (N_REP * N_RES) // 128
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from spinrelax_tpu.ops.autocorr import ct_palmer
+    from spinrelax_tpu.ops.autocorr import (
+        palmer_group_update_pretiled,
+        palmer_pooled_stats,
+    )
 
     # Timing methodology for the axon-tunnelled TPU: block_until_ready
     # acknowledges before remote execution completes, so we chain all
-    # iterations into a device-side scalar accumulator and force ONE value
+    # iterations through device-side accumulators and force ONE value
     # fetch at the end — total wall time then covers every execution plus
     # a single ~40 ms tunnel round-trip, amortised over n_iter.
     @jax.jit
     def gen(key):
-        v = jax.random.normal(key, (N_REP, N_FRAMES, N_RES, 3), dtype=jnp.float32)
-        return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+        v = jax.random.normal(
+            key, (N_TILES, 3, N_FRAMES, 128), dtype=jnp.float32
+        )
+        return v / jnp.linalg.norm(v, axis=1, keepdims=True)
 
-    # Fold the accumulation into the step: ONE dispatch per iteration
-    # (each extra chained op costs ~8 ms of relay round-trip, see
-    # docs/PERF.md "dispatch overhead").
+    # ONE dispatch per iteration (each extra chained op costs ~8 ms of
+    # relay round-trip, see docs/PERF.md "dispatch overhead"): the whole
+    # group step — ACF kernel + Palmer stats + accumulator update — is
+    # one jitted program carrying the (nDeltas, nRes) running sums.
     @jax.jit
-    def step(x, acc):
-        Ct, dCt = ct_palmer(x)
-        return acc + Ct[0, 0] + dCt[0, 0]
+    def step(x, acc_s, acc_s2):
+        return palmer_group_update_pretiled(x, acc_s, acc_s2, N_REP, N_RES)
+
+    @jax.jit
+    def finish(acc_s, acc_s2, count):
+        mean, dct = palmer_pooled_stats(acc_s, acc_s2, count)
+        return mean[0, 0] + dct[0, 0]
 
     # 2*n_iter+1 pre-staged fresh inputs at 32x1000x1024x3 f32 = 393 MB
     # each: n_iter=10 keeps the resident set ~8 GB, inside v5e HBM.
@@ -60,8 +83,10 @@ def main():
     seed = int(time.time()) & 0x7FFFFFFF  # defeat any server-side result cache
     keys = jax.random.split(jax.random.PRNGKey(seed), 2 * n_iter + 1)
     inputs = [gen(k) for k in keys]
+    zeros = lambda: jnp.zeros((N_DELTAS, N_RES), jnp.float32)  # noqa: E731
     # Warm-up / compile and force completion of input generation.
-    float(step(inputs[-1], jnp.float32(0.0)))
+    a1, a2 = step(inputs[-1], zeros(), zeros())
+    float(finish(a1, a2, jnp.float32(N_REP)))
 
     # Two timed rounds; report the second (the remote executor reaches
     # steady state only after a dozen executions).
@@ -69,12 +94,13 @@ def main():
     for rnd in range(2):
         batch = inputs[rnd * n_iter : (rnd + 1) * n_iter]
         t0 = time.perf_counter()
-        acc = jnp.float32(0.0)
+        acc_s, acc_s2 = zeros(), zeros()
         for x in batch:
-            acc = step(x, acc)
-        acc_val = float(acc)  # single fetch forces the whole chain
+            acc_s, acc_s2 = step(x, acc_s, acc_s2)
+        # single fetch forces the whole chain
+        probe = float(finish(acc_s, acc_s2, jnp.float32(n_iter * N_REP)))
         dt = (time.perf_counter() - t0) / n_iter
-        assert np.isfinite(acc_val)
+        assert np.isfinite(probe)
 
     rate = N_REP * N_FRAMES * N_RES / dt
     print(

@@ -374,6 +374,73 @@ def palmer_pooled_stats(acc_s, acc_s2, count):
     return mean, dct
 
 
+def tile_palmer_group(group):
+    """Chunk group ``(g, nFrames, nRes, 3)`` -> the fused kernel's native
+    tile layout ``(nTiles, 3, nFrames, 128)``.
+
+    The flat batch order over the lane axis is (chunk, residue) row-major,
+    zero-padded up to a multiple of 128 lanes; device-side producers
+    (loaders, generators) that emit this layout directly let
+    :func:`palmer_group_update_pretiled` skip the XLA transpose pre-pass,
+    which dominates the step at large batch (docs/PERF.md, B ~ 4e4).
+    """
+    g, n_frames, n_res, _ = group.shape
+    b = g * n_res
+    v = jnp.swapaxes(group, 1, 2).reshape(b, n_frames, 3)
+    b_pad = ((b + 127) // 128) * 128
+    if b_pad != b:
+        v = jnp.concatenate(
+            [v, jnp.zeros((b_pad - b, n_frames, 3), v.dtype)], axis=0
+        )
+    return jnp.transpose(v.reshape(b_pad // 128, 128, n_frames, 3), (0, 3, 2, 1))
+
+
+def palmer_group_update_pretiled(vt, acc_s, acc_s2, n_group: int, n_res: int):
+    """One streamed Palmer group step on pretiled input — the production
+    large-batch ingest path (tools/bench_northstar.py, bench.py).
+
+    vt : (nTiles, 3, nFrames, 128) tile-layout group of ``n_group`` Palmer
+        chunks x ``n_res`` residues, flat (chunk, residue) row-major over
+        the lane axis (:func:`tile_palmer_group` produces it; device
+        generators / tiled loaders can emit it directly).
+    acc_s, acc_s2 : (nDeltas, nRes) lag-leading running sum /
+        sum-of-squares of per-chunk lag means.
+
+    Returns the updated accumulators; finalize with
+    :func:`palmer_pooled_stats` on the total chunk count.  Equals
+    :func:`ct_palmer` over the concatenated groups (population-std form).
+    """
+    n_tiles, _, n_frames, _ = vt.shape
+    n_deltas = n_frames // 2
+    b = n_group * n_res
+    if b > n_tiles * 128:
+        raise ValueError(
+            f"n_group*n_res ({b}) exceeds tile capacity ({n_tiles * 128})"
+        )
+    n_vals = n_frames - jnp.arange(1, n_deltas + 1, dtype=vt.dtype)
+    from .pallas_acf import supports
+
+    use_pallas = ACF_IMPL == "pallas" or (
+        ACF_IMPL == "auto"
+        and vt.dtype == jnp.float32
+        and jax.default_backend() == "tpu"
+        and supports(n_frames, n_deltas)
+    )
+    if use_pallas:
+        from .pallas_acf import acf_sums_pallas
+
+        s = acf_sums_pallas(vt, n_deltas, pretiled=True, transpose_out=False)
+        s = s[:, :b]  # (nDeltas, B)
+    else:
+        # Untile (inverse of tile_palmer_group) and run the XLA chain.
+        v = jnp.transpose(vt, (0, 3, 2, 1)).reshape(n_tiles * 128, n_frames, 3)
+        s = _acf_sums(v[:b], n_deltas)  # (B, nDeltas)
+        s = jnp.swapaxes(s, 0, 1)
+    per = -0.5 + 1.5 * s / n_vals[:, None]
+    per = per.reshape(n_deltas, n_group, n_res)
+    return acc_s + jnp.sum(per, axis=1), acc_s2 + jnp.sum(per**2, axis=1)
+
+
 def ct_palmer_scan(vecs, batch: int = 1, mesh=None):
     """Replicate-streamed variant for trajectories too large for one fused
     FFT buffer.  Scans over the replicate axis, accumulating per-lag sum and
@@ -462,26 +529,33 @@ def stream_accumulate(chunk_iter, n_frames_per_chunk: int):
     produced by byte-identical code or the multi-host parity guarantee
     silently breaks."""
     n_deltas = n_frames_per_chunk // 2
+
+    # ONE dispatch per group: ACF + per-chunk statistics + accumulator
+    # update fused into a single jitted program (each separate eager op
+    # costs a ~8 ms relay round-trip through the axon tunnel, docs/PERF.md
+    # "dispatch overhead" — at thousands of streamed groups this
+    # dominated the CLI streaming path).
+    @jax.jit
+    def update(v, acc_s, acc_s2):
+        n_vals = n_frames_per_chunk - jnp.arange(
+            1, n_deltas + 1, dtype=v.dtype
+        )
+        s = _acf_sums(jnp.swapaxes(v, 1, 2), n_deltas)  # (g, nRes, nDeltas)
+        per = -0.5 + 1.5 * s / n_vals
+        return acc_s + jnp.sum(per, axis=0), acc_s2 + jnp.sum(per**2, axis=0)
+
     acc_s = acc_s2 = None
     n_rep = 0
-    n_vals = None
-    step = jax.jit(lambda v: _acf_sums(jnp.swapaxes(v, 1, 2), n_deltas))
     for group in chunk_iter:
         group = jnp.asarray(group)
         if group.shape[1] != n_frames_per_chunk:
             raise ValueError(
                 f"chunk group has {group.shape[1]} frames, expected {n_frames_per_chunk}"
             )
-        if n_vals is None:
-            n_vals = n_frames_per_chunk - jnp.arange(1, n_deltas + 1, dtype=group.dtype)
-        s = step(group)  # (g, nRes, nDeltas)
-        per = -0.5 + 1.5 * s / n_vals
         if acc_s is None:
-            acc_s = jnp.sum(per, axis=0)
-            acc_s2 = jnp.sum(per**2, axis=0)
-        else:
-            acc_s = acc_s + jnp.sum(per, axis=0)
-            acc_s2 = acc_s2 + jnp.sum(per**2, axis=0)
+            acc_s = jnp.zeros((group.shape[2], n_deltas), group.dtype)
+            acc_s2 = jnp.zeros((group.shape[2], n_deltas), group.dtype)
+        acc_s, acc_s2 = update(group, acc_s, acc_s2)
         n_rep += group.shape[0]
     if acc_s is None:
         raise ValueError("empty chunk iterator")

@@ -35,6 +35,17 @@ from .autocorr import _PAIR_I, _PAIR_J, _PAIR_W
 
 _HI = jax.lax.Precision.HIGHEST
 
+# Mosaic's DEFAULT scoped-VMEM limit is 16 MiB — but that is a compiler
+# default, not the hardware: TPU v5e has 128 MiB of physical VMEM.  The
+# round-2/3 "VMEM OOM" negatives (fuse_transpose, dg2, 256-lane tiles)
+# were artifacts of the default limit; raising it per-kernel via
+# CompilerParams(vmem_limit_bytes=...) compiles and runs fine (measured
+# 2026-08-17 on the v5e: the pretiled-parameter operand case needs
+# 16.91 MiB and executes correctly at a 64 MiB limit).  Half the
+# physical VMEM is a safe ceiling that still leaves the scheduler room
+# for double-buffered DMA windows.
+VMEM_LIMIT_BYTES = 64 * 1024 * 1024
+
 
 @functools.lru_cache(maxsize=8)
 def _kernel_constants(n_frames: int, n_deltas: int, dtype_name: str,
@@ -390,7 +401,10 @@ def _acf_kernel2(vx, vy, vz, w1r_ref, w1i_ref, twr_ref, twi_ref, w2rt_ref,
 def vmem_estimate(n_frames: int, n_deltas: int) -> int:
     """Rough bytes of VMEM the kernel needs for one tile (constants +
     input block + working planes) — used by the dispatcher to fall back
-    to the XLA chain for shapes that exceed the 16 MB scoped budget."""
+    to the XLA chain for shapes that exceed the scoped-VMEM budget.
+    Under-predicts Mosaic's actual scoped allocation by ~15% at the
+    canonical shape (14.5 MB estimated vs 16.9 MB measured), hence the
+    safety margin between the ``supports`` budget and VMEM_LIMIT_BYTES."""
     n_min = n_frames + n_deltas
     nfft = ((n_min + 127) // 128) * 128
     nd_pad = ((n_deltas + 7) // 8) * 8
@@ -400,9 +414,16 @@ def vmem_estimate(n_frames: int, n_deltas: int) -> int:
     return consts + tile_in + working
 
 
-def supports(n_frames: int, n_deltas: int, budget: int = 15_000_000):
+def supports(n_frames: int, n_deltas: int, budget: int = 52_000_000):
     """True when the fused kernel handles this shape: VMEM working set
-    within budget AND enough frames for the centered-correction rows."""
+    within budget AND enough frames for the centered-correction rows.
+
+    The budget tracks VMEM_LIMIT_BYTES (64 MiB) minus the estimate's
+    ~15% under-prediction margin.  Hardware-validated 2026-08-17:
+    F=2000/D=1000 (estimate 39 MB) runs at canonical accuracy (9.7e-7)
+    and 1.8x the XLA chain (15.6 vs 28.5 ms at 16x1024 chunks);
+    F=3000/D=1500 (estimate 74 MB) correctly exceeds the limit and must
+    keep falling back to XLA."""
     nd_pad = ((n_deltas + 7) // 8) * 8
     return (
         n_frames >= nd_pad
@@ -546,12 +567,17 @@ def acf_sums_pallas(vecs, n_deltas: int, mode: str = "cat64c",
             )
             out_ref[:, t * 128 : (t + 1) * 128] = res
 
+    from jax.experimental.pallas import tpu as pltpu
+
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles // tiles,),
         in_specs=[v_spec] + const_specs,
         out_specs=pl.BlockSpec((nd_pad, tiles * 128), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((nd_pad, b_pad), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES
+        ),
     )(v, *consts)
     out = out[:n_deltas, :B]
     if not transpose_out:

@@ -62,6 +62,43 @@ def test_scan_variant_matches(rng):
     np.testing.assert_allclose(np.asarray(dct1), np.asarray(dct2), atol=1e-9)
 
 
+def test_pretiled_group_update_matches_ct_palmer(rng):
+    """tile_palmer_group + palmer_group_update_pretiled + pooled stats ==
+    ct_palmer, including a lane-padded batch (2 groups x 3 chunks x 20
+    residues: B=60 pads to 128) — the bench.py / north-star ingest path."""
+    import jax.numpy as jnp
+
+    vecs = random_unit_walk(rng, n_rep=6, n_frames=32, n_res=20)
+    n_deltas = 16
+    acc_s = jnp.zeros((n_deltas, 20), jnp.float64)
+    acc_s2 = jnp.zeros((n_deltas, 20), jnp.float64)
+    for off in range(0, 6, 3):
+        vt = ac.tile_palmer_group(jnp.asarray(vecs[off : off + 3]))
+        assert vt.shape == (1, 3, 32, 128)
+        acc_s, acc_s2 = ac.palmer_group_update_pretiled(
+            vt, acc_s, acc_s2, 3, 20
+        )
+    mean, dct = ac.palmer_pooled_stats(acc_s, acc_s2, 6.0)
+    ct1, dct1 = ac.ct_palmer(vecs)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(ct1), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(dct), np.asarray(dct1), atol=1e-9)
+
+
+def test_tile_palmer_group_untile_roundtrip(rng):
+    """The tile layout is the exact inverse of the kernel's internal
+    (B, F, 3) -> (nTiles, 3, F, 128) mapping (flat (chunk, residue)
+    row-major over lanes)."""
+    import jax.numpy as jnp
+
+    vecs = random_unit_walk(rng, n_rep=2, n_frames=8, n_res=70)
+    vt = ac.tile_palmer_group(jnp.asarray(vecs))  # B=140 -> 2 tiles
+    assert vt.shape == (2, 3, 8, 128)
+    back = np.asarray(
+        jnp.transpose(vt, (0, 3, 2, 1)).reshape(256, 8, 3)[:140]
+    ).reshape(2, 70, 8, 3)
+    np.testing.assert_allclose(back, np.swapaxes(vecs, 1, 2), atol=0)
+
+
 def test_static_vectors_give_ct_one(rng):
     # A rigid vector has P2 autocorrelation identically 1.
     v = rng.normal(size=(2, 1, 3, 3))

@@ -112,6 +112,31 @@ def test_ct_palmer_dispatch_pallas_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=5e-6)
 
 
+def test_pretiled_group_update_pallas_matches_xla(rng):
+    """palmer_group_update_pretiled through the PALLAS pretiled kernel
+    path (interpreted) equals the XLA path end-to-end, including lane
+    padding (B = 2*40 = 80 pads to 128) — pins the bench.py / north-star
+    tile-layout ingest against the portable implementation."""
+    vecs = jnp.asarray(make_vecs(rng, n_rep=2, n_frames=100, n_res=40))
+    n_deltas = 50
+    vt = ac.tile_palmer_group(vecs)
+    assert vt.shape == (1, 3, 100, 128)
+    zeros = jnp.zeros((n_deltas, 40), jnp.float32)
+    old = ac.ACF_IMPL
+    try:
+        ac.ACF_IMPL = "pallas"
+        with interpreted_pallas():
+            s_p, s2_p = ac.palmer_group_update_pretiled(
+                vt, zeros, zeros, 2, 40
+            )
+        ac.ACF_IMPL = "xla"
+        s_x, s2_x = ac.palmer_group_update_pretiled(vt, zeros, zeros, 2, 40)
+    finally:
+        ac.ACF_IMPL = old
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(s2_p), np.asarray(s2_x), atol=5e-5)
+
+
 def test_tiny_chunks_fall_back_to_uncentered(rng):
     """Chunks shorter than the padded correction rows must still work
     under a forced pallas backend (the centered default silently drops to

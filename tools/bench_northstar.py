@@ -59,7 +59,7 @@ def main():
 
     n_vals = F - jnp.arange(1, D + 1, dtype=jnp.float32)
 
-    from spinrelax_tpu.ops.pallas_acf import acf_sums_pallas, supports
+    from spinrelax_tpu.ops.pallas_acf import supports
 
     use_pretiled = (
         a.impl != "xla"
@@ -75,19 +75,15 @@ def main():
         B = G * N
         n_tiles = -(-B // 128)
 
+        from spinrelax_tpu.ops.autocorr import palmer_group_update_pretiled
+
         @jax.jit
         def group_step(key, acc_s, acc_s2):
             v = jax.random.normal(
                 key, (n_tiles, 3, F, 128), dtype=jnp.float32
             )
             v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
-            s = acf_sums_pallas(v, D, pretiled=True, transpose_out=False)
-            per = -0.5 + 1.5 * s[:, :B] / n_vals[:, None]  # (D, B)
-            per = per.reshape(D, G, N)
-            return (
-                acc_s + jnp.sum(per, axis=1),
-                acc_s2 + jnp.sum(per**2, axis=1),
-            )
+            return palmer_group_update_pretiled(v, acc_s, acc_s2, G, N)
     else:
 
         @jax.jit
