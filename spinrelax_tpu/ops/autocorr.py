@@ -351,18 +351,29 @@ def ct_palmer(vecs):
 
 
 def palmer_pooled_stats(acc_s, acc_s2, count):
-    """(running sum, sum-of-squares, chunk count) -> (mean, dCt), in the
-    accumulator's own (..., nDeltas) orientation.
+    """(running shifted sum, shifted sum-of-squares, chunk count) ->
+    (mean, dCt), in the accumulator's own (..., nDeltas) orientation.
+
+    SHIFTED-BY-ONE convention: producers accumulate e = x - 1 and e**2,
+    NOT x and x**2.  The variance is shift-invariant, and per-chunk
+    C(t)/S2 values sit near 1 exactly where their spread is tiny (early
+    lags, rigid bonds) — with raw sums the f32 E[x^2]-E[x]^2 subtraction
+    cancels to the rounding floor of x^2 (~6e-8), the same order as the
+    variance itself (measured ~4% dCt error on the TPU streamed path,
+    docs/PERF.md round 3); with the shift the squares are variance-sized
+    and the cancellation disappears.
 
     THE single home of the pooled Palmer statistics — in particular the
     reference's sqrt(n)-1 SEM denominator (calculate-Ct-from-traj.py:228,
     a quirk we replicate deliberately; see CLAUDE.md).  Every streamed /
-    sharded / multi-host consumer must pool through this helper so a
-    parity adjustment happens in exactly one place.
+    sharded / multi-host producer must accumulate the SAME shifted
+    quantities (grep "palmer_pooled_stats convention") and pool through
+    this helper so a parity adjustment happens in exactly one place.
     """
     count = jnp.asarray(count, jnp.result_type(acc_s))
-    mean = acc_s / count
-    var = jnp.maximum(acc_s2 / count - mean**2, 0.0)
+    e_mean = acc_s / count
+    mean = 1.0 + e_mean
+    var = jnp.maximum(acc_s2 / count - e_mean**2, 0.0)
     denom = jnp.sqrt(count) - 1.0
     safe = jnp.where(denom > 0, denom, 1.0)
     # count == 1: the reference's 0/0 gives NaN dCt
@@ -436,9 +447,10 @@ def palmer_group_update_pretiled(vt, acc_s, acc_s2, n_group: int, n_res: int):
         v = jnp.transpose(vt, (0, 3, 2, 1)).reshape(n_tiles * 128, n_frames, 3)
         s = _acf_sums(v[:b], n_deltas)  # (B, nDeltas)
         s = jnp.swapaxes(s, 0, 1)
-    per = -0.5 + 1.5 * s / n_vals[:, None]
-    per = per.reshape(n_deltas, n_group, n_res)
-    return acc_s + jnp.sum(per, axis=1), acc_s2 + jnp.sum(per**2, axis=1)
+    # palmer_pooled_stats convention: accumulate e = per - 1 and e**2.
+    e = -1.5 + 1.5 * s / n_vals[:, None]
+    e = e.reshape(n_deltas, n_group, n_res)
+    return acc_s + jnp.sum(e, axis=1), acc_s2 + jnp.sum(e**2, axis=1)
 
 
 def ct_palmer_scan(vecs, batch: int = 1, mesh=None):
@@ -472,9 +484,10 @@ def ct_palmer_scan(vecs, batch: int = 1, mesh=None):
         acc_s, acc_s2 = carry
         v = jnp.swapaxes(chunk, 1, 2)  # (batch, nRes, nF, 3)
         s = _acf_sums(v, n_deltas)
-        per_rep = -0.5 + 1.5 * s / n_vals  # (batch, nRes, nDeltas)
-        acc_s = acc_s + jnp.sum(per_rep, axis=0)
-        acc_s2 = acc_s2 + jnp.sum(per_rep**2, axis=0)
+        # palmer_pooled_stats convention: accumulate e = per - 1, e**2.
+        e = -1.5 + 1.5 * s / n_vals  # (batch, nRes, nDeltas)
+        acc_s = acc_s + jnp.sum(e, axis=0)
+        acc_s2 = acc_s2 + jnp.sum(e**2, axis=0)
         return (acc_s, acc_s2), None
 
     init = (
@@ -521,7 +534,8 @@ def ct_palmer_streamed(chunk_iter, n_frames_per_chunk: int, mesh=None):
 
 def stream_accumulate(chunk_iter, n_frames_per_chunk: int):
     """Shared per-host streaming accumulation: chunk groups ->
-    (acc_s, acc_s2, count) running sums of per-chunk Palmer C(t) means.
+    (acc_s, acc_s2, count) running sums of the SHIFTED per-chunk Palmer
+    C(t) means (e = per - 1 and e**2; see palmer_pooled_stats).
 
     THE single implementation behind both ct_palmer_streamed and the
     multi-host ingest loop (parallel.ingest.host_stream) — the
@@ -541,8 +555,9 @@ def stream_accumulate(chunk_iter, n_frames_per_chunk: int):
             1, n_deltas + 1, dtype=v.dtype
         )
         s = _acf_sums(jnp.swapaxes(v, 1, 2), n_deltas)  # (g, nRes, nDeltas)
-        per = -0.5 + 1.5 * s / n_vals
-        return acc_s + jnp.sum(per, axis=0), acc_s2 + jnp.sum(per**2, axis=0)
+        # palmer_pooled_stats convention: accumulate e = per - 1, e**2.
+        e = -1.5 + 1.5 * s / n_vals
+        return acc_s + jnp.sum(e, axis=0), acc_s2 + jnp.sum(e**2, axis=0)
 
     acc_s = acc_s2 = None
     n_rep = 0

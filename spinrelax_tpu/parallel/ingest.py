@@ -37,8 +37,10 @@ from ..ops import autocorr
 class CtPartial(NamedTuple):
     """One host's streamed contribution: per-(residue, lag) running sums.
 
-    acc_s/acc_s2 : (nRes, nDeltas) sum and sum-of-squares of per-chunk
-                   lag means; count: () chunks ingested.
+    acc_s/acc_s2 : (nRes, nDeltas) sum and sum-of-squares of the SHIFTED
+                   per-chunk lag means (e = per - 1; the
+                   palmer_pooled_stats convention); count: () chunks
+                   ingested.
     """
 
     acc_s: np.ndarray

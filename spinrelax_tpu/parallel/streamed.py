@@ -98,10 +98,12 @@ class ShardedCtStream:
         def local_step(v_loc, w_loc, acc_s, acc_s2, count):
             # v_loc: (g/rep, F, res/res, 3); w_loc: (g/rep,)
             s = autocorr._acf_sums(jnp.swapaxes(v_loc, 1, 2), n_deltas)
-            per = -0.5 + 1.5 * s / n_vals  # (g_loc, res_loc, nDeltas)
+            # palmer_pooled_stats convention: accumulate e = per - 1,
+            # e**2 (shift kills the f32 E[x^2]-E[x]^2 cancellation).
+            e = -1.5 + 1.5 * s / n_vals  # (g_loc, res_loc, nDeltas)
             w = w_loc[:, None, None]
-            ps = jax.lax.psum(jnp.sum(w * per, axis=0), "rep")
-            ps2 = jax.lax.psum(jnp.sum(w * per**2, axis=0), "rep")
+            ps = jax.lax.psum(jnp.sum(w * e, axis=0), "rep")
+            ps2 = jax.lax.psum(jnp.sum(w * e**2, axis=0), "rep")
             cnt = jax.lax.psum(jnp.sum(w_loc), "rep")
             return acc_s + ps, acc_s2 + ps2, count + cnt
 

@@ -1006,9 +1006,10 @@ def stage_ct_streamed(
                     st.update(vv)
                 else:
                     s = autocorr._acf_sums(jnp.swapaxes(vv, 1, 2), n_deltas)
-                    per = -0.5 + 1.5 * s / n_vals  # (g, nBonds, nDeltas)
-                    upd(f"ct_{key}_s", jnp.sum(per, axis=0))
-                    upd(f"ct_{key}_s2", jnp.sum(per**2, axis=0))
+                    # palmer_pooled_stats convention: e = per - 1, e**2.
+                    e = -1.5 + 1.5 * s / n_vals  # (g, nBonds, nDeltas)
+                    upd(f"ct_{key}_s", jnp.sum(e, axis=0))
+                    upd(f"ct_{key}_s2", jnp.sum(e**2, axis=0))
 
         flat = vec_fit_g.reshape(-1, vec_fit_g.shape[-2], 3)
         if q_rot_j is not None:
@@ -1018,9 +1019,10 @@ def stage_ct_streamed(
             blocks = flat.reshape(g, fpc, flat.shape[-2], 3)
             outer = jnp.einsum("ijkl,ijkm->iklm", blocks, blocks,
                                precision=_HI) / fpc
-            s2b = 1.5 * jnp.sum(outer**2, axis=(-2, -1)) - 0.5  # (g, nBonds)
-            upd("s2_s", jnp.sum(s2b, axis=0))
-            upd("s2_s2", jnp.sum(s2b**2, axis=0))
+            # palmer_pooled_stats convention: e = S2_block - 1, e**2.
+            e2b = 1.5 * jnp.sum(outer**2, axis=(-2, -1)) - 1.5  # (g, nBonds)
+            upd("s2_s", jnp.sum(e2b, axis=0))
+            upd("s2_s2", jnp.sum(e2b**2, axis=0))
 
         if do_vec_avg:
             upd("vec_sum", jnp.sum(flat, axis=0))

@@ -99,6 +99,26 @@ def test_tile_palmer_group_untile_roundtrip(rng):
     np.testing.assert_allclose(back, np.swapaxes(vecs, 1, 2), atol=0)
 
 
+def test_streamed_f32_error_bars_no_cancellation(rng):
+    """Near-rigid vectors (per-chunk C(t) ~ 1, tiny spread): the f32
+    STREAMED accumulators must reproduce the f64 two-pass error bars.
+    With raw x/x^2 sums the f32 E[x^2]-E[x]^2 subtraction cancels at the
+    rounding floor of x^2 (same order as the variance itself — measured
+    ~4% dCt error on the TPU streamed path, docs/PERF.md round 3); the
+    shifted-by-1 palmer_pooled_stats convention keeps the squares
+    variance-sized, so this pins a <2% agreement that the unshifted
+    convention cannot pass."""
+    import jax.numpy as jnp
+
+    v64 = random_unit_walk(rng, n_rep=8, n_frames=64, n_res=4, step=0.02)
+    ct64, dct64 = ac.ct_palmer(jnp.asarray(v64))  # f64 two-pass truth
+    v32 = jnp.asarray(v64, jnp.float32)
+    m32, d32 = ac.ct_palmer_streamed(iter([v32[:4], v32[4:]]), 64)
+    np.testing.assert_allclose(np.asarray(m32), np.asarray(ct64), atol=2e-6)
+    rel = np.abs(np.asarray(d32) - np.asarray(dct64)) / np.asarray(dct64)
+    assert np.nanmax(rel) < 0.02
+
+
 def test_static_vectors_give_ct_one(rng):
     # A rigid vector has P2 autocorrelation identically 1.
     v = rng.normal(size=(2, 1, 3, 3))

@@ -91,8 +91,9 @@ def main():
             v = jax.random.normal(key, (G, N, F, 3), dtype=jnp.float32)
             v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
             s = _acf_sums(v, D)  # (G, N, D)
-            per = -0.5 + 1.5 * s / n_vals
-            return acc_s + jnp.sum(per, axis=0), acc_s2 + jnp.sum(per**2, axis=0)
+            # palmer_pooled_stats convention: e = per - 1, e**2.
+            e = -1.5 + 1.5 * s / n_vals
+            return acc_s + jnp.sum(e, axis=0), acc_s2 + jnp.sum(e**2, axis=0)
 
     pair = NucleusPair(time_unit="ps")
     omega = jnp.asarray(pair.omega5(), dtype=jnp.float32)
