@@ -11,16 +11,20 @@ container's CPU at the same canonical chunk size (1000 frames/chunk):
 2.95e5 frames*vectors/s (measured via tools/bench_reference.py).  The
 TPU path computes the identical statistics via batched FFTs.
 
-What is timed: the PRODUCTION streamed group step
+What is timed: the streamed group step
 (ops/autocorr.palmer_group_update_pretiled — fused Pallas ACF kernel +
 per-chunk Palmer statistics folded into running sum/sum-of-squares
-accumulators), exactly the path the >HBM north-star driver runs
-(tools/bench_northstar.py).  Inputs are pre-staged on device in the
-kernel's native (nTiles, 3, nFrames, 128) tile layout — the layout
-production loaders/generators emit (it is only an index reordering at
-ingest) — so the step measures kernel + statistics, not an XLA
-transpose pre-pass.  The pooled finish (palmer_pooled_stats) runs once
-at the end, outside the per-step timing, as in production streaming.
+accumulators), the same compute the >HBM north-star driver runs per
+group (tools/bench_northstar.py).  Inputs are pre-staged on device in
+the kernel's native (nTiles, 3, nFrames, 128) tile layout — the layout
+the north-star's device-side generator emits directly, and which a host
+chunk loader can emit at ingest for free (the reorder is host-side
+indexing, overlapped with file IO); the shipped file-fed stage
+(stage_ct_streamed) computes bond vectors on device in (F, N, 3) and
+pays one in-jit relayout instead.  So this number is the kernel +
+statistics throughput without an XLA transpose pre-pass; see
+docs/PERF.md for the transpose-inclusive step cost.  The pooled finish
+(palmer_pooled_stats) runs once at the end, as in production streaming.
 """
 
 import json
@@ -55,8 +59,9 @@ def main():
     # Timing methodology for the axon-tunnelled TPU: block_until_ready
     # acknowledges before remote execution completes, so we chain all
     # iterations through device-side accumulators and force ONE value
-    # fetch at the end — total wall time then covers every execution plus
-    # a single ~40 ms tunnel round-trip, amortised over n_iter.
+    # fetch at the end — total wall time then covers every execution,
+    # one finish() dispatch (~0.8 ms relay floor), and a single ~40 ms
+    # tunnel round-trip, all amortised over n_iter.
     @jax.jit
     def gen(key):
         v = jax.random.normal(
@@ -77,8 +82,9 @@ def main():
         mean, dct = palmer_pooled_stats(acc_s, acc_s2, count)
         return mean[0, 0] + dct[0, 0]
 
-    # 2*n_iter+1 pre-staged fresh inputs at 32x1000x1024x3 f32 = 393 MB
-    # each: n_iter=10 keeps the resident set ~8 GB, inside v5e HBM.
+    # 2*n_iter+1 pre-staged fresh inputs, each (256, 3, 1000, 128) f32
+    # = 393 MB (the tile layout of 32 chunks x 1000 frames x 1024
+    # bonds): n_iter=10 keeps the resident set ~8 GB, inside v5e HBM.
     n_iter = 10
     seed = int(time.time()) & 0x7FFFFFFF  # defeat any server-side result cache
     keys = jax.random.split(jax.random.PRNGKey(seed), 2 * n_iter + 1)

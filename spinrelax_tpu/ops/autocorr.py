@@ -143,15 +143,23 @@ def _dft_constants(n_frames: int, n_deltas: int, dtype_name: str):
 ACF_IMPL = "auto"
 
 
-def _use_pallas(vecs, n_deltas: int) -> bool:
+def use_pallas_for(dtype, n_frames: int, n_deltas: int) -> bool:
+    """THE dispatch predicate for the fused Pallas kernel — every caller
+    (standard (..., F, 3) layout AND the pretiled tile layout, whose
+    shape[-2] is the lane dim, not F) must route through this single
+    rule so backend selection can never diverge between entry points."""
     from .pallas_acf import supports
 
     return ACF_IMPL == "pallas" or (
         ACF_IMPL == "auto"
-        and vecs.dtype == jnp.float32
+        and dtype == jnp.float32
         and jax.default_backend() == "tpu"
-        and supports(vecs.shape[-2], n_deltas)
+        and supports(n_frames, n_deltas)
     )
+
+
+def _use_pallas(vecs, n_deltas: int) -> bool:
+    return use_pallas_for(vecs.dtype, vecs.shape[-2], n_deltas)
 
 
 def _acf_sums(vecs, n_deltas: int):
@@ -363,6 +371,17 @@ def palmer_pooled_stats(acc_s, acc_s2, count):
     docs/PERF.md round 3); with the shift the squares are variance-sized
     and the cancellation disappears.
 
+    Trade-off (documented, accepted): for per-chunk values clustered
+    near a constant c the f32 noise floor on the variance is
+    ~eps*(c-shift)^2, so shift=1 is better than raw sums whenever
+    c > 0.5 — which covers the regime that matters (early lags / rigid
+    bonds, where C(t) ~ 1 and genuine variance is smallest).  For
+    c < 0.5 (decorrelated lags) the shifted floor is higher than raw,
+    but there the chunk means carry sampling noise ~1/sqrt(n_vals), so
+    genuinely tiny variances do not occur in practice; a per-lag
+    provisional-mean shift would cover both regimes at the cost of the
+    plain-sum associativity the multi-host pooling relies on.
+
     THE single home of the pooled Palmer statistics — in particular the
     reference's sqrt(n)-1 SEM denominator (calculate-Ct-from-traj.py:228,
     a quirk we replicate deliberately; see CLAUDE.md).  Every streamed /
@@ -429,15 +448,7 @@ def palmer_group_update_pretiled(vt, acc_s, acc_s2, n_group: int, n_res: int):
             f"n_group*n_res ({b}) exceeds tile capacity ({n_tiles * 128})"
         )
     n_vals = n_frames - jnp.arange(1, n_deltas + 1, dtype=vt.dtype)
-    from .pallas_acf import supports
-
-    use_pallas = ACF_IMPL == "pallas" or (
-        ACF_IMPL == "auto"
-        and vt.dtype == jnp.float32
-        and jax.default_backend() == "tpu"
-        and supports(n_frames, n_deltas)
-    )
-    if use_pallas:
+    if use_pallas_for(vt.dtype, n_frames, n_deltas):
         from .pallas_acf import acf_sums_pallas
 
         s = acf_sums_pallas(vt, n_deltas, pretiled=True, transpose_out=False)

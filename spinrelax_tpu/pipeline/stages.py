@@ -980,36 +980,32 @@ def stage_ct_streamed(
 
     hist_nb_x, hist_nb_y = hist_bins, hist_bins // 2
 
-    def _accumulate(vec_raw_g, vec_fit_g):
-        """vec_*_g: (g, fpc, nBonds, 3) device arrays for one group."""
-        nonlocal n_chunks_total
+    # ONE jitted program per group: C(t) ACF + Palmer stats + S2 blocks +
+    # average vector + Lambert histogram all update DEVICE-resident
+    # accumulators in a single dispatch (each separate eager op costs a
+    # ~8 ms relay round-trip through the axon tunnel, docs/PERF.md) —
+    # and the histogram pools on device in int32 instead of paying a
+    # device->host fetch per group (spilled to the int64 host total
+    # before any risk of overflow, see _spill_hist).
+    import jax
+
+    @jax.jit
+    def _fused_update(vec_raw_g, vec_fit_g, acc_in):
         g = vec_raw_g.shape[0]
         n_deltas = fpc // 2
         n_vals = fpc - jnp.arange(1, n_deltas + 1, dtype=vec_raw_g.dtype)
+        out = dict(acc_in)
+        extras = {}
 
-        def upd(key, value):
-            if key in acc:
-                acc[key] = acc[key] + value
-            else:
-                acc[key] = value
-
-        if do_ct:
+        if do_ct and mesh is None:
             for key, vv in (("ext", vec_raw_g), ("int", vec_fit_g)):
-                if mesh is not None:
-                    st = ct_streams.get(key)
-                    if st is None:
-                        from ..parallel.streamed import ShardedCtStream
-
-                        st = ct_streams[key] = ShardedCtStream(
-                            mesh, fpc, vv.shape[2], dtype=vv.dtype
-                        )
-                    st.update(vv)
-                else:
-                    s = autocorr._acf_sums(jnp.swapaxes(vv, 1, 2), n_deltas)
-                    # palmer_pooled_stats convention: e = per - 1, e**2.
-                    e = -1.5 + 1.5 * s / n_vals  # (g, nBonds, nDeltas)
-                    upd(f"ct_{key}_s", jnp.sum(e, axis=0))
-                    upd(f"ct_{key}_s2", jnp.sum(e**2, axis=0))
+                s = autocorr._acf_sums(jnp.swapaxes(vv, 1, 2), n_deltas)
+                # palmer_pooled_stats convention: e = per - 1, e**2.
+                e = -1.5 + 1.5 * s / n_vals  # (g, nBonds, nDeltas)
+                out[f"ct_{key}_s"] = acc_in[f"ct_{key}_s"] + jnp.sum(e, axis=0)
+                out[f"ct_{key}_s2"] = acc_in[f"ct_{key}_s2"] + jnp.sum(
+                    e**2, axis=0
+                )
 
         flat = vec_fit_g.reshape(-1, vec_fit_g.shape[-2], 3)
         if q_rot_j is not None:
@@ -1021,34 +1017,96 @@ def stage_ct_streamed(
                                precision=_HI) / fpc
             # palmer_pooled_stats convention: e = S2_block - 1, e**2.
             e2b = 1.5 * jnp.sum(outer**2, axis=(-2, -1)) - 1.5  # (g, nBonds)
-            upd("s2_s", jnp.sum(e2b, axis=0))
-            upd("s2_s2", jnp.sum(e2b**2, axis=0))
+            out["s2_s"] = acc_in["s2_s"] + jnp.sum(e2b, axis=0)
+            out["s2_s2"] = acc_in["s2_s2"] + jnp.sum(e2b**2, axis=0)
 
         if do_vec_avg:
-            upd("vec_sum", jnp.sum(flat, axis=0))
+            out["vec_sum"] = acc_in["vec_sum"] + jnp.sum(flat, axis=0)
 
         if do_vec_dist:
             if vec_storage == "Histogram":
                 per_res = jnp.swapaxes(flat, 0, 1)  # (nBonds, frames, 3)
-                h, ep, ec = geometry.lambert_histogram(per_res, hist_nb_x, hist_nb_y)
-                # pool across chunks in int64 on the host: a >RAM stream
-                # can exceed int32 (and would saturate f32 at 2^24)
-                upd("hist", np.asarray(h, dtype=np.int64))
-                acc.setdefault("edges", (np.asarray(ep), np.asarray(ec)))
+                h, ep, ec = geometry.lambert_histogram(
+                    per_res, hist_nb_x, hist_nb_y
+                )
+                out["hist"] = acc_in["hist"] + jnp.asarray(h, jnp.int32)
+                extras["edges"] = (ep, ec)
             else:
-                nonlocal pt_writer
-                if pt_writer is None:
-                    if vec_storage == "PhiTheta":
-                        pt_writer = vecio.PhiThetaStreamWriter(
-                            out_prefix + "_vecPhiTheta.npz", res_ids, fmt="npz"
-                        )
-                    elif vec_storage == "TextPhiTheta":
-                        pt_writer = vecio.PhiThetaStreamWriter(
-                            out_prefix + "_vecPhiTheta.dat", res_ids, fmt="text"
-                        )
-                    else:
-                        raise ValueError(f"unknown vec_storage {vec_storage!r}")
-                pt_writer.append(np.asarray(geometry.xyz_to_pt(flat)))
+                extras["pt"] = geometry.xyz_to_pt(flat)
+        return out, extras
+
+    def _init_accs(n_bonds, dtype):
+        n_deltas = fpc // 2
+        z = {}
+        if do_ct and mesh is None:
+            for key in ("ext", "int"):
+                z[f"ct_{key}_s"] = jnp.zeros((n_bonds, n_deltas), dtype)
+                z[f"ct_{key}_s2"] = jnp.zeros((n_bonds, n_deltas), dtype)
+        if do_s2:
+            z["s2_s"] = jnp.zeros((n_bonds,), dtype)
+            z["s2_s2"] = jnp.zeros((n_bonds,), dtype)
+        if do_vec_avg:
+            z["vec_sum"] = jnp.zeros((n_bonds, 3), dtype)
+        if do_vec_dist and vec_storage == "Histogram":
+            z["hist"] = jnp.zeros(
+                (n_bonds, hist_nb_x, hist_nb_y), jnp.int32
+            )
+        return z
+
+    def _spill_hist():
+        """Fold the int32 device histogram into the int64 host total and
+        zero the device accumulator (a >RAM stream can exceed int32; the
+        worst case is every frame of one bond in one bin, so spilling
+        while frames-since-spill < 2^31 is always safe)."""
+        nonlocal hist_host
+        if "hist" in acc:
+            h = np.asarray(acc["hist"], dtype=np.int64)
+            hist_host = h if hist_host is None else hist_host + h
+            acc["hist"] = jnp.zeros_like(acc["hist"])
+
+    hist_host = None
+    frames_since_spill = 0
+
+    def _accumulate(vec_raw_g, vec_fit_g):
+        """vec_*_g: (g, fpc, nBonds, 3) device arrays for one group."""
+        nonlocal n_chunks_total, pt_writer, frames_since_spill
+        g = vec_raw_g.shape[0]
+
+        if do_ct and mesh is not None:
+            for key, vv in (("ext", vec_raw_g), ("int", vec_fit_g)):
+                st = ct_streams.get(key)
+                if st is None:
+                    from ..parallel.streamed import ShardedCtStream
+
+                    st = ct_streams[key] = ShardedCtStream(
+                        mesh, fpc, vv.shape[2], dtype=vv.dtype
+                    )
+                st.update(vv)
+
+        if not acc:
+            acc.update(_init_accs(vec_raw_g.shape[2], vec_raw_g.dtype))
+        new_acc, extras = _fused_update(vec_raw_g, vec_fit_g, dict(acc))
+        acc.update(new_acc)
+        if "edges" in extras and "edges" not in acc:
+            ep, ec = extras["edges"]
+            acc["edges"] = (np.asarray(ep), np.asarray(ec))
+        if "pt" in extras:
+            if pt_writer is None:
+                if vec_storage == "PhiTheta":
+                    pt_writer = vecio.PhiThetaStreamWriter(
+                        out_prefix + "_vecPhiTheta.npz", res_ids, fmt="npz"
+                    )
+                elif vec_storage == "TextPhiTheta":
+                    pt_writer = vecio.PhiThetaStreamWriter(
+                        out_prefix + "_vecPhiTheta.dat", res_ids, fmt="text"
+                    )
+                else:
+                    raise ValueError(f"unknown vec_storage {vec_storage!r}")
+            pt_writer.append(np.asarray(extras["pt"]))
+        frames_since_spill += g * fpc
+        if frames_since_spill > 2**31 - 2**24:
+            _spill_hist()
+            frames_since_spill = 0
         n_chunks_total += g
 
     for trj_fn, ref_fn in zip(traj_files, ref_pdbs):
@@ -1133,7 +1191,8 @@ def stage_ct_streamed(
 
     if do_vec_dist:
         if vec_storage == "Histogram":
-            hist = np.asarray(acc["hist"])
+            _spill_hist()  # fold the device int32 into the int64 total
+            hist = hist_host
             ep, ec = acc["edges"]
             vecio.save_histogram(out_prefix + "_vecHistogram.npz", res_ids, hist, ep, ec)
             out["vec_file"] = out_prefix + "_vecHistogram.npz"

@@ -55,7 +55,12 @@ def test_constants_layout():
 def test_vmem_guard():
     # Canonical production shape fits ...
     assert pallas_acf.supports(1000, 500)
-    # ... huge memory-time chunks fall back to the XLA chain ...
+    # ... the 64 MiB vmem_limit_bytes unlock admits t_mem=20ns chunks
+    # (hardware-validated at canonical accuracy, docs/PERF.md round 3) ...
+    assert pallas_acf.supports(2000, 1000)
+    # ... but F=3000 (est. 74 MB) and huge memory-time chunks must keep
+    # falling back to the XLA chain ...
+    assert not pallas_acf.supports(3000, 1500)
     assert not pallas_acf.supports(20000, 10000)
     # ... as do chunks shorter than the padded correction rows.
     assert not pallas_acf.supports(4, 2)
