@@ -47,7 +47,8 @@ def rtp_to_xyz(rtp):
     )
 
 
-def lambert_histogram(vecs, bins_phi: int = 72, bins_cos: int = 36):
+def lambert_histogram(vecs, bins_phi: int = 72, bins_cos: int = 36,
+                      valid=None):
     """2D histogram over (phi, cos(theta)) — the Lambert cylindrical
     projection, equal-area so bin occupancies are comparable
     (calculate-Ct-from-traj.py:609-636).
@@ -56,6 +57,10 @@ def lambert_histogram(vecs, bins_phi: int = 72, bins_cos: int = 36):
     ----------
     vecs : (..., nSamples, 3) unit vectors; the histogram is taken over the
         second-to-last axis independently for each leading index.
+    valid : optional bool mask broadcastable to (..., nSamples); False
+        samples are discarded (scattered into a dropped overflow slot) —
+        used by fixed-shape streaming callers that zero-pad partial
+        chunk groups (stages.stage_ct_streamed).
 
     Returns
     -------
@@ -75,6 +80,11 @@ def lambert_histogram(vecs, bins_phi: int = 72, bins_cos: int = 36):
     flat = ix * bins_cos + iy
 
     nbins = bins_phi * bins_cos
+    n_slots = nbins
+    if valid is not None:
+        mask = jnp.broadcast_to(jnp.asarray(valid, bool), flat.shape)
+        flat = jnp.where(mask, flat, nbins)  # discard slot
+        n_slots = nbins + 1
     lead_shape = flat.shape[:-1]
     flat2 = flat.reshape((-1, flat.shape[-1]))
     # Vectorised scatter-add over leading axes without a Python loop.
@@ -82,10 +92,10 @@ def lambert_histogram(vecs, bins_phi: int = 72, bins_cos: int = 36):
     # saturate at 2^24 (+1.0 becomes a no-op), which the streamed >RAM
     # trajectory path would hit silently on long rigid bonds (callers
     # that pool chunk histograms should pool in int64/f64).
-    hist = jnp.zeros((flat2.shape[0], nbins), dtype=jnp.int32)
+    hist = jnp.zeros((flat2.shape[0], n_slots), dtype=jnp.int32)
     rows = jnp.arange(flat2.shape[0])[:, None]
     hist = hist.at[rows, flat2].add(1)
-    hist = hist.reshape(lead_shape + (bins_phi, bins_cos))
+    hist = hist[:, :nbins].reshape(lead_shape + (bins_phi, bins_cos))
 
     edges_phi = jnp.linspace(-jnp.pi, jnp.pi, bins_phi + 1)
     edges_cos = jnp.linspace(-1.0, 1.0, bins_cos + 1)

@@ -109,6 +109,21 @@ def write_colvar(fn: str, field_names: List[str], data: np.ndarray):
             print(" ".join("%8f" % data[j][i] for j in range(data.shape[0])), file=fp)
 
 
+def count_colvar_rows(fn: str) -> int:
+    """Count data rows of a colvar file at I/O speed (no float parsing;
+    same skip rules as the readers: '#' and blank lines ignored) — the
+    cheap pre-pass the streamed Delta-q error path needs, since the
+    reference's sub-chunk blocking is defined on the TOTAL length
+    (calculate-dq-distribution.py:128-144)."""
+    n = 0
+    with open(fn) as fp:
+        for line in fp:
+            if line.startswith("#") or not line.strip():
+                continue
+            n += 1
+    return n
+
+
 def iter_colvar_chunks(fn: str, chunk_frames: int = 65536):
     """Lazily yield (field_names, (n, nFields) array) blocks of a colvar
     file, never holding more than chunk_frames rows in memory.  Feeds the

@@ -248,15 +248,25 @@ def stage_dq(
             if n_chunks > 0:
                 # Sub-chunk uncertainties need the total length up front
                 # (the reference's blocking is defined on it, calculate-
-                # dq-distribution.py:128-144): one cheap counting pre-pass.
-                n_total = sum(
-                    block.shape[0]
-                    for _, block in colvario.iter_colvar_chunks(
-                        colvar_file, stream_chunk
-                    )
-                )
+                # dq-distribution.py:128-144): one counting pre-pass at
+                # I/O speed — no float parsing (the old pre-pass
+                # loadtxt-parsed the whole file twice).
+                n_total = colvario.count_colvar_rows(colvar_file)
+            if stream_chunk < 2:
+                # delta_t is inferred from the first block's first two
+                # rows, and one-row chunks would make every lag span
+                # block boundaries anyway.
+                raise ValueError("--stream chunk size must be >= 2")
             it = colvario.iter_colvar_chunks(colvar_file, stream_chunk)
-            fields0, first = next(it)
+            try:
+                fields0, first = next(it)
+            except StopIteration:
+                raise ValueError(f"{colvar_file!r}: no data rows") from None
+            if first.shape[0] < 2:
+                raise ValueError(
+                    f"{colvar_file!r}: need >= 2 data rows to infer the "
+                    "timestep"
+                )
             delta_t = float(first[1, 0] - first[0, 0])
 
             def q_chunks():
@@ -285,19 +295,23 @@ def stage_dq(
 
     iso_hdr, aniso_hdr = _format_dq_headers(res)
     x = res.lag_times
-    iso_model = np.asarray(dqops.isotropic_decay(jnp.asarray(x), res.iso_tau))
-    if not do_iso:
-        pass
-    elif res.iso_chunks.size:
-        groups = [np.stack([res.iso, iso_model])]
-        for i in range(res.iso_chunks.shape[0]):
-            cm = np.asarray(
-                dqops.isotropic_decay(jnp.asarray(x), res.iso_tau_chunks[i])
+    if do_iso:
+        iso_model = np.asarray(
+            dqops.isotropic_decay(jnp.asarray(x), res.iso_tau)
+        )
+        if res.iso_chunks.size:
+            groups = [np.stack([res.iso, iso_model])]
+            for i in range(res.iso_chunks.shape[0]):
+                cm = np.asarray(
+                    dqops.isotropic_decay(jnp.asarray(x), res.iso_tau_chunks[i])
+                )
+                groups.append(np.stack([res.iso_chunks[i], cm]))
+            _print_graphs(out_prefix + "-iso.dat", iso_hdr, x, groups)
+        else:
+            _print_graphs(
+                out_prefix + "-iso.dat", iso_hdr, x,
+                [np.stack([res.iso, iso_model])],
             )
-            groups.append(np.stack([res.iso_chunks[i], cm]))
-        _print_graphs(out_prefix + "-iso.dat", iso_hdr, x, groups)
-    else:
-        _print_graphs(out_prefix + "-iso.dat", iso_hdr, x, [np.stack([res.iso, iso_model])])
 
     if do_aniso:
         aniso_models = np.asarray(
@@ -350,7 +364,9 @@ def stage_dq(
         lags = np.rint(res.lag_times / delta_t).astype(int)
         hedges = tuple(np.linspace(-1.0, 1.0, hist_bins + 1) for _ in range(3))
         for li, delta in enumerate(lags):
-            if res.hist is not None:  # streamed: accumulated counts
+            if res.hist is not None:
+                # streamed: analyse_dq_streamed already density-normalised
+                # the pooled counts (ops/dq.py) — do NOT normalise again.
                 hist = res.hist[li]
             else:
                 v = dqops.dq_vectors(np.asarray(q, dtype=np.float64), int(delta))
@@ -411,6 +427,11 @@ def stage_ct(
         fit_idx = top.select(fit_sel)
         w = np.zeros(top.n_atoms)
         w[fit_idx] = 1.0
+        if timestep is None and trj_fn.endswith(".npy"):
+            raise ValueError(
+                f"{trj_fn!r}: bare .npy carries no time axis — pass "
+                "timestep explicitly"
+            )
         xyz, dt = trajio.load_trajectory(trj_fn, top_fn=ref_fn)
         if timestep is not None:
             dt = timestep
@@ -420,7 +441,12 @@ def stage_ct(
         )
         if res_ids is None:
             res_ids, delta_t = list(res_h), dt
-        elif list(res_h) != res_ids or dt != delta_t:
+        elif list(res_h) != res_ids or (
+            # Relative tolerance, not exact equality: f32 timestamps of a
+            # late-starting segment differ in the last ulp (same fix as
+            # the streamed path below).
+            abs(dt - delta_t) > 1e-9 * max(abs(dt), abs(delta_t))
+        ):
             raise ValueError("trajectories disagree in residues or timestep")
         vec_raw_list.append(np.asarray(bv.raw))
         vec_fit_list.append(np.asarray(bv.fitted))
@@ -729,16 +755,20 @@ def stage_relax(
         )
         omega = np.abs(np.asarray(pair.omega5()))
         order = np.argsort(omega)
+        # ONE device fetch each — per-element J[i, j] reads would pay a
+        # ~8 ms relay round-trip per value through the axon tunnel.
+        J_np = np.asarray(J)
+        dJ_np = None if dJ is None else np.asarray(dJ)
         with open(out_prefix + "_Jw.dat", "w") as fp:
-            if dJ is not None:
+            if dJ_np is not None:
                 print("@type xydy", file=fp)
             for i, rid in enumerate(sim_resid):
                 print('@s%d legend "Resid: %s"' % (i, rid), file=fp)
                 for j in order:
-                    if dJ is not None:
-                        print("%g %g %g" % (omega[j], J[i, j], np.asarray(dJ)[i, j]), file=fp)
+                    if dJ_np is not None:
+                        print("%g %g %g" % (omega[j], J_np[i, j], dJ_np[i, j]), file=fp)
                     else:
-                        print("%g %g" % (omega[j], np.asarray(J)[i, j]), file=fp)
+                        print("%g %g" % (omega[j], J_np[i, j]), file=fp)
                 print("&", file=fp)
         return J
 
@@ -990,7 +1020,12 @@ def stage_ct_streamed(
     import jax
 
     @jax.jit
-    def _fused_update(vec_raw_g, vec_fit_g, acc_in):
+    def _fused_update(vec_raw_g, vec_fit_g, w_g, acc_in):
+        # w_g: (g,) 1.0 for real chunks, 0.0 for the zero-padded tail
+        # chunks of a partial final group — padding keeps ONE compiled
+        # program for every group (a changed g would recompile the whole
+        # fused program, minutes of remote AOT through the axon tunnel;
+        # same zero-weight trick as ShardedCtStream).
         g = vec_raw_g.shape[0]
         n_deltas = fpc // 2
         n_vals = fpc - jnp.arange(1, n_deltas + 1, dtype=vec_raw_g.dtype)
@@ -1002,14 +1037,18 @@ def stage_ct_streamed(
                 s = autocorr._acf_sums(jnp.swapaxes(vv, 1, 2), n_deltas)
                 # palmer_pooled_stats convention: e = per - 1, e**2.
                 e = -1.5 + 1.5 * s / n_vals  # (g, nBonds, nDeltas)
-                out[f"ct_{key}_s"] = acc_in[f"ct_{key}_s"] + jnp.sum(e, axis=0)
+                w = w_g[:, None, None]
+                out[f"ct_{key}_s"] = acc_in[f"ct_{key}_s"] + jnp.sum(
+                    w * e, axis=0
+                )
                 out[f"ct_{key}_s2"] = acc_in[f"ct_{key}_s2"] + jnp.sum(
-                    e**2, axis=0
+                    w * e**2, axis=0
                 )
 
         flat = vec_fit_g.reshape(-1, vec_fit_g.shape[-2], 3)
         if q_rot_j is not None:
             flat = qt.rotate_vector(flat, q_rot_j)
+        wf = jnp.repeat(w_g, fpc)  # per-frame weights
 
         if do_s2:
             blocks = flat.reshape(g, fpc, flat.shape[-2], 3)
@@ -1017,17 +1056,21 @@ def stage_ct_streamed(
                                precision=_HI) / fpc
             # palmer_pooled_stats convention: e = S2_block - 1, e**2.
             e2b = 1.5 * jnp.sum(outer**2, axis=(-2, -1)) - 1.5  # (g, nBonds)
-            out["s2_s"] = acc_in["s2_s"] + jnp.sum(e2b, axis=0)
-            out["s2_s2"] = acc_in["s2_s2"] + jnp.sum(e2b**2, axis=0)
+            out["s2_s"] = acc_in["s2_s"] + jnp.sum(w_g[:, None] * e2b, axis=0)
+            out["s2_s2"] = acc_in["s2_s2"] + jnp.sum(
+                w_g[:, None] * e2b**2, axis=0
+            )
 
         if do_vec_avg:
-            out["vec_sum"] = acc_in["vec_sum"] + jnp.sum(flat, axis=0)
+            out["vec_sum"] = acc_in["vec_sum"] + jnp.sum(
+                wf[:, None, None] * flat, axis=0
+            )
 
         if do_vec_dist:
             if vec_storage == "Histogram":
                 per_res = jnp.swapaxes(flat, 0, 1)  # (nBonds, frames, 3)
                 h, ep, ec = geometry.lambert_histogram(
-                    per_res, hist_nb_x, hist_nb_y
+                    per_res, hist_nb_x, hist_nb_y, valid=(wf > 0)[None, :]
                 )
                 out["hist"] = acc_in["hist"] + jnp.asarray(h, jnp.int32)
                 extras["edges"] = (ep, ec)
@@ -1065,11 +1108,13 @@ def stage_ct_streamed(
             acc["hist"] = jnp.zeros_like(acc["hist"])
 
     hist_host = None
+    hist_edges = None  # host-side: NOT in acc — acc is the jit pytree,
+    # and growing it after group 1 would retrace the fused program.
     frames_since_spill = 0
 
     def _accumulate(vec_raw_g, vec_fit_g):
         """vec_*_g: (g, fpc, nBonds, 3) device arrays for one group."""
-        nonlocal n_chunks_total, pt_writer, frames_since_spill
+        nonlocal n_chunks_total, pt_writer, frames_since_spill, hist_edges
         g = vec_raw_g.shape[0]
 
         if do_ct and mesh is not None:
@@ -1085,11 +1130,22 @@ def stage_ct_streamed(
 
         if not acc:
             acc.update(_init_accs(vec_raw_g.shape[2], vec_raw_g.dtype))
-        new_acc, extras = _fused_update(vec_raw_g, vec_fit_g, dict(acc))
+        # Zero-pad a partial final group to the fixed group size so the
+        # fused program never recompiles; padded chunks carry weight 0.
+        g_pad = chunk_groups - g
+        if g_pad > 0:
+            z = jnp.zeros((g_pad,) + vec_raw_g.shape[1:], vec_raw_g.dtype)
+            vec_raw_g = jnp.concatenate([vec_raw_g, z], axis=0)
+            vec_fit_g = jnp.concatenate([vec_fit_g, z], axis=0)
+        w_g = jnp.asarray(
+            np.concatenate([np.ones(g), np.zeros(max(g_pad, 0))]),
+            dtype=vec_raw_g.dtype,
+        )
+        new_acc, extras = _fused_update(vec_raw_g, vec_fit_g, w_g, dict(acc))
         acc.update(new_acc)
-        if "edges" in extras and "edges" not in acc:
+        if "edges" in extras and hist_edges is None:
             ep, ec = extras["edges"]
-            acc["edges"] = (np.asarray(ep), np.asarray(ec))
+            hist_edges = (np.asarray(ep), np.asarray(ec))
         if "pt" in extras:
             if pt_writer is None:
                 if vec_storage == "PhiTheta":
@@ -1102,7 +1158,8 @@ def stage_ct_streamed(
                     )
                 else:
                     raise ValueError(f"unknown vec_storage {vec_storage!r}")
-            pt_writer.append(np.asarray(extras["pt"]))
+            # Slice off the zero-padded tail frames before writing.
+            pt_writer.append(np.asarray(extras["pt"])[: g * fpc])
         frames_since_spill += g * fpc
         if frames_since_spill > 2**31 - 2**24:
             _spill_hist()
@@ -1119,6 +1176,13 @@ def stage_ct_streamed(
         ref_j = jnp.asarray(ref_xyz[0])
         ih, ix = jnp.asarray(idx_h), jnp.asarray(idx_x)
 
+        if timestep is None and trj_fn.endswith(".npy"):
+            # A bare .npy has no time axis: iter_trajectory would echo a
+            # silent 1.0 ps back, mis-scaling fpc and every lag time.
+            raise ValueError(
+                f"{trj_fn!r}: bare .npy carries no time axis — pass "
+                "timestep explicitly"
+            )
         # Probe the timestep with a single-frame read (each iter_trajectory
         # call restarts the file, so the probe consumes nothing).
         _, dt = next(
@@ -1165,12 +1229,11 @@ def stage_ct_streamed(
     if do_ct:
         for key, suffix in (("ext", "_Ctext.dat"), ("int", "_Ctint.dat")):
             if mesh is not None:
-                acc_s, acc_s2, cnt = ct_streams[key].accumulators()
-                nb = len(res_ids)
-                mean, dct = autocorr.palmer_pooled_stats(
-                    jnp.asarray(acc_s)[:nb], jnp.asarray(acc_s2)[:nb],
-                    float(cnt),
-                )
+                # finalize() owns the padded-row slicing + pooling; its
+                # (nDeltas, nRes) orientation transposes to the bond-
+                # leading layout the writers use.
+                ct_mean, ct_dct = ct_streams[key].finalize()
+                mean, dct = ct_mean.T, ct_dct.T
             else:
                 mean, dct = autocorr.palmer_pooled_stats(
                     jnp.asarray(acc[f"ct_{key}_s"]),
@@ -1193,7 +1256,7 @@ def stage_ct_streamed(
         if vec_storage == "Histogram":
             _spill_hist()  # fold the device int32 into the int64 total
             hist = hist_host
-            ep, ec = acc["edges"]
+            ep, ec = hist_edges
             vecio.save_histogram(out_prefix + "_vecHistogram.npz", res_ids, hist, ep, ec)
             out["vec_file"] = out_prefix + "_vecHistogram.npz"
         elif pt_writer is not None:

@@ -51,6 +51,44 @@ def test_streamed_matches_inmemory(tmp_path, rng):
 
 
 @pytest.mark.slow
+def test_streamed_partial_tail_group_matches_inmemory(tmp_path, rng):
+    """A final group smaller than chunk_groups (2000 frames at fpc=400
+    with chunk_groups=3: groups of 3 then 2 chunks) is zero-padded with
+    weight-0 chunks so ONE compiled program serves every group; the
+    statistics, integer histogram counts (padding must scatter into the
+    discard slot, not a real bin) and average vector still match the
+    in-memory stage exactly."""
+    ref_fn, trj_fn, _ = build_synthetic_system(
+        tmp_path, rng, n_res=4, n_frames=2000
+    )
+    full = stage_ct(
+        [trj_fn], [ref_fn], str(tmp_path / "full"), tau_memory=400.0,
+        vec_storage="Histogram",
+    )
+    streamed = stage_ct_streamed(
+        [trj_fn], [ref_fn], str(tmp_path / "str"), tau_memory=400.0,
+        chunk_groups=3,
+    )
+    for k in ("Ct", "dCt", "S2", "avgvec"):
+        np.testing.assert_allclose(
+            np.asarray(streamed[k]), np.asarray(full[k]), atol=2e-5,
+            err_msg=k,
+        )
+    h1 = np.load(str(tmp_path / "full_vecHistogram.npz"), allow_pickle=True)["data"]
+    h2 = np.load(str(tmp_path / "str_vecHistogram.npz"), allow_pickle=True)["data"]
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
+    # Bare .npy without a timestep must error loudly, not silently
+    # assume 1.0 ps (the docstring contract).
+    npy_fn = str(tmp_path / "bare.npy")
+    np.save(npy_fn, np.zeros((8, 4, 3), np.float32))
+    with pytest.raises(ValueError, match="time axis"):
+        stage_ct_streamed(
+            [npy_fn], [ref_fn], str(tmp_path / "bad"), tau_memory=400.0
+        )
+
+
+@pytest.mark.slow
 def test_streamed_npy_memmap(tmp_path, rng):
     """Bare .npy trajectory (the out-of-core format) through the streamed
     stage with an explicit timestep."""
