@@ -130,6 +130,24 @@ def _eval_all(es: ExperimentSet, diso, aniso, zeta, csa):
     return out
 
 
+def _combined_weight(e, dv, like):
+    """The reference's composite error weight dTarget^2 + dSim^2 with
+    the both-absent -> 1.0 and nonpositive -> 1.0 fallbacks
+    (spectral_densities.py:803-818).  THE single home of this 4-branch
+    rule: chisq_total and residuals_total must stay exactly equal
+    (chisq_total == sum(residuals^2) is the invariant the on-device LM
+    relies on), so both call here."""
+    if e.error is not None and dv is not None:
+        w = jnp.asarray(e.error) ** 2 + dv**2
+    elif dv is None and e.error is not None:
+        w = jnp.asarray(e.error) ** 2
+    elif e.error is None and dv is not None:
+        w = dv**2
+    else:
+        w = jnp.ones_like(like)
+    return jnp.where(w > 0, w, 1.0)
+
+
 def chisq_total(es: ExperimentSet, diso, aniso, zeta, csa):
     """Reference chi-square: per-experiment masked mean of
     (v-t)^2 / (dTarget^2 + dSim^2), summed over experiments / nExpt
@@ -140,15 +158,7 @@ def chisq_total(es: ExperimentSet, diso, aniso, zeta, csa):
         m = jnp.asarray(e.mask)
         t = jnp.asarray(e.target)
         sq = (v - t) ** 2
-        if e.error is not None and dv is not None:
-            w = jnp.asarray(e.error) ** 2 + dv**2
-        elif dv is None and e.error is not None:
-            w = jnp.asarray(e.error) ** 2
-        elif e.error is None and dv is not None:
-            w = dv**2
-        else:
-            w = jnp.ones_like(sq)
-        w = jnp.where(w > 0, w, 1.0)
+        w = _combined_weight(e, dv, sq)
         total = total + jnp.sum(m * sq / w) / jnp.maximum(jnp.sum(m), 1.0)
     return total / len(es.experiments)
 
@@ -163,15 +173,7 @@ def residuals_total(es: ExperimentSet, diso, aniso, zeta, csa):
     for e, (v, dv) in zip(es.experiments, preds):
         m = jnp.asarray(e.mask)
         t = jnp.asarray(e.target)
-        if e.error is not None and dv is not None:
-            w = jnp.asarray(e.error) ** 2 + dv**2
-        elif dv is None and e.error is not None:
-            w = jnp.asarray(e.error) ** 2
-        elif e.error is None and dv is not None:
-            w = dv**2
-        else:
-            w = jnp.ones_like(v)
-        w = jnp.where(w > 0, w, 1.0)
+        w = _combined_weight(e, dv, v)
         norm = jnp.maximum(jnp.sum(m), 1.0) * n_e
         # sqrt(m/norm) is parameter-independent (w is not): keeping the
         # mask OUTSIDE the w-bearing factor keeps the jacobian of masked

@@ -151,6 +151,54 @@ def _init_multiexp(dt, decay, K: int, s2_free: bool, n_sample: int = 10):
     return Cs, taus, S2
 
 
+def _finalise_multiexp(dt, y, sg, C, tau, S2, dC, dtau, dS2, C0, S20,
+                       s2_free: bool):
+    """Shared finalisation of one dense multi-exp solution — THE single
+    home of the sort/selection-chisq/validity-flag logic: the DoF ladder
+    (expfit.fit_ct_ladder) keys model selection on these outputs, so
+    fit_multiexp and fit_multiexp_varpro must produce them identically
+    or selection diverges between optimisers.
+
+    - Sort fast-to-slow (fitting_Ct_functions.py:203-209).
+    - Reference-style selection chi-square (fitting_Ct_functions.py:
+      272-276): mean(sq) unweighted or mean(sq / dDecay) [sic: sigma not
+      squared]; mean(sq/sg) IS mean(sq) when sg == 1 (the unweighted
+      case the reference reaches via dDecay=None) — no branch needed.
+    - "Fit failed" mirrors the reference's criterion — curve_fit
+      raising / returning non-finite params (fitting_Ct_functions.py:
+      321-325) — NOT the optimiser's convergence flag: scipy happily
+      returns unconverged-but-finite fits and the reference accepts
+      them, so LM convergence must not enter this flag.
+    - Replicated reference quirk (fitting_Ct_functions.py:332-341): the
+      sum>1 check runs BEFORE set_params_from_list, i.e. on the PRE-fit
+      values — exactly 1.0 for non-S2fast rungs (S2 was just recomputed
+      as 1-sum(stale C)) and the initial guesses otherwise — so
+      marginally-over-1 FITTED sums are accepted and the DoF ladder
+      does not stop a rung early.
+    """
+    order = jnp.argsort(tau)
+    C, tau, dC, dtau = C[order], tau[order], dC[order], dtau[order]
+
+    model = S2 + jnp.sum(
+        C[:, None] * jnp.exp(-dt[None, :] / tau[:, None]), axis=0
+    )
+    chisq = jnp.mean((model - y) ** 2 / sg)
+
+    params_vec = jnp.concatenate(
+        [C, tau, jnp.atleast_1d(S2) if s2_free else jnp.zeros(0)]
+    )
+    perr_vec = jnp.concatenate(
+        [dC, dtau, jnp.atleast_1d(dS2) if s2_free else jnp.zeros(0)]
+    )
+    ok_fit = jnp.all(jnp.isfinite(params_vec))
+    ok_err = ~jnp.any(perr_vec > params_vec)
+    if s2_free:
+        ok_sum = (S20 + jnp.sum(C0)) <= 1.0 + 1e-12
+    else:
+        ok_sum = jnp.asarray(True)
+    return C, tau, S2, dC, dtau, dS2, chisq, ok_fit, ok_err, ok_sum
+
+
 @partial(jax.jit, static_argnames=("K", "s2_free"))
 def fit_multiexp(dt, decay, sigma, K: int, s2_free: bool) -> MultiExpFit:
     """Fit a batch of decay curves with K transient components.
@@ -165,7 +213,6 @@ def fit_multiexp(dt, decay, sigma, K: int, s2_free: bool) -> MultiExpFit:
     decay = jnp.asarray(decay)
     sigma = jnp.asarray(sigma)
     tau_max = dt[-1] * 10.0
-    n_par = 2 * K + (1 if s2_free else 0)
 
     def fit_one(y, sg):
         C0, tau0, S20 = _init_multiexp(dt, y, K, s2_free)
@@ -186,38 +233,9 @@ def fit_multiexp(dt, decay, sigma, K: int, s2_free: bool) -> MultiExpFit:
         dC = res.perr[:K]
         dtau = res.perr[K : 2 * K]
         dS2 = res.perr[-1] if s2_free else jnp.asarray(0.0, C.dtype)
-        # Sort fast-to-slow (fitting_Ct_functions.py:203-209).
-        order = jnp.argsort(tau)
-        C, tau, dC, dtau = C[order], tau[order], dC[order], dtau[order]
-
-        # Reference-style selection chi-square (fitting_Ct_functions.py:272-276):
-        # mean(sq) unweighted or mean(sq / dDecay)  [sic: sigma not squared].
-        model = S2 + jnp.sum(C[:, None] * jnp.exp(-dt[None, :] / tau[:, None]), axis=0)
-        sq = (model - y) ** 2
-        # mean(sq/sg) IS mean(sq) when sg == 1 (the unweighted case the
-        # reference reaches via dDecay=None) — no branch needed.
-        chisq = jnp.mean(sq / sg)
-
-        params_vec = jnp.concatenate([C, tau, jnp.atleast_1d(S2) if s2_free else jnp.zeros(0)])
-        perr_vec = jnp.concatenate([dC, dtau, jnp.atleast_1d(dS2) if s2_free else jnp.zeros(0)])
-        # "Fit failed" mirrors the reference's criterion — curve_fit
-        # raising / returning non-finite params (fitting_Ct_functions.py:
-        # 321-325) — NOT the optimiser's convergence flag: scipy happily
-        # returns unconverged-but-finite fits and the reference accepts
-        # them, so LM convergence must not enter this flag.
-        ok_fit = jnp.all(jnp.isfinite(params_vec))
-        ok_err = ~jnp.any(perr_vec > params_vec)
-        # Replicated reference quirk (fitting_Ct_functions.py:332-341):
-        # the sum>1 check runs BEFORE set_params_from_list, i.e. on the
-        # PRE-fit values — exactly 1.0 for non-S2fast rungs (S2 was just
-        # recomputed as 1-sum(stale C)) and the initial guesses
-        # otherwise — so marginally-over-1 FITTED sums are accepted and
-        # the DoF ladder does not stop a rung early.
-        if s2_free:
-            ok_sum = (S20 + jnp.sum(C0)) <= 1.0 + 1e-12
-        else:
-            ok_sum = jnp.asarray(True)
-        return C, tau, S2, dC, dtau, dS2, chisq, ok_fit, ok_err, ok_sum
+        return _finalise_multiexp(
+            dt, y, sg, C, tau, S2, dC, dtau, dS2, C0, S20, s2_free
+        )
 
     out = jax.vmap(fit_one)(decay, sigma)
     return MultiExpFit(*out)
@@ -317,30 +335,9 @@ def fit_multiexp_varpro(
         dC = perr[:K]
         dtau = perr[K : 2 * K]
         dS2 = perr[-1] if s2_free else jnp.asarray(0.0, C.dtype)
-
-        order = jnp.argsort(tau)
-        C, tau, dC, dtau = C[order], tau[order], dC[order], dtau[order]
-
-        model = S2 + jnp.sum(
-            C[:, None] * jnp.exp(-dt[None, :] / tau[:, None]), axis=0
+        return _finalise_multiexp(
+            dt, y, sg, C, tau, S2, dC, dtau, dS2, C0, S20, s2_free
         )
-        chisq = jnp.mean((model - y) ** 2 / sg)
-
-        params_vec = jnp.concatenate(
-            [C, tau, jnp.atleast_1d(S2) if s2_free else jnp.zeros(0)]
-        )
-        perr_vec = jnp.concatenate(
-            [dC, dtau, jnp.atleast_1d(dS2) if s2_free else jnp.zeros(0)]
-        )
-        ok_fit = jnp.all(jnp.isfinite(params_vec))
-        ok_err = ~jnp.any(perr_vec > params_vec)
-        # Same pre-fit sum quirk as the LM path so ladder selection
-        # behaves identically (see fit_multiexp).
-        if s2_free:
-            ok_sum = (S20 + jnp.sum(C0)) <= 1.0 + 1e-12
-        else:
-            ok_sum = jnp.asarray(True)
-        return C, tau, S2, dC, dtau, dS2, chisq, ok_fit, ok_err, ok_sum
 
     out = jax.vmap(fit_one)(decay, sigma)
     return MultiExpFit(*out)

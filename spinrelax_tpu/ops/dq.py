@@ -298,10 +298,14 @@ def _lag_grid(delta_t: float, min_dt: float, max_dt: float, skip_dt: float,
             f"({(n - 1) * delta_t / 2.0})"
         )
     lags = np.arange(min_int, max_int + 1, skip_int, dtype=np.int32)
-    if len(lags) == 0:
+    if len(lags) < 2:
+        # The exp-decay initial guess reads (x[1], y[1]) — on a 1-point
+        # grid JAX would silently clamp the index and produce NaN taus /
+        # NaN D with no error (the reference fails loudly with an
+        # IndexError at the same spot).
         raise ValueError(
-            f"empty lag grid: min_dt={min_dt}, max_dt={max_dt}, "
-            f"skip_dt={skip_dt} at delta_t={delta_t} produce no lags"
+            f"lag grid needs >= 2 points, got {len(lags)}: min_dt={min_dt}, "
+            f"max_dt={max_dt}, skip_dt={skip_dt} at delta_t={delta_t}"
         )
     return lags
 

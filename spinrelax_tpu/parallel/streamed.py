@@ -44,6 +44,38 @@ def _pad_to(n: int, mult: int) -> int:
     return (-(-n // mult)) * mult
 
 
+# jax.jit's trace cache is keyed on the WRAPPER object, so wrapping a
+# fresh closure per call retraces/recompiles every time (minutes of
+# remote AOT through the axon tunnel).  Jitted helpers used by the
+# call-per-invocation API (run_sharded_finish) are cached here instead.
+_JIT_CACHE: dict = {}
+
+
+def _cached_jit(key, make):
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = _JIT_CACHE[key] = make()
+    return fn
+
+
+def _import_pooled_stats():
+    from ..ops.autocorr import palmer_pooled_stats
+
+    return palmer_pooled_stats
+
+
+_DEFAULT_PAIR: Optional[NucleusPair] = None
+
+
+def _default_pair() -> NucleusPair:
+    """Module-level default pair: a fresh NucleusPair per call would
+    defeat the (pair, diffusion)-keyed jit cache for default callers."""
+    global _DEFAULT_PAIR
+    if _DEFAULT_PAIR is None:
+        _DEFAULT_PAIR = NucleusPair(time_unit="ps")
+    return _DEFAULT_PAIR
+
+
 class ShardedCtStream:
     """Streaming Palmer C(t) accumulator over a ("rep", "res") mesh.
 
@@ -72,8 +104,10 @@ class ShardedCtStream:
         self.dtype = dtype
 
         self.reset()
-        self._steps = {}  # g_pad -> compiled step
-        self._ones_w = {}  # g -> device weight vector of ones
+        # ONE jitted step — jax.jit's own cache specialises per input
+        # shape, so no per-g_pad bookkeeping is needed here.
+        self._step = self._make_step()
+        self._ones_w = {}  # (g_pad, g) -> device weight vector
         self._group_sharding = NamedSharding(mesh, P("rep", None, "res", None))
         self._w_sharding = NamedSharding(mesh, P("rep"))
 
@@ -91,7 +125,7 @@ class ShardedCtStream:
             jnp.zeros((), self.dtype), NamedSharding(self.mesh, P())
         )
 
-    def _make_step(self, g_pad: int):
+    def _make_step(self):
         n_deltas = self.n_deltas
         n_vals = self.n_frames - jnp.arange(1, n_deltas + 1, dtype=self.dtype)
 
@@ -156,10 +190,7 @@ class ShardedCtStream:
                 group = padded
             vd = jax.device_put(jnp.asarray(group), self._group_sharding)
             wd = jax.device_put(jnp.asarray(w), self._w_sharding)
-        step = self._steps.get(g_pad)
-        if step is None:
-            step = self._steps[g_pad] = self._make_step(g_pad)
-        self._acc_s, self._acc_s2, self._count = step(
+        self._acc_s, self._acc_s2, self._count = self._step(
             vd, wd, self._acc_s, self._acc_s2, self._count
         )
 
@@ -300,26 +331,32 @@ def run_sharded_finish(
     weights   : (nRes, nSamp) ensemble weights or None.
     """
     from ..fit.expfit import fit_ct_ladder
-    from ..ops.autocorr import palmer_pooled_stats
     from ..ops import observables as obs
 
-    pair = pair or NucleusPair(time_unit="ps")
+    pair = pair or _default_pair()
 
     # 1. Pooled statistics, computed where the accumulators live.
-    mean, dct = jax.jit(palmer_pooled_stats)(acc_s, acc_s2, count)
+    mean, dct = _cached_jit(
+        "pooled_stats", lambda: jax.jit(_import_pooled_stats())
+    )(acc_s, acc_s2, count)
     Ct = np.asarray(mean)[:n_res]
     dCt = np.asarray(dct)[:n_res]
     n_deltas = Ct.shape[1]
     dt = (np.arange(n_deltas, dtype=Ct.dtype) + 1.0) * delta_t
 
     # 2. DoF ladder, residue-sharded (SEM-weighted like stage_fit_ct).
+    # A single-chunk stream has dCt = NaN everywhere (the deliberate
+    # count==1 sqrt(n)-1 quirk of palmer_pooled_stats) — the ladder's
+    # sigma guard tests sigma <= 0, which NaN passes, so the whole fit
+    # would silently go NaN.  Use the same NaN-safe guard as
+    # make_sharded_finish: dct > 0 is False for NaN -> weight 1.0.
     if names is None:
         names = [str(i) for i in range(n_res)]
     cts = fit_ct_ladder(
         names=names,
         dt=dt,
         decays=Ct,
-        ddecays=dCt,
+        ddecays=np.where(dCt > 0, dCt, 1.0),
         use_s2fast=use_s2fast,
         n_components=n_components,
         chisq_threshold=chisq_threshold,
@@ -346,10 +383,22 @@ def run_sharded_finish(
     idx = np.concatenate([np.arange(n_res), np.zeros(pad, dtype=int)])
     cts_pad = cts.select(idx) if pad else cts
 
-    def _rates_fn(cts_, vecs_, w_, csa_):
-        return obs.predict_rates(pair, diffusion, cts_, vecs=vecs_, weights=w_, csa=csa_)
+    # Cached per (pair, diffusion) object pair: a fresh jax.jit wrapper
+    # each call would retrace the whole ensemble-rates program on every
+    # invocation (minutes of remote AOT through the axon tunnel for a
+    # repeated-stream driver).  The cached closure keeps both objects
+    # alive, so their ids cannot be recycled while the entry exists.
+    def _make_rates():
+        def _rates_fn(cts_, vecs_, w_, csa_):
+            return obs.predict_rates(
+                pair, diffusion, cts_, vecs=vecs_, weights=w_, csa=csa_
+            )
 
-    rates = jax.jit(_rates_fn)(cts_pad, vecs_d, w_d, csa_d)
+        return jax.jit(_rates_fn)
+
+    rates = _cached_jit(("rates", id(pair), id(diffusion)), _make_rates)(
+        cts_pad, vecs_d, w_d, csa_d
+    )
     return FlagshipRates(
         Ct, dCt, cts,
         *(None if x is None else np.asarray(x)[:n_res]

@@ -388,5 +388,13 @@ def test_stage_dq_fractional_timestep_tensor_lags(tmp_path, rng):
 
 def test_empty_lag_grid_raises_clear_error(qtraj):
     q, _ = qtraj
-    with pytest.raises(ValueError, match="empty lag grid"):
+    with pytest.raises(ValueError, match="lag grid needs >= 2 points"):
         dq.analyse_dq(q[:400], 1.0, min_dt=100.0, max_dt=50.0, skip_dt=5.0)
+
+
+def test_single_lag_grid_raises_clear_error(qtraj):
+    """A 1-point lag grid would silently NaN-poison the exp-decay guess
+    (y[1] clamps to y[0] under JAX indexing) — it must error loudly."""
+    q, _ = qtraj
+    with pytest.raises(ValueError, match="lag grid needs >= 2 points"):
+        dq.analyse_dq(q[:400], 1.0, min_dt=50.0, max_dt=50.0, skip_dt=50.0)

@@ -79,3 +79,23 @@ def test_flagship_sharded_matches_single_device(rng, kind):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-12, err_msg=f
         )
+
+
+def test_flagship_sharded_single_chunk_stream_is_finite(rng):
+    """count == 1 streams have dCt = NaN everywhere (the deliberate
+    sqrt(n)-1 quirk of palmer_pooled_stats); the ladder's sigma<=0 guard
+    does NOT catch NaN, so without the NaN-safe weight guard the whole
+    flagship finish silently returned all-NaN rates."""
+    mesh = make_mesh(8)
+    n_frames, n_res = 32, 9
+    chunks = rng.normal(size=(1, n_frames, n_res, 3))
+    chunks /= np.linalg.norm(chunks, axis=-1, keepdims=True)
+    stream = ShardedCtStream(mesh, n_frames, n_res, dtype=np.float64)
+    stream.update(chunks)
+    out = run_sharded_finish(
+        mesh, *stream.accumulators(),
+        n_res=n_res, delta_t=1.0, diffusion=Diffusion.isotropic(diso=4e-5),
+    )
+    assert np.all(np.isnan(out.dCt))  # the count==1 quirk itself stays
+    for f in ("R1", "R2", "NOE", "rho"):
+        assert np.all(np.isfinite(np.asarray(getattr(out, f)))), f
