@@ -38,6 +38,50 @@ def _to_constrained(t, lo, hi):
     return lo + (hi - lo) * jax.nn.sigmoid(t)
 
 
+def _chol_solve_small(A, b):
+    """Solve the SPD system A x = b for a TINY static P by a Cholesky
+    factorisation unrolled at trace time.
+
+    ``jnp.linalg.solve`` lowers batched small systems to scalar LU loops
+    on TPU — measured 82% of the whole vmapped LM iteration at the ladder
+    workload (P=9, B=1e4: 1.76 s vs 0.31 s per 60 iterations without the
+    solve; docs/PERF.md round 3).  Unrolling P statically turns the solve
+    into ~P^3/3 fused elementwise ops that vmap cleanly over the batch.
+
+    A must be symmetric positive definite (the LM damping A = J^T J +
+    lam*diag guarantees it for finite inputs).  A non-PD A produces NaNs
+    — exactly the honest failure the LM's `improved` guard expects, which
+    then raises lambda (making A more diagonal) and retries.
+    """
+    P = A.shape[-1]
+    L = [[None] * P for _ in range(P)]
+    for j in range(P):
+        s = A[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(s)
+        L[j][j] = d
+        inv = 1.0 / d
+        for i in range(j + 1, P):
+            s2 = A[..., i, j]
+            for k in range(j):
+                s2 = s2 - L[i][k] * L[j][k]
+            L[i][j] = s2 * inv
+    y = []
+    for i in range(P):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y.append(s / L[i][i])
+    x = [None] * P
+    for i in reversed(range(P)):
+        s = y[i]
+        for k in range(i + 1, P):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def lm_solve(
     residual_fn: Callable,
     p0: jnp.ndarray,
@@ -47,6 +91,8 @@ def lm_solve(
     lam0: float = 1e-3,
     xtol: float = 1e-10,
     n_par_eff=None,
+    ftol=None,
+    lam_stuck: float = 1e6,
 ) -> LMResult:
     """Minimise 0.5*||residual_fn(p)||^2 subject to lo <= p <= hi.
 
@@ -57,8 +103,24 @@ def lm_solve(
     reduced-chi-square DoF when some of the P parameters are frozen masks
     (their Jacobian columns are exactly zero, which decouples them from
     the LM step); defaults to the static P.
+
+    Convergence (per vmapped lane; the batched while_loop runs until
+    EVERY lane is done, so lane-level exits are what bound wall time):
+
+    - accepted step with max|step| < ``xtol`` (the classic criterion —
+      in f32 this effectively never fires, which is why the next two
+      exist);
+    - accepted step whose relative cost improvement is below ``ftol``
+      (default 10 ulp of the working dtype: f64 ~2e-15 — far beyond
+      scipy's 1e-8, so curve_fit-parity results are unchanged — while
+      f32 gets ~1.2e-6, the smallest improvement distinguishable from
+      rounding noise in a single f32 subtraction);
+    - ``lam`` has grown past ``lam_stuck`` (a lane whose trust region
+      has collapsed through ~17 net rejected steps cannot move again:
+      rejections only shrink the region further).
     """
     t0 = _to_unconstrained(p0, lo, hi)
+    ftol_v = 10.0 * jnp.finfo(t0.dtype).eps if ftol is None else ftol
 
     def r_of_t(t):
         return residual_fn(_to_constrained(t, lo, hi))
@@ -78,7 +140,7 @@ def lm_solve(
         g = jnp.matmul(J.T, r, precision=_hi)
         H = jnp.matmul(J.T, J, precision=_hi)
         A = H + lam * jnp.eye(n_par, dtype=t.dtype) * jnp.maximum(jnp.diag(H), 1e-12)
-        step = -jnp.linalg.solve(A, g)
+        step = -_chol_solve_small(A, g)
         t_new = t + step
         c_old = 0.5 * jnp.sum(r * r)
         c_new = cost_of_t(t_new)
@@ -86,7 +148,8 @@ def lm_solve(
         t_next = jnp.where(improved, t_new, t)
         lam_next = jnp.where(improved, jnp.maximum(lam * 0.33, 1e-12), jnp.minimum(lam * 3.0, 1e10))
         small = jnp.max(jnp.abs(step)) < xtol
-        done_next = done | (improved & small)
+        flat = improved & ((c_old - c_new) <= ftol_v * c_old)
+        done_next = done | (improved & small) | flat | (lam_next >= lam_stuck)
         return (t_next, lam_next, it + 1, done_next, c_new)
 
     def cond(state):
@@ -293,7 +356,7 @@ def fit_multiexp_varpro(
         # G singular mid-iteration; the ridge keeps the solve finite
         # without measurably biasing well-posed solutions.
         G = G + 1e-10 * jnp.eye(G.shape[0], dtype=G.dtype)
-        coef = jnp.linalg.solve(G, b)
+        coef = _chol_solve_small(G, b)
         C = coef[:K]
         S2 = coef[-1] if s2_free else 1.0 - jnp.sum(C)
         return C, S2
