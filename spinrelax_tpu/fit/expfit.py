@@ -65,12 +65,22 @@ def fit_ct_ladder(
         raise ValueError(f"unknown optimiser {optimiser!r} (lm|varpro)")
     if optimiser == "varpro" and stacked:
         raise ValueError("optimiser='varpro' uses per-rung solves (stacked=False)")
-    decays = np.asarray(decays, dtype=float)
-    B = decays.shape[0]
-    sigma = (
-        np.ones_like(decays) if ddecays is None else np.asarray(ddecays, dtype=float)
-    )
-    sigma = np.where(sigma <= 0, 1.0, sigma)
+    import jax.numpy as jnp
+
+    # Commit the decay matrix to the device ONCE and reuse it for every
+    # ladder rung.  The host<->device link to a remote TPU moves ~36 MB/s
+    # (docs/PERF.md round 3): the former numpy round-trip re-shipped the
+    # (B, T) decays AND a same-shaped ones-sigma per rung — 10x 20 MB of
+    # tunnel traffic at the canonical 1e4x500 workload, which dwarfed the
+    # actual LM compute.  ``dtype=float`` canonicalises exactly like the
+    # old np.asarray(..., dtype=float): f64 under x64 (tests), f32 on TPU.
+    dec_d = jnp.asarray(decays, dtype=float)
+    B = dec_d.shape[0]
+    if ddecays is None:
+        sig_d = jnp.ones_like(dec_d)
+    else:
+        sg = jnp.asarray(ddecays, dtype=float)
+        sig_d = jnp.where(sg <= 0, jnp.ones((), dec_d.dtype), sg)
 
     if n_components is not None:
         ladder = [2 * n_components + 1 if use_s2fast else 2 * n_components]
@@ -88,7 +98,10 @@ def fit_ct_ladder(
     R = len(specs)
     dt_arr = np.asarray(dt, dtype=float)
     if stacked:
-        # tau0 grid / stack size: consumed only by the stacked solves.
+        # tau0 grid / stack size: consumed only by the stacked solves
+        # (host-side numpy: the stacked branches tile on the host).
+        decays = np.asarray(dec_d)
+        sigma = np.asarray(sig_d)
         step = float(np.mean(dt_arr[1:] - dt_arr[:-1]))
         tau0_rows = np.full((R, Kmax_l), dt_arr[-1])
         for i, (_, K, _) in enumerate(specs):
@@ -104,12 +117,11 @@ def fit_ct_ladder(
         # cost far more than the 4 saved dispatches) — it remains
         # available via ``stacked=True`` / fit.lm.fit_multiexp_stacked
         # for heterogeneous per-residue model batches.
-        dec_d, sig_d = decays, sigma
         n_keep = B
         if mesh is not None:
             from ..parallel.mesh import pad_and_shard
 
-            (dec_d, sig_d), _ = pad_and_shard(mesh, [decays, sigma])
+            (dec_d, sig_d), _ = pad_and_shard(mesh, [dec_d, sig_d])
         rungs = []
         fit_fn = fit_multiexp_varpro if optimiser == "varpro" else fit_multiexp
         for i, (n_par, K, s2_free) in enumerate(specs):

@@ -38,6 +38,28 @@ def _to_constrained(t, lo, hi):
     return lo + (hi - lo) * jax.nn.sigmoid(t)
 
 
+def _chol_factor_small(A):
+    """Lower-triangular Cholesky factor of a TINY static-P SPD matrix,
+    unrolled at trace time; returned as a list-of-lists of scalars (per
+    batch lane under vmap).  Non-PD input produces NaNs — the honest
+    failure every consumer is guarded for."""
+    P = A.shape[-1]
+    L = [[None] * P for _ in range(P)]
+    for j in range(P):
+        s = A[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(s)
+        L[j][j] = d
+        inv = 1.0 / d
+        for i in range(j + 1, P):
+            s2 = A[..., i, j]
+            for k in range(j):
+                s2 = s2 - L[i][k] * L[j][k]
+            L[i][j] = s2 * inv
+    return L
+
+
 def _chol_solve_small(A, b):
     """Solve the SPD system A x = b for a TINY static P by a Cholesky
     factorisation unrolled at trace time.
@@ -53,20 +75,8 @@ def _chol_solve_small(A, b):
     — exactly the honest failure the LM's `improved` guard expects, which
     then raises lambda (making A more diagonal) and retries.
     """
-    P = A.shape[-1]
-    L = [[None] * P for _ in range(P)]
-    for j in range(P):
-        s = A[..., j, j]
-        for k in range(j):
-            s = s - L[j][k] * L[j][k]
-        d = jnp.sqrt(s)
-        L[j][j] = d
-        inv = 1.0 / d
-        for i in range(j + 1, P):
-            s2 = A[..., i, j]
-            for k in range(j):
-                s2 = s2 - L[i][k] * L[j][k]
-            L[i][j] = s2 * inv
+    L = _chol_factor_small(A)
+    P = len(L)
     y = []
     for i in range(P):
         s = b[..., i]
@@ -82,6 +92,41 @@ def _chol_solve_small(A, b):
     return jnp.stack(x, axis=-1)
 
 
+def _spd_inv_diag_small(A):
+    """diag(A^-1) for a TINY static-P SPD matrix via the unrolled
+    Cholesky: A^-1 = L^-T L^-1, so (A^-1)_ii = ||column i of L^-1||^2 —
+    one forward substitution against e_i per diagonal element, ~P^3/6
+    fused elementwise ops total.
+
+    This replaces ``jnp.linalg.pinv`` in the covariance tail of the
+    DENSE LM paths (pinv's batched tiny SVD measured 210 ms of each
+    ~570 ms ladder rung on the v5e, docs/PERF.md round 3).  Exact for
+    invertible A — which the dense multi-exp paths guarantee up to
+    rounding, since the sigmoid box keeps every parameter strictly
+    interior so no Jacobian column is exactly zero.  A numerically
+    singular A yields NaN/inf variances; callers flag those fits instead
+    of silently zeroing the degenerate directions the way pinv would
+    (scipy's curve_fit likewise reports huge/inf pcov there, and the
+    reference's dPar>Par check then rejects the rung).  The STACKED
+    solver (exact zero columns by masking design) keeps pinv — its
+    null-space-zeroing semantics are what freeze the masked parameters.
+    """
+    L = _chol_factor_small(A)
+    P = len(L)
+    diag = []
+    for i in range(P):
+        y = {i: 1.0 / L[i][i]}
+        acc = y[i] * y[i]
+        for r in range(i + 1, P):
+            s = 0.0
+            for k in range(i, r):
+                s = s - L[r][k] * y[k]
+            y[r] = s / L[r][r]
+            acc = acc + y[r] * y[r]
+        diag.append(acc)
+    return jnp.stack(diag, axis=-1)
+
+
 def lm_solve(
     residual_fn: Callable,
     p0: jnp.ndarray,
@@ -93,6 +138,7 @@ def lm_solve(
     n_par_eff=None,
     ftol=None,
     lam_stuck: float = 1e6,
+    cov: str = "pinv",
 ) -> LMResult:
     """Minimise 0.5*||residual_fn(p)||^2 subject to lo <= p <= hi.
 
@@ -118,6 +164,13 @@ def lm_solve(
     - ``lam`` has grown past ``lam_stuck`` (a lane whose trust region
       has collapsed through ~17 net rejected steps cannot move again:
       rejections only shrink the region further).
+
+    ``cov``: "pinv" (default; null-space-zeroing uncertainties — required
+    when residual_fn freezes parameters via exactly-zero Jacobian
+    columns, as the stacked ladder does) or "chol"
+    (:func:`_spd_inv_diag_small`; exact for invertible J^T J and ~200 ms
+    cheaper per 1e4-residue rung on TPU — use when no column can be
+    exactly zero).
     """
     t0 = _to_unconstrained(p0, lo, hi)
     ftol_v = 10.0 * jnp.finfo(t0.dtype).eps if ftol is None else ftol
@@ -169,8 +222,11 @@ def lm_solve(
     n_data = r_fin.shape[0]
     dof = jnp.maximum(n_data - (n_par if n_par_eff is None else n_par_eff), 1)
     red_chisq = jnp.sum(r_fin * r_fin) / dof
-    cov = jnp.linalg.pinv(H) * red_chisq
-    perr = jnp.sqrt(jnp.clip(jnp.diag(cov), 0.0))
+    if cov == "chol":
+        var = _spd_inv_diag_small(H) * red_chisq
+    else:
+        var = jnp.diag(jnp.linalg.pinv(H)) * red_chisq
+    perr = jnp.sqrt(jnp.clip(var, 0.0))
     return LMResult(p_fin, perr, cost, it_fin, done_fin)
 
 
@@ -254,7 +310,11 @@ def _finalise_multiexp(dt, y, sg, C, tau, S2, dC, dtau, dS2, C0, S20,
         [dC, dtau, jnp.atleast_1d(dS2) if s2_free else jnp.zeros(0)]
     )
     ok_fit = jnp.all(jnp.isfinite(params_vec))
-    ok_err = ~jnp.any(perr_vec > params_vec)
+    # Non-finite uncertainties (numerically singular J^T J under the
+    # Cholesky covariance) must reject like scipy's inf pcov does via
+    # the dPar > Par check — NaN comparisons are False, so guard
+    # explicitly.
+    ok_err = ~jnp.any((perr_vec > params_vec) | ~jnp.isfinite(perr_vec))
     if s2_free:
         ok_sum = (S20 + jnp.sum(C0)) <= 1.0 + 1e-12
     else:
@@ -288,7 +348,8 @@ def fit_multiexp(dt, decay, sigma, K: int, s2_free: bool) -> MultiExpFit:
             lo = jnp.concatenate([jnp.zeros(K), jnp.full(K, 1e-8)])
             hi = jnp.concatenate([jnp.ones(K), jnp.full(K, tau_max)])
         res = lm_solve(
-            lambda p: _multiexp_residual(p, dt, y, sg, K, s2_free), p0, lo, hi
+            lambda p: _multiexp_residual(p, dt, y, sg, K, s2_free), p0, lo, hi,
+            cov="chol",
         )
         C = res.params[:K]
         tau = res.params[K : 2 * K]
@@ -393,8 +454,8 @@ def fit_multiexp_varpro(
         H = jnp.matmul(Jp.T, Jp, precision=_hi)
         r_fin = _multiexp_residual(p_full, dt, y, sg, K, s2_free)
         dof = jnp.maximum(r_fin.shape[0] - n_par, 1)
-        cov = jnp.linalg.pinv(H) * (jnp.sum(r_fin * r_fin) / dof)
-        perr = jnp.sqrt(jnp.clip(jnp.diag(cov), 0.0))
+        var = _spd_inv_diag_small(H) * (jnp.sum(r_fin * r_fin) / dof)
+        perr = jnp.sqrt(jnp.clip(var, 0.0))
         dC = perr[:K]
         dtau = perr[K : 2 * K]
         dS2 = perr[-1] if s2_free else jnp.asarray(0.0, C.dtype)
