@@ -19,6 +19,15 @@ import jax
 import jax.numpy as jnp
 
 
+# Precision of the IN-LOOP normal-equation matmuls (J^T J, J^T r).  The
+# loop's H only shapes trust-region steps — solution accuracy is set by
+# convergence — but bf16-pass H on TPU f32 measurably degraded step
+# quality in round-2 testing, so this stays HIGHEST by default; module
+# knob so benchmarks can A/B.  The covariance TAIL is pinned HIGHEST
+# unconditionally (uncertainties are reported values).
+LM_INLOOP_PRECISION = jax.lax.Precision.HIGHEST
+
+
 class LMResult(NamedTuple):
     params: jnp.ndarray  # (P,) best-fit parameters (original space)
     perr: jnp.ndarray  # (P,) 1-sigma uncertainties
@@ -184,7 +193,7 @@ def lm_solve(
 
     n_par = p0.shape[0]
 
-    _hi = jax.lax.Precision.HIGHEST  # TPU f32 matmuls default to bf16
+    _hi = LM_INLOOP_PRECISION  # TPU f32 matmuls default to bf16
 
     def body(state):
         t, lam, it, done, _ = state
@@ -203,7 +212,16 @@ def lm_solve(
         small = jnp.max(jnp.abs(step)) < xtol
         flat = improved & ((c_old - c_new) <= ftol_v * c_old)
         done_next = done | (improved & small) | flat | (lam_next >= lam_stuck)
-        return (t_next, lam_next, it + 1, done_next, c_new)
+        # FREEZE a converged lane: under vmap the batched while_loop keeps
+        # executing the body for every lane until ALL lanes are done, so
+        # without this a lane's final state would depend on how long its
+        # BATCHMATES take (padding/batch composition would change
+        # results — caught by test_flagship_sharded, where the padded
+        # sharded batch diverged from the single-device run).
+        t_next = jnp.where(done, t, t_next)
+        lam_next = jnp.where(done, lam, lam_next)
+        it_next = jnp.where(done, it, it + 1)
+        return (t_next, lam_next, it_next, done_next, c_new)
 
     def cond(state):
         _, _, it, done, _ = state
@@ -415,8 +433,13 @@ def fit_multiexp_varpro(
         b = jnp.matmul(Aw, yw, precision=_hi)
         # Tiny Tikhonov floor: degenerate tau pairs (tau_i == tau_j) make
         # G singular mid-iteration; the ridge keeps the solve finite
-        # without measurably biasing well-posed solutions.
-        G = G + 1e-10 * jnp.eye(G.shape[0], dtype=G.dtype)
+        # without measurably biasing well-posed solutions.  The floor is
+        # scale-aware: an absolute 1e-10 is below one ulp of G's O(T)
+        # entries in f32, which would let the Cholesky NaN on a
+        # numerically singular G and freeze the lane (the old LU solve
+        # returned finite garbage the next tau step could escape from).
+        ridge = 1e-10 + 32.0 * jnp.finfo(G.dtype).eps * jnp.max(jnp.diag(G))
+        G = G + ridge * jnp.eye(G.shape[0], dtype=G.dtype)
         coef = _chol_solve_small(G, b)
         C = coef[:K]
         S2 = coef[-1] if s2_free else 1.0 - jnp.sum(C)

@@ -24,8 +24,20 @@ def test_flagship_sharded_matches_single_device(rng, kind):
     delta_t = 1.0
     names = [str(i + 2) for i in range(n_res)]
 
-    chunks = rng.normal(size=(7, n_frames, n_res, 3))
-    chunks /= np.linalg.norm(chunks, axis=-1, keepdims=True)
+    # Correlated random walk on the sphere (diffusion-like, correlation
+    # time ~ a few frames) so C(t) has real exponential structure: iid
+    # random vectors give pure-noise decays whose ladder fits are ALL
+    # degenerate, and the per-residue rung selection then flips on 1-ulp
+    # input differences between the streamed and two-pass C(t) (their
+    # reduction orders differ) — chaos amplification, not a physics
+    # discrepancy.
+    steps = rng.normal(size=(7 * n_frames, n_res, 3))
+    walk = np.empty((7 * n_frames, n_res, 3))
+    walk[0] = steps[0] / np.linalg.norm(steps[0], axis=-1, keepdims=True)
+    for t in range(1, 7 * n_frames):
+        w = walk[t - 1] + 0.25 * steps[t]
+        walk[t] = w / np.linalg.norm(w, axis=-1, keepdims=True)
+    chunks = walk.reshape(7, n_frames, n_res, 3)
     vecs = rng.normal(size=(n_res, n_samp, 3))
     vecs /= np.linalg.norm(vecs, axis=-1, keepdims=True)
     weights = rng.uniform(0.5, 2.0, (n_res, n_samp))
@@ -61,8 +73,14 @@ def test_flagship_sharded_matches_single_device(rng, kind):
 
     np.testing.assert_allclose(out.Ct, np.asarray(Ct_ref).T, rtol=1e-10)
     np.testing.assert_allclose(out.dCt, np.asarray(dCt_ref).T, rtol=1e-10)
+    # atol floors the S2 comparison above the dead-parameter asymptote:
+    # pure-noise residues have true S2 = 0, realised as wherever the
+    # optimiser's convergence gate stops along the sigmoid boundary
+    # (0.0 after underflow vs ~1e-22) — the streamed Ct differs from
+    # ct_palmer's by 1 ulp (reduction order), which is enough to shift
+    # that stop point.  Real S2 here are O(1e-2).
     np.testing.assert_allclose(
-        np.asarray(out.cts.S2), np.asarray(cts_ref.S2), rtol=1e-6
+        np.asarray(out.cts.S2), np.asarray(cts_ref.S2), rtol=1e-6, atol=1e-12
     )
     np.testing.assert_allclose(
         np.asarray(out.cts.mask), np.asarray(cts_ref.mask)
