@@ -45,6 +45,7 @@ def fit_ct_ladder(
     mesh=None,
     stacked: bool = False,
     optimiser: str = "lm",
+    early_stop: bool = True,
 ) -> CtModelSet:
     """Fit all residues' C(t) and select per-residue model complexity.
 
@@ -58,6 +59,15 @@ def fit_ct_ladder(
     optimiser : "lm" (default; curve_fit-parity joint LM) or "varpro"
         (variable projection: closed-form amplitudes per tau step —
         faster, but unconstrained amplitudes; see fit_multiexp_varpro).
+    early_stop : fit each rung only on the residues whose selection walk
+        is still descending the ladder (exact reference semantics — a
+        residue that has broken out never consults later rungs,
+        fitting_Ct_functions.py:283-304 — so skipped fits can never be
+        read).  The expensive high-K rungs then run on a shrinking
+        batch; the selected models are identical because every LM lane
+        is batch-composition-independent (lm_solve freezes converged
+        lanes).  ``False`` forces the former fit-every-rung-for-everyone
+        behaviour (the A/B hook for tests).
 
     Returns a CtModelSet padded to the largest selected K.
     """
@@ -117,22 +127,95 @@ def fit_ct_ladder(
         # cost far more than the 4 saved dispatches) — it remains
         # available via ``stacked=True`` / fit.lm.fit_multiexp_stacked
         # for heterogeneous per-residue model batches.
-        n_keep = B
+        #
+        # The reference's per-residue selection walk STOPS descending the
+        # ladder once a rung fails its checks or stops improving chisq
+        # (fitting_Ct_functions.py:283-304) — later rungs are never
+        # consulted for that residue.  With ``early_stop`` each rung is
+        # therefore fit only over the still-active residues: the
+        # expensive high-K rungs (the P^2-scaling jacfwd + normal
+        # equations dominate, docs/PERF.md round 3) run on a shrinking
+        # batch, and a rung with no active residues is skipped outright.
+        # Results are identical to fitting every rung for everyone
+        # because each vmapped LM lane is batch-composition-independent
+        # (lm_solve freezes converged lanes).
         if mesh is not None:
             from ..parallel.mesh import pad_and_shard
-
-            (dec_d, sig_d), _ = pad_and_shard(mesh, [dec_d, sig_d])
-        rungs = []
         fit_fn = fit_multiexp_varpro if optimiser == "varpro" else fit_multiexp
+        sel_idx = np.full(B, -1, dtype=int)
+        sel_chi = np.full(B, np.inf)
+        active = np.arange(B)
+        rungs = []
         for i, (n_par, K, s2_free) in enumerate(specs):
-            fit = fit_fn(dt_arr, dec_d, sig_d, K=K, s2_free=s2_free)
-            fit = {k: v[:n_keep] for k, v in jax_to_np(fit).items()}
+            if early_stop and active.size == 0:
+                # Every residue's walk has ended; this rung can never be
+                # consulted (the selection below never reaches it).
+                rungs.append((n_par, K, s2_free, None))
+                continue
+            if early_stop and active.size < B:
+                # Gather the active rows, padded to a power-of-two bucket
+                # (copies of the first active row, discarded) so the jit
+                # cache stays bounded at ~log2(B) shapes per rung spec.
+                bucket = 64
+                while bucket < active.size:
+                    bucket *= 2
+                bucket = min(bucket, B)
+                idx = np.concatenate(
+                    [active, np.full(bucket - active.size, active[0])]
+                )
+                dec_i, sig_i = dec_d[idx], sig_d[idx]
+            else:
+                idx = None
+                dec_i, sig_i = dec_d, sig_d
+            if mesh is not None:
+                (dec_i, sig_i), _ = pad_and_shard(mesh, [dec_i, sig_i])
+            fit = fit_fn(dt_arr, dec_i, sig_i, K=K, s2_free=s2_free)
+            fit = jax_to_np(fit)
+            if idx is None:
+                fit = {k: v[:B] for k, v in fit.items()}
+            else:
+                # Scatter the active-row results back to full-B arrays;
+                # unfitted rows stay NaN/False and are unreachable by the
+                # selection walk (they broke on an earlier rung).
+                scat = {}
+                for k, v in fit.items():
+                    full = np.full(
+                        (B,) + v.shape[1:],
+                        False if v.dtype == np.bool_ else np.nan,
+                        dtype=v.dtype,
+                    )
+                    full[active] = v[: active.size]
+                    scat[k] = full
+                fit = scat
             rungs.append((n_par, K, s2_free, fit))
             if verbose:
+                chis_act = fit["chisq"][active]
                 print(
-                    f"    ...ladder rung nParams={n_par}: median chisq "
-                    f"{np.median(fit['chisq']):.3g}"
+                    f"    ...ladder rung nParams={n_par}: "
+                    f"{active.size}/{B} residues active, median chisq "
+                    f"{np.median(chis_act):.3g}"
                 )
+            # Incremental selection walk over the active rows — the exact
+            # vectorisation of fitting_Ct_functions.py:283-304 (incl. the
+            # NaN-chisq comparison semantics: NaN >= x is False, so a
+            # finite-params/NaN-chisq rung is adopted, as the reference's
+            # float comparison would).
+            ok = (
+                fit["ok_fit"][active]
+                & fit["ok_err"][active]
+                & fit["ok_sum"][active]
+            )
+            chi = fit["chisq"][active]
+            unset = sel_idx[active] < 0
+            brk = ~unset & (~ok | (chi >= sel_chi[active] * chisq_threshold))
+            take = ok & ~brk
+            rows = active[take]
+            sel_idx[rows] = i
+            sel_chi[rows] = chi[take]
+            # A broken row's walk has ended regardless of early_stop
+            # (early_stop only controls whether later rungs still FIT the
+            # broken rows, never whether they are consulted).
+            active = active[~brk]
     elif mesh is None:
         # In-graph rung tiling: decays/sigma ship to the device ONCE
         # (the host-side 5x tile dominated wall time on remote links).
@@ -169,34 +252,43 @@ def fit_ct_ladder(
                 )
 
     # Per-residue sequential selection (fitting_Ct_functions.py:283-304).
-    sel = np.full(B, -1, dtype=int)
-    for b in range(B):
-        prev_idx = -1
-        prev_chi = np.inf
-        for idx, (n_par, K, s2_free, fit) in enumerate(rungs):
-            ok = fit["ok_fit"][b] and fit["ok_err"][b] and fit["ok_sum"][b]
-            chi = fit["chisq"][b]
-            if prev_idx < 0:
-                if ok:
-                    prev_idx, prev_chi = idx, chi
-                continue
-            if not ok:
-                break
-            if chi >= prev_chi * chisq_threshold:
-                break
-            prev_idx, prev_chi = idx, chi
-        if prev_idx < 0:
-            # No rung passed all checks: keep the best-chisq rung anyway
-            # (the reference errors out; we degrade gracefully and flag
-            # via chisq=inf semantics upstream).
-            chis_b = np.asarray([r[3]["chisq"][b] for r in rungs], float)
-            # nanargmin: a diverged rung's NaN chisq must not win over a
-            # finite fit (np.argmin([nan, ...]) returns the NaN index).
-            prev_idx = (
-                int(np.nanargmin(chis_b))
-                if np.any(np.isfinite(chis_b)) else 0
-            )
-        sel[b] = prev_idx
+    if not stacked:
+        # Already walked incrementally alongside the rung fits above.
+        sel = sel_idx
+    else:
+        sel = np.full(B, -1, dtype=int)
+        for b in range(B):
+            prev_idx = -1
+            prev_chi = np.inf
+            for idx, (n_par, K, s2_free, fit) in enumerate(rungs):
+                ok = fit["ok_fit"][b] and fit["ok_err"][b] and fit["ok_sum"][b]
+                chi = fit["chisq"][b]
+                if prev_idx < 0:
+                    if ok:
+                        prev_idx, prev_chi = idx, chi
+                    continue
+                if not ok:
+                    break
+                if chi >= prev_chi * chisq_threshold:
+                    break
+                prev_idx, prev_chi = idx, chi
+            sel[b] = prev_idx
+    for b in np.nonzero(sel < 0)[0]:
+        # No rung passed all checks: keep the best-chisq rung anyway
+        # (the reference errors out; we degrade gracefully and flag
+        # via chisq=inf semantics upstream).  Such residues never break
+        # out of the walk, so every rung was fitted for them (a skipped
+        # rung is None only when NO residue was still walking).
+        chis_b = np.asarray(
+            [r[3]["chisq"][b] if r[3] is not None else np.nan for r in rungs],
+            float,
+        )
+        # nanargmin: a diverged rung's NaN chisq must not win over a
+        # finite fit (np.argmin([nan, ...]) returns the NaN index).
+        sel[b] = (
+            int(np.nanargmin(chis_b))
+            if np.any(np.isfinite(chis_b)) else 0
+        )
 
     Kmax = max(rungs[i][1] for i in sel)
     C_list, tau_list, dC_list, dtau_list = [], [], [], []

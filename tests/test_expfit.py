@@ -142,3 +142,43 @@ def test_ladder_varpro_mode(rng):
         fit_ct_ladder(["0"], dt, y[:1], optimiser="powell")
     with pytest.raises(ValueError, match="varpro"):
         fit_ct_ladder(["0"], dt, y[:1], optimiser="varpro", stacked=True)
+
+
+def _hetero_curves(rng, T=350):
+    """Rows with different TRUE complexity so the selection walk breaks at
+    different rungs: constants (rung 1), single-exp (rungs 2-3),
+    double-exp (rung 3+), plus one pure-noise row (fallback path)."""
+    dt = np.arange(1, T + 1) * 2.0
+    rows = [np.full(T, 0.85), np.full(T, 0.7)]
+    for _ in range(3):
+        rows.append(0.8 + 0.15 * np.exp(-dt / rng.uniform(20, 60)))
+    for _ in range(3):
+        rows.append(
+            0.7
+            + 0.1 * np.exp(-dt / rng.uniform(4, 9))
+            + 0.15 * np.exp(-dt / rng.uniform(150, 400))
+        )
+    rows.append(np.zeros(T))
+    y = np.stack(rows) + 5e-4 * rng.normal(size=(len(rows), T))
+    return dt, y
+
+
+@pytest.mark.parametrize("optimiser", ["lm", "varpro"])
+def test_ladder_early_stop_identical(rng, optimiser):
+    """early_stop must not change ANY selected model: a residue that broke
+    out of the ladder walk never consults later rungs, so skipping those
+    fits is exact (fitting_Ct_functions.py:283-304 semantics)."""
+    dt, y = _hetero_curves(rng)
+    names = [str(i) for i in range(y.shape[0])]
+    a = fit_ct_ladder(names, dt, y, optimiser=optimiser, early_stop=True)
+    b = fit_ct_ladder(names, dt, y, optimiser=optimiser, early_stop=False)
+    np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+    np.testing.assert_array_equal(np.asarray(a.s2fast), np.asarray(b.s2fast))
+    for fld in ("S2", "C", "tau", "dS2", "dC", "dtau", "chisq"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, fld)), np.asarray(getattr(b, fld)), err_msg=fld
+        )
+    # The walk must actually have broken early for the simple rows
+    # (otherwise this test exercises nothing).
+    assert int(np.asarray(a.mask).sum(1).max()) >= 2
+    assert int(np.asarray(a.mask).sum(1).min()) <= 1
