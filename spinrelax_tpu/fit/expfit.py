@@ -25,6 +25,52 @@ from .lm import (  # noqa: F401 (fit_multiexp is part of the public surface)
 LADDER_WITH_FAST = (2, 3, 5, 7, 9)
 LADDER_NO_FAST = (2, 4, 6, 8)
 
+# jit cache for the pack-fit wrappers (one per (fit_fn, K, s2_free)).
+_PACKED_CACHE: dict = {}
+
+
+def _packed_fit(fit_fn, dt_arr, dec, sig, K: int, s2_free: bool):
+    """Run one rung's batched fit and return ONE packed (B, 4K+6) device
+    array [C | tau | dC | dtau | S2 dS2 chisq ok_fit ok_err ok_sum].
+
+    Through a remote-TPU relay every ``np.asarray`` fetch pays a full
+    round trip (~8-40 ms, CLAUDE.md measurement rules), so fetching the
+    10 MultiExpFit leaves separately costs more than the rung's entire
+    host work; packing on device makes it one dispatch + one fetch."""
+    import jax
+    import jax.numpy as jnp
+
+    key = (fit_fn, K, s2_free)
+    if key not in _PACKED_CACHE:
+        def run(dtv, d, s):
+            f = fit_fn(dtv, d, s, K=K, s2_free=s2_free)
+            cols = [f.C, f.tau, f.dC, f.dtau,
+                    f.S2[:, None], f.dS2[:, None], f.chisq[:, None],
+                    f.ok_fit[:, None].astype(d.dtype),
+                    f.ok_err[:, None].astype(d.dtype),
+                    f.ok_sum[:, None].astype(d.dtype)]
+            return jnp.concatenate(cols, axis=1)
+
+        _PACKED_CACHE[key] = jax.jit(run)
+    return _PACKED_CACHE[key](dt_arr, dec, sig)
+
+
+def _unpack_fit(packed, K: int) -> dict:
+    """Host-side inverse of :func:`_packed_fit` (one fetch happens here)."""
+    a = np.asarray(packed)
+    return {
+        "C": a[:, :K],
+        "tau": a[:, K:2 * K],
+        "dC": a[:, 2 * K:3 * K],
+        "dtau": a[:, 3 * K:4 * K],
+        "S2": a[:, 4 * K],
+        "dS2": a[:, 4 * K + 1],
+        "chisq": a[:, 4 * K + 2],
+        "ok_fit": a[:, 4 * K + 3] > 0.5,
+        "ok_err": a[:, 4 * K + 4] > 0.5,
+        "ok_sum": a[:, 4 * K + 5] > 0.5,
+    }
+
 
 def _rung_spec(n_params: int):
     """nParams -> (K, s2_free) following set_nParams
@@ -141,6 +187,8 @@ def fit_ct_ladder(
         # (lm_solve freezes converged lanes).
         if mesh is not None:
             from ..parallel.mesh import pad_and_shard
+
+            sharded_full = pad_and_shard(mesh, [dec_d, sig_d])[0]
         fit_fn = fit_multiexp_varpro if optimiser == "varpro" else fit_multiexp
         sel_idx = np.full(B, -1, dtype=int)
         sel_chi = np.full(B, np.inf)
@@ -156,7 +204,10 @@ def fit_ct_ladder(
                 # Gather the active rows, padded to a power-of-two bucket
                 # (copies of the first active row, discarded) so the jit
                 # cache stays bounded at ~log2(B) shapes per rung spec.
-                bucket = 64
+                # The 256 floor keeps the deep-rung shapes STABLE between
+                # runs whose tail counts jitter (a fresh shape is a full
+                # recompile — minutes of remote AOT through the tunnel).
+                bucket = 256
                 while bucket < active.size:
                     bucket *= 2
                 bucket = min(bucket, B)
@@ -164,13 +215,17 @@ def fit_ct_ladder(
                     [active, np.full(bucket - active.size, active[0])]
                 )
                 dec_i, sig_i = dec_d[idx], sig_d[idx]
+            elif mesh is not None:
+                idx = None
+                dec_i, sig_i = sharded_full
             else:
                 idx = None
                 dec_i, sig_i = dec_d, sig_d
-            if mesh is not None:
+            if idx is not None and mesh is not None:
                 (dec_i, sig_i), _ = pad_and_shard(mesh, [dec_i, sig_i])
-            fit = fit_fn(dt_arr, dec_i, sig_i, K=K, s2_free=s2_free)
-            fit = jax_to_np(fit)
+            fit = _unpack_fit(
+                _packed_fit(fit_fn, dt_arr, dec_i, sig_i, K, s2_free), K
+            )
             if idx is None:
                 fit = {k: v[:B] for k, v in fit.items()}
             else:

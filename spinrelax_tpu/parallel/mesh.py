@@ -65,7 +65,13 @@ def pad_and_shard(mesh: Mesh, arrays):
     over all mesh axes.  Returns (sharded_arrays, n_orig) — slice device
     results back to ``n_orig`` rows.  The shared idiom of the
     residue-parallel fit paths (fit_ct_ladder, run_sharded_finish)."""
-    arrays = [np.asarray(a) for a in arrays]
+    # Device-resident inputs stay device-resident: np.asarray on a jax
+    # Array would fetch it to the host only to re-ship it (through a
+    # remote-TPU link that transfer dwarfs the compute it feeds,
+    # docs/PERF.md round 3).  device_put with a new sharding reshards
+    # jax arrays without a host bounce.
+    arrays = [a if isinstance(a, jax.Array) else np.asarray(a)
+              for a in arrays]
     n_orig = arrays[0].shape[0]
     ndev = int(mesh.devices.size)
     pad = (-n_orig) % ndev
@@ -76,7 +82,8 @@ def pad_and_shard(mesh: Mesh, arrays):
                 f"leading axes differ: {a.shape[0]} vs {n_orig}"
             )
         if pad:
-            a = np.concatenate([a, np.repeat(a[:1], pad, axis=0)], axis=0)
+            xp = jax.numpy if isinstance(a, jax.Array) else np
+            a = xp.concatenate([a, xp.repeat(a[:1], pad, axis=0)], axis=0)
         sh = NamedSharding(
             mesh, P(tuple(mesh.axis_names), *([None] * (a.ndim - 1)))
         )

@@ -350,13 +350,17 @@ def run_sharded_finish(
     # sigma guard tests sigma <= 0, which NaN passes, so the whole fit
     # would silently go NaN.  Use the same NaN-safe guard as
     # make_sharded_finish: dct > 0 is False for NaN -> weight 1.0.
+    # The ladder is fed the DEVICE-resident slices (Ct/dCt were fetched
+    # only for the host-facing return): re-shipping the (nRes, nDeltas)
+    # matrix through a ~36 MB/s remote-TPU link would cost more than the
+    # ladder's compute (docs/PERF.md round 3).
     if names is None:
         names = [str(i) for i in range(n_res)]
     cts = fit_ct_ladder(
         names=names,
         dt=dt,
-        decays=Ct,
-        ddecays=np.where(dCt > 0, dCt, 1.0),
+        decays=mean[:n_res],
+        ddecays=jnp.where(dct[:n_res] > 0, dct[:n_res], 1.0),
         use_s2fast=use_s2fast,
         n_components=n_components,
         chisq_threshold=chisq_threshold,
