@@ -148,6 +148,7 @@ def lm_solve(
     ftol=None,
     lam_stuck: float = 1e6,
     cov: str = "pinv",
+    residual_jac_fn: Callable | None = None,
 ) -> LMResult:
     """Minimise 0.5*||residual_fn(p)||^2 subject to lo <= p <= hi.
 
@@ -180,6 +181,15 @@ def lm_solve(
     (:func:`_spd_inv_diag_small`; exact for invertible J^T J and ~200 ms
     cheaper per 1e4-residue rung on TPU — use when no column can be
     exactly zero).
+
+    ``residual_jac_fn``: optional ``p -> (r, J)`` returning the residual
+    AND its analytic Jacobian wrt the ORIGINAL (constrained) parameters
+    in one evaluation.  When given it replaces the in-loop
+    ``jax.jacfwd`` (which costs a primal re-run plus one tangent pass
+    per parameter); the box chain rule (dp/dt = span * s * (1 - s)) is
+    applied here.  The supplied J must equal the AD Jacobian — it is the
+    same mathematical derivative, pinned by tests — and the covariance
+    tail reuses it.
     """
     t0 = _to_unconstrained(p0, lo, hi)
     ftol_v = 10.0 * jnp.finfo(t0.dtype).eps if ftol is None else ftol
@@ -195,10 +205,17 @@ def lm_solve(
 
     _hi = LM_INLOOP_PRECISION  # TPU f32 matmuls default to bf16
 
+    def r_and_J_of_t(t):
+        if residual_jac_fn is None:
+            return r_of_t(t), jax.jacfwd(r_of_t)(t)
+        p = _to_constrained(t, lo, hi)
+        r, Jp = residual_jac_fn(p)
+        s = jax.nn.sigmoid(t)
+        return r, Jp * ((hi - lo) * s * (1.0 - s))[None, :]
+
     def body(state):
         t, lam, it, done, _ = state
-        r = r_of_t(t)
-        J = jax.jacfwd(r_of_t)(t)  # (N, P)
+        r, J = r_and_J_of_t(t)  # (N,), (N, P)
         g = jnp.matmul(J.T, r, precision=_hi)
         H = jnp.matmul(J.T, J, precision=_hi)
         A = H + lam * jnp.eye(n_par, dtype=t.dtype) * jnp.maximum(jnp.diag(H), 1e-12)
@@ -231,11 +248,13 @@ def lm_solve(
         cond, body, (t0, jnp.asarray(lam0, t0.dtype), jnp.asarray(0), jnp.asarray(False), jnp.asarray(0.0, t0.dtype))
     )
     p_fin = _to_constrained(t_fin, lo, hi)
-    r_fin = residual_fn(p_fin)
-    cost = 0.5 * jnp.sum(r_fin * r_fin)
-
     # Uncertainties in original space (curve_fit absolute_sigma=False).
-    Jp = jax.jacfwd(residual_fn)(p_fin)  # (N, P)
+    if residual_jac_fn is None:
+        r_fin = residual_fn(p_fin)
+        Jp = jax.jacfwd(residual_fn)(p_fin)  # (N, P)
+    else:
+        r_fin, Jp = residual_jac_fn(p_fin)
+    cost = 0.5 * jnp.sum(r_fin * r_fin)
     H = jnp.matmul(Jp.T, Jp, precision=jax.lax.Precision.HIGHEST)
     n_data = r_fin.shape[0]
     dof = jnp.maximum(n_data - (n_par if n_par_eff is None else n_par_eff), 1)
@@ -261,6 +280,37 @@ def _multiexp_residual(p, dt, decay, sigma, K: int, s2_free: bool):
     S2 = p[-1] if s2_free else 1.0 - jnp.sum(C)
     model = S2 + jnp.sum(C[:, None] * jnp.exp(-dt[None, :] / tau[:, None]), axis=0)
     return (model - decay) / sigma
+
+
+def _multiexp_res_jac(p, dt, decay, sigma, K: int, s2_free: bool):
+    """Residual AND analytic Jacobian of :func:`_multiexp_residual` in one
+    evaluation, sharing the K exponential planes.
+
+    ``jax.jacfwd`` costs a primal re-run plus one tangent pass per
+    parameter (P = 2K[+1]); here the model's closed-form derivatives need
+    only the E_i = exp(-t/tau_i) already computed for the residual:
+
+        d r / d C_i  = E_i / sigma        (E_i - 1 when S2 = 1 - sum C)
+        d r / d tau_i = C_i t / tau_i^2 * E_i / sigma
+        d r / d S2   = 1 / sigma          (free-S2 rungs only)
+
+    This is the same mathematical derivative AD produces (pinned against
+    jacfwd by tests/test_lm_chol.py), so LM trajectories agree to fp
+    rounding; it cuts the iteration's dominant jacfwd cost (docs/PERF.md
+    round 3: ~5-6 ms/iteration at P=9, B=1e4 after the Cholesky fix)."""
+    C = p[:K]
+    tau = p[K : 2 * K]
+    E = jnp.exp(-dt[None, :] / tau[:, None])  # (K, T)
+    S2 = p[-1] if s2_free else 1.0 - jnp.sum(C)
+    model = S2 + jnp.sum(C[:, None] * E, axis=0)
+    r = (model - decay) / sigma
+    dC = E if s2_free else E - 1.0  # (K, T)
+    dtau = (C / (tau * tau))[:, None] * dt[None, :] * E  # (K, T)
+    cols = [dC, dtau]
+    if s2_free:
+        cols.append(jnp.ones((1, dt.shape[0]), p.dtype))
+    J = jnp.concatenate(cols, axis=0).T / sigma[:, None]  # (T, P)
+    return r, J
 
 
 class MultiExpFit(NamedTuple):
@@ -368,6 +418,7 @@ def fit_multiexp(dt, decay, sigma, K: int, s2_free: bool) -> MultiExpFit:
         res = lm_solve(
             lambda p: _multiexp_residual(p, dt, y, sg, K, s2_free), p0, lo, hi,
             cov="chol",
+            residual_jac_fn=lambda p: _multiexp_res_jac(p, dt, y, sg, K, s2_free),
         )
         C = res.params[:K]
         tau = res.params[K : 2 * K]
@@ -471,11 +522,8 @@ def fit_multiexp_varpro(
             p_full = jnp.concatenate([C, tau, jnp.atleast_1d(S2)])
         else:
             p_full = jnp.concatenate([C, tau])
-        Jp = jax.jacfwd(
-            lambda p: _multiexp_residual(p, dt, y, sg, K, s2_free)
-        )(p_full)
+        r_fin, Jp = _multiexp_res_jac(p_full, dt, y, sg, K, s2_free)
         H = jnp.matmul(Jp.T, Jp, precision=_hi)
-        r_fin = _multiexp_residual(p_full, dt, y, sg, K, s2_free)
         dof = jnp.maximum(r_fin.shape[0] - n_par, 1)
         var = _spd_inv_diag_small(H) * (jnp.sum(r_fin * r_fin) / dof)
         perr = jnp.sqrt(jnp.clip(var, 0.0))
@@ -573,8 +621,25 @@ def _fit_multiexp_stacked_core(dt, decay, sigma, Kvals, s2free, tau0,
             )
             return (model - y) / sg
 
+        def res_jac(p):
+            # Masked analytic counterpart of _multiexp_res_jac: inactive
+            # components keep exactly-zero Jacobian columns (C column via
+            # mask, tau column via C_i = 0), which is what freezes them.
+            C = p[:Kmax] * mask
+            tau = p[Kmax : 2 * Kmax]
+            E = jnp.exp(-dt[None, :] / tau[:, None])  # (Kmax, T)
+            S2 = jnp.where(s2f, p[-1], 1.0 - jnp.sum(C))
+            model = S2 + jnp.sum(C[:, None] * E, axis=0)
+            r = (model - y) / sg
+            dC = mask[:, None] * jnp.where(s2f, E, E - 1.0)
+            dtau = (C / (tau * tau))[:, None] * dt[None, :] * E
+            dS2 = jnp.where(s2f, 1.0, 0.0) * jnp.ones((1, dt.shape[0]), p.dtype)
+            J = jnp.concatenate([dC, dtau, dS2], axis=0).T / sg[:, None]
+            return r, J
+
         n_eff = 2 * K + jnp.where(s2f, 1, 0)
-        res = lm_solve(residual, p0, lo, hi, n_par_eff=n_eff)
+        res = lm_solve(residual, p0, lo, hi, n_par_eff=n_eff,
+                       residual_jac_fn=res_jac)
         C = res.params[:Kmax] * mask
         tau = res.params[Kmax : 2 * Kmax]
         S2 = jnp.where(s2f, res.params[-1], 1.0 - jnp.sum(C))

@@ -10,6 +10,7 @@ import pytest
 
 from spinrelax_tpu.fit.lm import (
     _chol_solve_small,
+    _multiexp_res_jac,
     _multiexp_residual,
     _spd_inv_diag_small,
     fit_multiexp,
@@ -147,6 +148,58 @@ def test_convergence_gates_preserve_solution(rng):
     p_ref = np.asarray(jax.vmap(fit_one)(jnp.asarray(dec)))
     S2_a = np.asarray(fit_a.S2)
     np.testing.assert_allclose(S2_a, p_ref[:, -1], atol=2e-7)
+
+
+@pytest.mark.parametrize("K,s2_free", [(1, True), (2, True), (2, False),
+                                       (4, True), (4, False)])
+def test_multiexp_analytic_jacobian_matches_ad(rng, K, s2_free):
+    """The closed-form residual Jacobian that replaced the in-loop jacfwd
+    (docs/PERF.md round 3) must BE the AD Jacobian — same residual, same
+    derivative — for every rung shape the DoF ladder uses."""
+    T = 120
+    dt = jnp.asarray(np.arange(1.0, T + 1.0))
+    y = jnp.asarray(0.7 + 0.2 * np.exp(-np.arange(1.0, T + 1.0) / 40.0)
+                    + 1e-3 * rng.normal(size=T))
+    sg = jnp.asarray(rng.uniform(0.5, 2.0, T))
+    P = 2 * K + (1 if s2_free else 0)
+    p = jnp.asarray(np.concatenate([
+        rng.uniform(0.02, 0.2, K),                  # C
+        np.sort(rng.uniform(3.0, 200.0, K)),        # tau
+        rng.uniform(0.5, 0.9, 1)[: (1 if s2_free else 0)],
+    ]))
+    assert p.shape == (P,)
+    r_an, J_an = _multiexp_res_jac(p, dt, y, sg, K, s2_free)
+    r_ad = _multiexp_residual(p, dt, y, sg, K, s2_free)
+    J_ad = jax.jacfwd(
+        lambda q: _multiexp_residual(q, dt, y, sg, K, s2_free)
+    )(p)
+    np.testing.assert_allclose(np.asarray(r_an), np.asarray(r_ad), rtol=1e-14)
+    np.testing.assert_allclose(np.asarray(J_an), np.asarray(J_ad),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_stacked_masked_jacobian_freezes_inactive(rng):
+    """The stacked solver's masked analytic Jacobian must keep inactive
+    components' columns EXACTLY zero (that is what freezes them) and match
+    AD on the active ones."""
+    from spinrelax_tpu.fit.lm import fit_multiexp_stacked
+
+    K, T = 2, 150
+    dt, dec = _decays(rng, 4, K, T)
+    Kmax = 4
+    tau0 = np.tile(np.array([5.0, 20.0, 80.0, 300.0]), (4, 1))
+    out = fit_multiexp_stacked(
+        jnp.asarray(dt), jnp.asarray(dec), jnp.ones_like(jnp.asarray(dec)),
+        jnp.full(4, K), jnp.asarray([True, True, False, False]),
+        jnp.asarray(tau0), Kmax=Kmax,
+    )
+    C = np.asarray(out.C)
+    dC = np.asarray(out.dC)
+    # Padding components (sorted last) stay exactly zero; their pinv'd
+    # uncertainties are null-space zeros up to SVD rounding (~1e-13).
+    np.testing.assert_array_equal(C[:, K:], 0.0)
+    assert np.abs(dC[:, K:]).max() < 1e-10
+    assert np.isfinite(np.asarray(out.chisq)).all()
 
 
 def test_varpro_degenerate_tau_start_survives(rng):
