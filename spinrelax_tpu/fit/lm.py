@@ -23,8 +23,11 @@ import jax.numpy as jnp
 # loop's H only shapes trust-region steps — solution accuracy is set by
 # convergence — but bf16-pass H on TPU f32 measurably degraded step
 # quality in round-2 testing, so this stays HIGHEST by default; module
-# knob so benchmarks can A/B.  The covariance TAIL is pinned HIGHEST
-# unconditionally (uncertainties are reported values).
+# knob so benchmarks can A/B.  NOTE: captured at TRACE time — set it
+# BEFORE the first jitted fit of a given shape in the process, or the
+# stale jit cache silently keeps the old precision.  The covariance
+# TAIL is pinned HIGHEST unconditionally (uncertainties are reported
+# values).
 LM_INLOOP_PRECISION = jax.lax.Precision.HIGHEST
 
 
@@ -110,13 +113,16 @@ def _spd_inv_diag_small(A):
     This replaces ``jnp.linalg.pinv`` in the covariance tail of the
     DENSE LM paths (pinv's batched tiny SVD measured 210 ms of each
     ~570 ms ladder rung on the v5e, docs/PERF.md round 3).  Exact for
-    invertible A — which the dense multi-exp paths guarantee up to
-    rounding, since the sigmoid box keeps every parameter strictly
-    interior so no Jacobian column is exactly zero.  A numerically
-    singular A yields NaN/inf variances; callers flag those fits instead
-    of silently zeroing the degenerate directions the way pinv would
-    (scipy's curve_fit likewise reports huge/inf pcov there, and the
-    reference's dPar>Par check then rejects the rung).  The STACKED
+    invertible A.  The sigmoid box keeps parameters strictly interior,
+    but a dead component's C_i can still UNDERFLOW to exactly 0, zeroing
+    its tau column — lm_solve's cov="chol" branch pre-handles exact-zero
+    diagonals by identity-substituting dead rows/cols and zeroing their
+    variances, matching scipy curve_fit's truncated-SVD pcov (which
+    ZEROES degenerate directions rather than reporting inf, so the
+    reference ACCEPTS such fits).  A NEAR-singular A (nonzero but tiny
+    pivots) yields huge/NaN variances here where scipy's rcond cutoff
+    might truncate — callers flag those via the dPar>Par check;
+    cov="pinv" reproduces the truncation window exactly.  The STACKED
     solver (exact zero columns by masking design) keeps pinv — its
     null-space-zeroing semantics are what freeze the masked parameters.
     """
@@ -179,8 +185,9 @@ def lm_solve(
     when residual_fn freezes parameters via exactly-zero Jacobian
     columns, as the stacked ladder does) or "chol"
     (:func:`_spd_inv_diag_small`; exact for invertible J^T J and ~200 ms
-    cheaper per 1e4-residue rung on TPU — use when no column can be
-    exactly zero).
+    cheaper per 1e4-residue rung on TPU; exactly-zero Jacobian columns
+    get zero variance like scipy's truncated-SVD pcov, but NEAR-singular
+    systems yield huge/NaN variances where pinv/scipy would truncate).
 
     ``residual_jac_fn``: optional ``p -> (r, J)`` returning the residual
     AND its analytic Jacobian wrt the ORIGINAL (constrained) parameters
@@ -191,6 +198,8 @@ def lm_solve(
     same mathematical derivative, pinned by tests — and the covariance
     tail reuses it.
     """
+    if cov not in ("chol", "pinv"):
+        raise ValueError(f"unknown cov {cov!r} (chol|pinv)")
     t0 = _to_unconstrained(p0, lo, hi)
     ftol_v = 10.0 * jnp.finfo(t0.dtype).eps if ftol is None else ftol
 
@@ -229,12 +238,14 @@ def lm_solve(
         small = jnp.max(jnp.abs(step)) < xtol
         flat = improved & ((c_old - c_new) <= ftol_v * c_old)
         done_next = done | (improved & small) | flat | (lam_next >= lam_stuck)
-        # FREEZE a converged lane: under vmap the batched while_loop keeps
-        # executing the body for every lane until ALL lanes are done, so
-        # without this a lane's final state would depend on how long its
-        # BATCHMATES take (padding/batch composition would change
-        # results — caught by test_flagship_sharded, where the padded
-        # sharded batch diverged from the single-device run).
+        # FREEZE a converged lane.  JAX's batched-while_loop lowering
+        # already per-lane-masks the carry once a lane's own cond is
+        # false (loops.py _pred_bcast_select_hlo), so lane results are
+        # batch-composition-independent either way; this explicit freeze
+        # makes that property LOCALLY visible (early_stop bucket
+        # gathering and padded sharded batches rely on it) rather than
+        # resting on a lowering detail, at the cost of three cheap
+        # selects per iteration.
         t_next = jnp.where(done, t, t_next)
         lam_next = jnp.where(done, lam, lam_next)
         it_next = jnp.where(done, it, it + 1)
@@ -260,7 +271,20 @@ def lm_solve(
     dof = jnp.maximum(n_data - (n_par if n_par_eff is None else n_par_eff), 1)
     red_chisq = jnp.sum(r_fin * r_fin) / dof
     if cov == "chol":
-        var = _spd_inv_diag_small(H) * red_chisq
+        # scipy curve_fit's pcov comes from a TRUNCATED SVD of the final
+        # Jacobian: an exactly-dead direction (zero column — e.g. a dead
+        # component whose C_i underflowed to exactly 0, zeroing its tau
+        # column) gets ZERO variance, not inf, so the reference's
+        # dPar>Par check ACCEPTS such fits.  Reproduce that for exact
+        # zeros by replacing dead rows/cols with identity before the
+        # Cholesky and zeroing their variances; NEAR-singular (nonzero
+        # but below scipy's rcond cutoff) still yields huge/NaN here
+        # where scipy would truncate — callers needing scipy's exact
+        # truncation window use cov="pinv".
+        dead = jnp.diag(H) == 0.0
+        eye = jnp.eye(n_par, dtype=H.dtype)
+        Hs = jnp.where(dead[:, None] | dead[None, :], eye, H)
+        var = jnp.where(dead, 0.0, _spd_inv_diag_small(Hs)) * red_chisq
     else:
         var = jnp.diag(jnp.linalg.pinv(H)) * red_chisq
     perr = jnp.sqrt(jnp.clip(var, 0.0))

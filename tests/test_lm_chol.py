@@ -65,6 +65,34 @@ def test_spd_inv_diag_matches_inv(rng, P):
     np.testing.assert_allclose(d, np.diag(np.linalg.inv(A)), rtol=1e-11)
 
 
+def test_cov_chol_zero_column_matches_scipy_truncation(rng):
+    """An EXACTLY-dead Jacobian column (e.g. a component whose C_i
+    underflowed to 0, zeroing its tau column) must get ZERO variance —
+    scipy curve_fit's pcov comes from a truncated SVD that zeroes
+    degenerate directions, so the reference ACCEPTS such fits; a NaN
+    here would make ok_err reject the rung and model selection diverge
+    (round-3 review finding)."""
+    T = 60
+    t = jnp.asarray(np.linspace(0.1, 6.0, T))
+    y = jnp.asarray(np.exp(-np.linspace(0.1, 6.0, T)) + 1e-3 * rng.normal(size=T))
+
+    def resid(p):
+        # p = [a, b, dead]: the third parameter never enters the model.
+        return p[0] * jnp.exp(-t / p[1]) - y + 0.0 * p[2] * jnp.zeros_like(t)
+
+    p0 = jnp.asarray([0.9, 1.2, 0.5])
+    lo = jnp.zeros(3)
+    hi = jnp.asarray([2.0, 10.0, 1.0])
+    for cov in ("chol", "pinv"):
+        res = lm_solve(resid, p0, lo, hi, cov=cov)
+        perr = np.asarray(res.perr)
+        assert np.isfinite(perr[:2]).all(), cov
+        assert perr[2] == 0.0, cov  # dead direction: zero, not NaN/inf
+
+    with pytest.raises(ValueError):
+        lm_solve(resid, p0, lo, hi, cov="cholesky")
+
+
 def test_spd_inv_diag_nan_on_singular():
     # An exactly-zero row/column must NOT silently produce zeros the way
     # pinv does — the dense paths rely on NaN/inf here to reject the fit.
