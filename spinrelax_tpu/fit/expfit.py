@@ -345,33 +345,48 @@ def fit_ct_ladder(
             if np.any(np.isfinite(chis_b)) else 0
         )
 
+    # Vectorised model assembly: one fancy-indexed gather per rung instead
+    # of a per-residue Python loop + from_lists (the loop was ~13% of the
+    # staged ladder wall at B=1e4, docs/PERF.md round 3).  Semantics are
+    # from_lists' exactly: f64 host staging (jnp.asarray canonicalises),
+    # tau padding 1, zero C/mask padding, components already sorted
+    # fast-to-slow inside fit_multiexp.
     Kmax = max(rungs[i][1] for i in sel)
-    C_list, tau_list, dC_list, dtau_list = [], [], [], []
-    S2s, dS2s, s2fasts, chis = [], [], [], []
-    for b in range(B):
-        n_par, K, s2_free, fit = rungs[sel[b]]
-        C_list.append(fit["C"][b, :K])
-        tau_list.append(fit["tau"][b, :K])
-        dC_list.append(fit["dC"][b, :K])
-        dtau_list.append(fit["dtau"][b, :K])
-        S2s.append(fit["S2"][b])
-        dS2s.append(fit["dS2"][b])
-        s2fasts.append(s2_free)
-        chis.append(fit["chisq"][b])
+    S2 = np.zeros(B)
+    dS2 = np.zeros(B)
+    chis = np.zeros(B)
+    s2fasts = np.zeros(B)
+    C = np.zeros((B, Kmax))
+    tau = np.ones((B, Kmax))
+    mask = np.zeros((B, Kmax))
+    dC = np.zeros((B, Kmax))
+    dtau = np.zeros((B, Kmax))
+    for i, (n_par, K, s2_free, fit) in enumerate(rungs):
+        rows = np.nonzero(sel == i)[0]
+        if rows.size == 0:
+            continue
+        C[rows, :K] = fit["C"][rows]
+        tau[rows, :K] = fit["tau"][rows]
+        mask[rows, :K] = 1.0
+        dC[rows, :K] = fit["dC"][rows]
+        dtau[rows, :K] = fit["dtau"][rows]
+        S2[rows] = fit["S2"][rows]
+        dS2[rows] = fit["dS2"][rows]
+        chis[rows] = fit["chisq"][rows]
+        s2fasts[rows] = float(s2_free)
 
-    return CtModelSet.from_lists(
-        names=names,
-        S2=S2s,
-        C_list=C_list,
-        tau_list=tau_list,
-        s2fast=s2fasts,
-        zeta=zeta,
-        max_comps=Kmax,
-        dS2=dS2s,
-        dC_list=dC_list,
-        dtau_list=dtau_list,
-        chisq=chis,
-        sort=False,  # already sorted inside fit_multiexp
+    return CtModelSet(
+        S2=jnp.asarray(S2),
+        C=jnp.asarray(C),
+        tau=jnp.asarray(tau),
+        mask=jnp.asarray(mask),
+        zeta=jnp.asarray(float(zeta)),
+        s2fast=jnp.asarray(s2fasts),
+        dS2=jnp.asarray(dS2),
+        dC=jnp.asarray(dC),
+        dtau=jnp.asarray(dtau),
+        chisq=jnp.asarray(chis),
+        names=[str(x) for x in names],
     )
 
 
