@@ -132,11 +132,18 @@ def _eval_all(es: ExperimentSet, diso, aniso, zeta, csa):
 
 def _combined_weight(e, dv, like):
     """The reference's composite error weight dTarget^2 + dSim^2 with
-    the both-absent -> 1.0 and nonpositive -> 1.0 fallbacks
-    (spectral_densities.py:803-818).  THE single home of this 4-branch
-    rule: chisq_total and residuals_total must stay exactly equal
+    the both-absent -> 1.0 fallback (calc_chisq,
+    spectral_densities.py:803-818) plus the nonpositive -> 1.0 clamp
+    that the reference applies only in its rsCSA inner objective
+    (:1430-1447).  Extending the clamp to the GLOBAL chi-square is a
+    deliberate deviation: a zero error bar in an experiment file makes
+    the reference's global objective inf (division by zero), which its
+    Powell loop cannot recover from — those points weight at 1.0 here
+    instead.  THE single home of this 4-branch rule: chisq_total,
+    residuals_total and chisq_per_residue must stay mutually consistent
     (chisq_total == sum(residuals^2) is the invariant the on-device LM
-    relies on), so both call here."""
+    relies on; the rsCSA local stage must weight like the global stage
+    or the alternation fights itself), so all three call here."""
     if e.error is not None and dv is not None:
         w = jnp.asarray(e.error) ** 2 + dv**2
     elif dv is None and e.error is not None:
@@ -193,10 +200,7 @@ def chisq_per_residue(es: ExperimentSet, diso, aniso, zeta, csa):
     for e, (v, dv) in zip(es.experiments, preds):
         m = jnp.asarray(e.mask)
         t = jnp.asarray(e.target)
-        dv2 = 0.0 if dv is None else dv**2
-        dt2 = 0.0 if e.error is None else jnp.asarray(e.error) ** 2
-        w = dv2 + dt2
-        w = jnp.where(w > 0, w, 1.0)
+        w = _combined_weight(e, dv, v)
         num = num + m * (v - t) ** 2 / w
         cnt = cnt + m
     return num / jnp.maximum(cnt, 1.0)
@@ -299,8 +303,13 @@ class GlobalFitter:
 
                 def body(state):
                     z, lam, f, it, _moved = state
-                    J = jax.jacfwd(resid)(z)  # (nR, n_p)
-                    r = resid(z)
+                    # linearize shares ONE primal evaluation between the
+                    # residual and its n_p basis-vector JVPs (jacfwd IS
+                    # vmap-of-jvp over eye, but with its own primal; the
+                    # separate resid(z) re-ran the full multi-experiment
+                    # forward model a third time each iteration).
+                    r, jvp = jax.linearize(resid, z)
+                    J = jnp.transpose(jax.vmap(jvp)(eye))  # (nR, n_p)
                     g = jnp.matmul(J.T, r, precision=_hi)
                     H = jnp.matmul(J.T, J, precision=_hi)
                     dz = jnp.linalg.solve(H + lam * eye, -g)
@@ -449,9 +458,10 @@ class GlobalFitter:
         The reference's per-residue Powell (spectral_densities.py:1371-1382)
         is unbounded, so the bracket must not silently clamp a far-off
         optimum: residues whose minimiser lands at (or outside) the bracket
-        edge get their half-width doubled and re-searched, up to
-        ``max_expand`` doublings (+-38 000 ppm at the defaults — far past
-        any physical CSA)."""
+        edge are re-CENTRED at that edge with the half-width doubled and
+        re-searched, up to ``max_expand`` rounds — cumulative reach
+        +-(2^max_expand - 1)*half_width (~+-38 000 ppm at the defaults,
+        far past any physical CSA)."""
         s = self.state
         csa0 = jnp.asarray(s.csa)
         covered = np.asarray(self.es.coverage_counts()) > 0
@@ -488,6 +498,13 @@ class GlobalFitter:
         """Alternating global/local loop (perform_optimisation,
         spectral_densities.py:1302-1358)."""
         has_global = len(self.global_vars) > 0
+        if not has_global and not self.do_local:
+            # No optimisation variables requested: evaluate and return —
+            # the alternating loop below would otherwise run an
+            # UNREQUESTED rsCSA local pass, mutating state.csa (the CLI
+            # guards with `if opt_params:`, the library surface didn't).
+            self.state.chisq = self.chisq()
+            return self.state
         if has_global and not self.do_local:
             self.global_step(method)
             return self.state

@@ -365,7 +365,11 @@ def j_from_ct_dft(t, Ct, omega):
     idx = jnp.clip(jnp.searchsorted(om_grid, omega), 1, om_grid.shape[0] - 1)
     x0 = om_grid[idx - 1]
     x1 = om_grid[idx]
-    w1 = (omega - x0) / (x1 - x0)
+    # Clamp: a frequency beyond Nyquist (coarse dt) would otherwise
+    # EXTRAPOLATE the top two bins — G oscillates around 0 there, so the
+    # extrapolant can go negative (unphysical J -> negative R1).  Hold
+    # the last bin's value instead.
+    w1 = jnp.clip((omega - x0) / (x1 - x0), 0.0, 1.0)
     return (1 - w1) * G[..., idx - 1] + w1 * G[..., idx]
 
 

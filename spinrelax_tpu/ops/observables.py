@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import NucleusPair
-from ..core.stats import weighted_mean_std
+from ..core.stats import _safe_sqrt, weighted_mean_std
 from ..models.ctmodel import CtModelSet
 from ..models.diffusion import Diffusion
 from . import relaxation as rx
@@ -162,9 +162,10 @@ def rates_from_a_moments_newapi(pair: NucleusPair, G, mu, cov, csa=None) -> Rate
 
     r1_j = rx.r1_from_j(G, f_dd, f_csa, tf)  # (nRes, 3)
     r2_j = rx.r2_from_j(G, f_dd, f_csa, tf)
-    sig_j = tf * (pair.gamma_b / pair.gamma_a) * f_dd * (
-        6 * G[..., rx.IOMBPX] - G[..., rx.IOMBMX]
-    )
+    # The NOE's R1-independent numerator: shared with rx.noe_from_j so
+    # the moment-collapse linearity identity (pinned by
+    # test_moment_collapse) cannot drift from the per-sample formula.
+    sig_j = rx.cross_rate_from_j(G, f_dd, tf, pair.gamma_b / pair.gamma_a)
 
     def _stats(r):
         mean = jnp.sum(mu * r, axis=-1)
@@ -173,13 +174,10 @@ def rates_from_a_moments_newapi(pair: NucleusPair, G, mu, cov, csa=None) -> Rate
             precision=jax.lax.Precision.HIGHEST,  # bf16 TPU default loses
             # ~1e-3 on f32 contractions (CLAUDE.md precision rule)
         )
-        # sqrt has a NaN *gradient* at 0 even though the primal is fine:
-        # a residue with exactly zero ensemble variance (duplicated or
-        # single-sample vectors) would NaN-poison the whole jacobian of
-        # the device-LM / L-BFGS optimisers.  Route the gradient through
-        # a safe positive value instead.
-        safe = jnp.where(var > 0, var, 1.0)
-        return mean, jnp.where(var > 0, jnp.sqrt(safe), 0.0)
+        # _safe_sqrt: sqrt has a NaN *gradient* at 0 even though the
+        # primal is fine — a zero-variance ensemble would NaN-poison the
+        # optimiser jacobians (core/stats.py, the single home).
+        return mean, _safe_sqrt(var)
 
     R1, dR1 = _stats(r1_j)
     R2, dR2 = _stats(r2_j)

@@ -47,12 +47,21 @@ def r2_from_j(J, f_dd, f_csa, time_fact):
     )
 
 
+def cross_rate_from_j(J, f_dd, time_fact, gamma_ratio):
+    """Dipolar cross-relaxation rate sigma_AB = tf*gr*f_dd*(6J(wB+wA) -
+    J(wB-wA)) — the NOE's R1-independent, linear-in-J numerator
+    (spectral_densities.py:888-892).  Single home: the moment-collapsed
+    ensemble statistics (ops/observables.rates_from_a_moments_newapi)
+    rely on this exact linear form."""
+    return time_fact * gamma_ratio * f_dd * (
+        6 * J[..., IOMBPX] - J[..., IOMBMX]
+    )
+
+
 def noe_from_j(J, f_dd, time_fact, gamma_ratio, R1):
     """hetNOE given a precomputed R1 (spectral_densities.py:888-892).
     ``gamma_ratio`` = gamma_B / gamma_A."""
-    return 1.0 + time_fact * gamma_ratio / R1 * f_dd * (
-        6 * J[..., IOMBPX] - J[..., IOMBMX]
-    )
+    return 1.0 + cross_rate_from_j(J, f_dd, time_fact, gamma_ratio) / R1
 
 
 def rho_from_j(J):

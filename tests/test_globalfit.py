@@ -293,3 +293,17 @@ def test_experiment_peaks_not_in_models(rng):
     np.testing.assert_array_equal(m, [1, 1, 0, 0])
     chi = float(chisq_total(es, diff.diso, diff.aniso, cts.zeta, np.full(4, -170e-6)))
     assert np.isfinite(chi)
+
+
+def test_empty_opt_vars_is_eval_only(rng):
+    """GlobalFitter(es, []).run() must evaluate WITHOUT optimising —
+    the alternating loop used to fall through and run an unrequested
+    rsCSA local pass, mutating state.csa (round-3 review finding)."""
+    names, cts, diff, v, w = make_setup(rng, n_res=4)
+    expts = synth_experiments(names, cts, diff, v, w, noise=0.01, rng=rng)
+    es = ExperimentSet.build(expts, cts, diff, vecs=v, weights=w)
+    fitter = GlobalFitter(es, [])
+    csa_before = fitter.state.csa.copy()
+    st = fitter.run(method="powell")
+    np.testing.assert_array_equal(st.csa, csa_before)
+    assert np.isfinite(st.chisq)

@@ -76,3 +76,16 @@ def test_dft_path_matches_analytic():
     got = np.asarray(jw.j_from_ct_dft(t, Ct, om))
     want = tau / (1 + (om * tau) ** 2)
     np.testing.assert_allclose(got, want, rtol=0.02)
+
+
+def test_dft_beyond_nyquist_clamps():
+    """A requested frequency past the rfft band must HOLD the last bin,
+    not linearly extrapolate the oscillating tail (which can produce a
+    negative J -> negative R1; round-3 review finding)."""
+    dt = 1.0
+    t = np.arange(0, 4096) * dt
+    Ct = np.exp(-t / 50.0)
+    nyq = np.pi / dt
+    inside = np.asarray(jw.j_from_ct_dft(t, Ct, np.array([nyq])))
+    beyond = np.asarray(jw.j_from_ct_dft(t, Ct, np.array([nyq * 3, nyq * 100])))
+    np.testing.assert_allclose(beyond, inside[..., :1] * np.ones(2), rtol=1e-12)
