@@ -365,11 +365,13 @@ def fit_ct_ladder(
         rows = np.nonzero(sel == i)[0]
         if rows.size == 0:
             continue
-        C[rows, :K] = fit["C"][rows]
-        tau[rows, :K] = fit["tau"][rows]
+        # [:, :K] also strips the stacked path's Kmax-wide padding
+        # (the per-rung _unpack_fit arrays are already K wide).
+        C[rows, :K] = fit["C"][rows][:, :K]
+        tau[rows, :K] = fit["tau"][rows][:, :K]
         mask[rows, :K] = 1.0
-        dC[rows, :K] = fit["dC"][rows]
-        dtau[rows, :K] = fit["dtau"][rows]
+        dC[rows, :K] = fit["dC"][rows][:, :K]
+        dtau[rows, :K] = fit["dtau"][rows][:, :K]
         S2[rows] = fit["S2"][rows]
         dS2[rows] = fit["dS2"][rows]
         chis[rows] = fit["chisq"][rows]

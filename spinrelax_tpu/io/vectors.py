@@ -66,6 +66,13 @@ def load_vector_distribution(fn: str) -> Tuple[np.ndarray, np.ndarray, Optional[
         vecs = np.asarray(geometry.pt_to_xyz(pt))
         return np.asarray(legs), vecs, None
     obj = np.load(fn, allow_pickle=True)
+    if not isinstance(obj, np.lib.npyio.NpzFile):
+        # A bare .npy array would crash below with a cryptic IndexError
+        # on obj["names"]; no writer in this package produces one.
+        raise ValueError(
+            f"{fn!r} is a bare .npy array, not a vector-distribution npz "
+            "(PhiTheta / LambertCylindrical)"
+        )
     names = obj["names"]
     if obj["bHistogram"]:
         if str(obj["dataType"]) != "LambertCylindrical":
@@ -106,6 +113,31 @@ class PhiThetaStreamWriter:
         pt.tofile(self._fh)
         self._n += pt.shape[0]
 
+    def abort(self) -> None:
+        """Remove the temp file after the PRODUCING stage failed before
+        close() (close() cleans up after its own failures).  Idempotent;
+        also invoked best-effort from __del__ so an exception between
+        __init__ and close() does not leave the multi-GB temp behind
+        (bounded to one file — the fixed name truncates on reuse)."""
+        import os
+
+        try:
+            if not self._fh.closed:
+                self._fh.close()
+        except Exception:
+            pass
+        if os.path.exists(self._tmp):
+            try:
+                os.remove(self._tmp)
+            except OSError:
+                pass
+
+    def __del__(self):
+        try:
+            self.abort()
+        except Exception:
+            pass
+
     def close(self):
         import os
         import zipfile
@@ -126,22 +158,24 @@ class PhiThetaStreamWriter:
                 self._tmp, dtype=np.float64, mode="r",
                 shape=(self._n, n_res, 2),
             )
+            # Frame-chunked transpose into a residue-major memmap, for
+            # BOTH formats: whole-column reads (src[:, i]) touch ~one
+            # page per frame once the temp file exceeds the page cache
+            # (~n_res x read amplification — the text branch used to pay
+            # exactly that).  Reading sequential frame blocks and writing
+            # contiguous out[i, s:e] slices keeps total I/O at
+            # O(file size).
+            out = np.lib.format.open_memmap(
+                datafile, mode="w+", dtype=np.float64, shape=(n_res, self._n, 2)
+            )
+            chunk = max(1, (64 << 20) // max(n_res * 16, 1))
+            for s in range(0, self._n, chunk):
+                e = min(self._n, s + chunk)
+                block = np.array(src[s:e])  # (e-s, nRes, 2) sequential
+                for i in range(n_res):
+                    out[i, s:e] = block[:, i, :]
+            out.flush()
             if self.fmt == "npz":
-                out = np.lib.format.open_memmap(
-                    datafile, mode="w+", dtype=np.float64, shape=(n_res, self._n, 2)
-                )
-                # Frame-chunked transpose: whole-column reads (src[:, i])
-                # touch ~one page per frame once the temp file exceeds
-                # the page cache (~n_res x read amplification).  Reading
-                # sequential frame blocks and writing contiguous
-                # out[i, s:e] slices keeps total I/O at O(file size).
-                chunk = max(1, (64 << 20) // max(n_res * 16, 1))
-                for s in range(0, self._n, chunk):
-                    e = min(self._n, s + chunk)
-                    block = np.array(src[s:e])  # (e-s, nRes, 2) sequential
-                    for i in range(n_res):
-                        out[i, s:e] = block[:, i, :]
-                out.flush()
                 del out
                 meta = {
                     "names": np.asarray(self.names),
@@ -159,10 +193,11 @@ class PhiThetaStreamWriter:
                 with open(self.fn, "w") as fp:
                     for i, rid in enumerate(self.names):
                         print('@s%d legend "%s"' % (i, rid), file=fp)
-                        col = np.asarray(src[:, i, :])
+                        col = np.asarray(out[i])  # contiguous (n, 2) read
                         for j in range(col.shape[0]):
                             print("%g %g" % (col[j, 0], col[j, 1]), file=fp)
                         print("&", file=fp)
+                del out
             del src
         finally:
             for leftover in (self._tmp, datafile):

@@ -17,7 +17,7 @@ from typing import List, Optional, Sequence
 import numpy as np
 import jax.numpy as jnp
 
-from ..constants import NucleusPair, field_from_mhz
+from ..constants import NucleusPair, field_from_hz, field_from_mhz
 from ..io.experiments import ExperimentData
 from .ctmodel import CtModelSet
 from .diffusion import Diffusion
@@ -136,7 +136,7 @@ class ExperimentSet:
             if e.freq_unit == "MHz":
                 B0 = field_from_mhz(freq)
             elif e.freq_unit == "Hz":
-                B0 = field_from_mhz(freq / 1e6)
+                B0 = field_from_hz(freq)
             elif e.freq_unit == "T":
                 B0 = freq
             else:

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import shutil
 import sys
 
 import numpy as np
@@ -102,7 +103,10 @@ def run_workflow(cfg: WorkflowConfig):
         with open(qfile_agg, "w") as out:
             for qf in qfiles:
                 with open(qf) as src:
-                    out.write(src.read())
+                    # constant-memory concatenation: per-replica colvars
+                    # can be multi-GB and this aggregate is rebuilt on
+                    # every invocation
+                    shutil.copyfileobj(src, out)
     else:
         qfile_agg = qfiles[0]
 
@@ -160,16 +164,21 @@ def run_workflow(cfg: WorkflowConfig):
         # of the -D_ext override), so a degenerate simulated tensor must
         # not abort a run that supplies its own Diso/Daniso.
         have_ext_d = bool(tum.d_ext) and len(tum.d_ext) >= 2
-        if hdr["Drho_L"] < 1.0:
+        if have_ext_d:
+            # Skip the detection entirely (not just its result): the
+            # reference never reads Drho_* here, so a legacy/foreign
+            # aniso2.dat lacking those header keys must not KeyError,
+            # and no misleading axis-detection line is printed for a
+            # tensor that is immediately overridden.
+            dani = tum.d_ext[1]
+        elif hdr["Drho_L"] < 1.0:
             print("= = = Long axis ellipsoid detected, pointing along Dz.")
             dani = hdr["Dani_L"]
         elif hdr["Drho_S"] < 1.0:
             print("= = = Short axis ellipsoid detected, pointing along Dx.")
             dani = hdr["Dani_S"]
-        elif not have_ext_d:
+        else:
             sys.exit("= = = ERROR: neither Drho value is below one.")
-        if have_ext_d:
-            dani = tum.d_ext[1]
         if tum.q_ext is not None:
             quat = np.array(tum.q_ext)
     print(f"= = Global Diffusion used: Diso={diso:g} ps^-1, Daniso={dani:g}")
@@ -249,7 +258,11 @@ def run_workflow(cfg: WorkflowConfig):
             relax_inputs.append(phy.csa_file)
         if cfg.force or not stage_is_current(
             outpref, f"relax:{bf}", relax_inputs,
-            [of + "_R1.dat", of + "_R2.dat"],
+            # ALL four artefacts: resume must not skip a run interrupted
+            # between the R2 and NOE writes (NOE/rho would then never be
+            # produced — existence semantics check every listed output).
+            [of + "_R1.dat", of + "_R2.dat", of + "_NOE.dat",
+             of + "_rho.dat"],
             params=relax_params,
         ):
             stages.stage_relax(
