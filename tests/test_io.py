@@ -480,6 +480,15 @@ def test_phitheta_stream_writer_empty_and_cleanup(tmp_path):
         w.close()
     assert os.listdir(tmp_path) == []  # no .stream.tmp / .data.npy left
 
+    # abort(): a producing stage that fails BEFORE close() must be able
+    # to remove the temp explicitly (idempotent; __del__ is best-effort).
+    w2 = PhiThetaStreamWriter(fn, ["2", "3"])
+    w2.append(np.zeros((4, 2, 2)))
+    assert os.path.exists(fn + ".stream.tmp")
+    w2.abort()
+    w2.abort()
+    assert os.listdir(tmp_path) == []
+
 
 def test_fittedct_header_styles(tmp_path):
     """Header byte-forms match the reference report(style='xmgrace')

@@ -195,6 +195,32 @@ def test_run_all_end_to_end(tmp_path, rng):
     assert out2.returncode == 0, out2.stderr[-3000:]
     assert "skipping" in out2.stdout.lower() or "Skipping" in out2.stdout
 
+    # Interrupted-relax resume: a run killed between the R2 and NOE
+    # writes must RE-RUN the relax stage, not skip it forever (the
+    # output list used to name only R1/R2; round-3 review finding).
+    os.remove(pref + "-600_NOE.dat")
+    out3 = subprocess.run(
+        [
+            sys.executable, "-c",
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            "from spinrelax_tpu.pipeline.cli import main; main()",
+            "run-all",
+            "-out", "rotdif",
+            "-sxtc", trj_fn,
+            "-refpdb", ref_fn,
+            "-qfile", str(tmp_path / "colvar-qorient"),
+            "-t_mem", "1000",
+            "-Bfields", "600.133",
+        ],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out3.returncode == 0, out3.stderr[-3000:]
+    assert os.path.exists(pref + "-600_NOE.dat"), "NOE not regenerated"
+
 
 @pytest.mark.slow
 def test_runall_streamed_ct(tmp_path, rng):
