@@ -59,6 +59,27 @@ struct Reader {
         if (fread(dst, 1, n, fp) != n) { ok = false; return false; }
         return true;
     }
+    // Skip n payload bytes without reading them (header-only scans).
+    // fseek happily lands past EOF, so verify against the file size —
+    // a truncated final payload must still scan as corrupt.
+    long fsize = -1;
+    bool skip(long n) {
+        long pos = ftell(fp);
+        if (pos < 0) { ok = false; return false; }
+        if (fsize < 0) {
+            if (fseek(fp, 0, SEEK_END) != 0) { ok = false; return false; }
+            fsize = ftell(fp);
+            if (fsize < 0 || fseek(fp, pos, SEEK_SET) != 0) {
+                ok = false;
+                return false;
+            }
+        }
+        if (pos + n > fsize || fseek(fp, n, SEEK_CUR) != 0) {
+            ok = false;
+            return false;
+        }
+        return true;
+    }
     bool eof() {
         int c = fgetc(fp);
         if (c == EOF) return true;
@@ -231,6 +252,31 @@ static void encodeints(BitBuf& buf, int num_of_ints, int num_of_bits,
 
 static void decodeints(BitBuf& buf, int num_of_ints, int num_of_bits,
                        const uint32_t sizes[], int32_t nums[]) {
+    // Fast path: the packed big number fits in 56 bits (every physical
+    // frame: a 3-int pack needs > 56 bits only for > ~2^18 units/dim,
+    // and the > 2^24-per-dim case bypasses decodeints entirely).  The
+    // mixed-radix decode then needs num_of_ints-1 u64 divisions total,
+    // instead of one u32 division PER BYTE per int in the canonical
+    // byte-wise bignum loop — the decoder's dominant cost.  Bit-exact
+    // with the reference loop incl. the low-32-bit truncation of
+    // nums[0] (pinned by the differential fuzz suite, test_xtc_fuzz).
+    if (num_of_bits <= 56) {
+        uint64_t v = 0;
+        int shift = 0;
+        while (num_of_bits > 8) {
+            v |= (uint64_t)decodebits(buf, 8) << shift;  // LSB-first
+            shift += 8;
+            num_of_bits -= 8;
+        }
+        if (num_of_bits > 0) v |= (uint64_t)decodebits(buf, num_of_bits) << shift;
+        for (int i = num_of_ints - 1; i > 0; i--) {
+            uint64_t q = v / sizes[i];
+            nums[i] = (int32_t)(uint32_t)(v - q * sizes[i]);
+            v = q;
+        }
+        nums[0] = (int32_t)(uint32_t)v;
+        return;
+    }
     uint32_t bytes[32] = {0, 0, 0, 0};
     int num_of_bytes = 0;
     while (num_of_bits > 8) {
@@ -297,10 +343,11 @@ static bool read_frame(Reader& rd, FrameHeader& h, float* xyz /*natoms*3 or null
     const int n_magic = (int)(sizeof(magicints) / sizeof(magicints[0]));
     if (smallidx < FIRSTIDX || smallidx >= n_magic - 1) return false;
 
+    size_t padded = (size_t)((nbytes + 3) / 4) * 4;
+    if (!xyz) return rd.skip((long)padded);  // header-only scan: no read
     BitBuf buf;
-    buf.data.resize((size_t)((nbytes + 3) / 4) * 4);
+    buf.data.resize(padded);
     if (!rd.bytes(buf.data.data(), buf.data.size())) return false;
-    if (!xyz) return true;  // header-only scan
 
     uint32_t sizeint[3], sizesmall[3], bitsizeint[3] = {0, 0, 0};
     for (int i = 0; i < 3; i++)
