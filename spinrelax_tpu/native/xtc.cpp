@@ -113,8 +113,10 @@ struct Writer {
 struct BitBuf {
     std::vector<unsigned char> data;
     size_t cnt = 0;           // byte cursor
-    int lastbits = 0;         // bits held in lastbyte
+    int lastbits = 0;         // encoder: bits held in lastbyte
     uint32_t lastbyte = 0;
+    uint64_t cache = 0;       // decoder: pending bits, LSB-justified
+    int nbits = 0;            // decoder: bits held in cache
     bool overrun = false;     // decode read past the frame payload
 
     unsigned char next() {
@@ -155,27 +157,27 @@ static void flushbits(BitBuf& buf) {
 }
 
 static uint32_t decodebits(BitBuf& buf, int num_of_bits) {
-    uint32_t mask = num_of_bits == 32 ? 0xffffffffu : (1u << num_of_bits) - 1;
-    uint32_t lastbyte = buf.lastbyte;
-    int lastbits = buf.lastbits;
-    uint32_t num = 0;
-    while (num_of_bits >= 8) {
-        lastbyte = (lastbyte << 8) | buf.next();
-        num |= (lastbyte >> lastbits) << (num_of_bits - 8);
-        num_of_bits -= 8;
-    }
-    if (num_of_bits > 0) {
-        if (lastbits < num_of_bits) {
-            lastbits += 8;
-            lastbyte = (lastbyte << 8) | buf.next();
+    // MSB-first bit reader with a 64-bit cache and bulk 32-bit refills —
+    // bit-exact with the canonical byte-at-a-time loop (the cache only
+    // changes WHEN bytes are fetched, never which bits are consumed;
+    // consuming past the padded payload still trips `overrun` via
+    // next()).  Pinned by the differential fuzz suite.
+    while (buf.nbits < num_of_bits) {
+        if (buf.nbits <= 32 && buf.cnt + 4 <= buf.data.size()) {
+            const unsigned char* p = &buf.data[buf.cnt];
+            buf.cache = (buf.cache << 32) |
+                        ((uint64_t)p[0] << 24) | ((uint64_t)p[1] << 16) |
+                        ((uint64_t)p[2] << 8) | (uint64_t)p[3];
+            buf.cnt += 4;
+            buf.nbits += 32;
+        } else {
+            buf.cache = (buf.cache << 8) | buf.next();
+            buf.nbits += 8;
         }
-        lastbits -= num_of_bits;
-        num |= (lastbyte >> lastbits) & ((1u << num_of_bits) - 1);
     }
-    num &= mask;
-    buf.lastbits = lastbits;
-    buf.lastbyte = lastbyte;
-    return num;
+    buf.nbits -= num_of_bits;
+    uint32_t mask = num_of_bits == 32 ? 0xffffffffu : (1u << num_of_bits) - 1;
+    return (uint32_t)(buf.cache >> buf.nbits) & mask;
 }
 
 static int sizeofint(uint32_t size) {
@@ -250,29 +252,70 @@ static void encodeints(BitBuf& buf, int num_of_ints, int num_of_bits,
     }
 }
 
+// Exact u64-by-u32 division via a 2^63-scaled reciprocal + one fixup:
+// for v < 2^56 (the decodeints fast-path bound) and any d >= 1,
+// q' = (v * floor(2^63/d)) >> 63 is floor(v/d) or one less (the deficit
+// v*e/(d*2^63) with e = 2^63 mod d is < v/2^63 < 1), so a single
+// conditional correction makes it exact — a multiply+shift instead of
+// a ~25-cycle hardware divide in the per-atom decode loop.
+struct Div {
+    uint64_t rinv = 0;
+    uint32_t d = 0;
+    void set(uint32_t dd) {
+        d = dd;
+        rinv = (uint64_t)(((unsigned __int128)1 << 63) / dd);
+    }
+    inline uint64_t divmod(uint64_t v, uint32_t& rem) const {
+        uint64_t q = (uint64_t)(((unsigned __int128)v * rinv) >> 63);
+        uint64_t r = v - q * d;
+        if (r >= d) { q++; r -= d; }
+        rem = (uint32_t)r;
+        return q;
+    }
+};
+
 static void decodeints(BitBuf& buf, int num_of_ints, int num_of_bits,
-                       const uint32_t sizes[], int32_t nums[]) {
+                       const uint32_t sizes[], const Div divs[],
+                       int32_t nums[]) {
     // Fast path: the packed big number fits in 56 bits (every physical
     // frame: a 3-int pack needs > 56 bits only for > ~2^18 units/dim,
     // and the > 2^24-per-dim case bypasses decodeints entirely).  The
-    // mixed-radix decode then needs num_of_ints-1 u64 divisions total,
-    // instead of one u32 division PER BYTE per int in the canonical
-    // byte-wise bignum loop — the decoder's dominant cost.  Bit-exact
-    // with the reference loop incl. the low-32-bit truncation of
-    // nums[0] (pinned by the differential fuzz suite, test_xtc_fuzz).
+    // mixed-radix decode then needs num_of_ints-1 reciprocal divisions
+    // total, instead of one u32 hardware division PER BYTE per int in
+    // the canonical byte-wise bignum loop — the decoder's dominant
+    // cost.  Bit-exact with the reference loop incl. the low-32-bit
+    // truncation of nums[0] (pinned by the differential fuzz suite,
+    // test_xtc_fuzz).
     if (num_of_bits <= 56) {
+        // The pack is a little-endian byte sequence of MSB-first 8-bit
+        // groups plus one 1..8-bit tail group; reading several groups
+        // at once yields (b_k<<..)|..|b_{k+m} — a bswap restores the LE
+        // value.  Identical bits consumed in identical order to the
+        // canonical per-byte loop, in <= 4 reader calls instead of 8.
+        int full = (num_of_bits - 1) / 8;      // full 8-bit groups
+        int tail = num_of_bits - 8 * full;     // 1..8 bits
         uint64_t v = 0;
         int shift = 0;
-        while (num_of_bits > 8) {
-            v |= (uint64_t)decodebits(buf, 8) << shift;  // LSB-first
-            shift += 8;
-            num_of_bits -= 8;
+        if (full >= 4) {
+            v = (uint64_t)__builtin_bswap32(decodebits(buf, 32));
+            shift = 32;
+            full -= 4;
         }
-        if (num_of_bits > 0) v |= (uint64_t)decodebits(buf, num_of_bits) << shift;
+        if (full >= 2) {
+            v |= (uint64_t)__builtin_bswap16((uint16_t)decodebits(buf, 16))
+                 << shift;
+            shift += 16;
+            full -= 2;
+        }
+        if (full >= 1) {
+            v |= (uint64_t)decodebits(buf, 8) << shift;
+            shift += 8;
+        }
+        v |= (uint64_t)decodebits(buf, tail) << shift;
         for (int i = num_of_ints - 1; i > 0; i--) {
-            uint64_t q = v / sizes[i];
-            nums[i] = (int32_t)(uint32_t)(v - q * sizes[i]);
-            v = q;
+            uint32_t rem;
+            v = divs[i].divmod(v, rem);
+            nums[i] = (int32_t)rem;
         }
         nums[0] = (int32_t)(uint32_t)v;
         return;
@@ -350,8 +393,13 @@ static bool read_frame(Reader& rd, FrameHeader& h, float* xyz /*natoms*3 or null
     if (!rd.bytes(buf.data.data(), buf.data.size())) return false;
 
     uint32_t sizeint[3], sizesmall[3], bitsizeint[3] = {0, 0, 0};
-    for (int i = 0; i < 3; i++)
+    for (int i = 0; i < 3; i++) {
         sizeint[i] = (uint32_t)(maxint[i] - minint[i] + 1);
+        // Hostile maxint < minint wraps to 0 and would reach a division
+        // by zero in the mixed-radix decode (SIGFPE); legit frames
+        // always have sizeint >= 1.
+        if (sizeint[i] == 0) return false;
+    }
     int bitsize;
     if ((sizeint[0] | sizeint[1] | sizeint[2]) > 0xffffff) {
         for (int i = 0; i < 3; i++) bitsizeint[i] = sizeofint(sizeint[i]);
@@ -365,6 +413,15 @@ static bool read_frame(Reader& rd, FrameHeader& h, float* xyz /*natoms*3 or null
     int small = magicints[smallidx] / 2;
     sizesmall[0] = sizesmall[1] = sizesmall[2] = (uint32_t)magicints[smallidx];
 
+    // Reciprocal dividers for the decodeints fast path (only indices
+    // 1..2 are divided by).  divint is per-frame constant; divsmall
+    // follows smallidx and is refreshed only when it changes.
+    Div divint[3], divsmall[3];
+    divint[1].set(sizeint[1]);
+    divint[2].set(sizeint[2]);
+    divsmall[1].set(sizesmall[1]);
+    divsmall[2] = divsmall[1];
+
     float inv_precision = 1.0f / precision;
     int32_t prevcoord[3] = {0, 0, 0};
     int run = 0;
@@ -377,7 +434,7 @@ static bool read_frame(Reader& rd, FrameHeader& h, float* xyz /*natoms*3 or null
             thiscoord[1] = (int32_t)decodebits(buf, bitsizeint[1]);
             thiscoord[2] = (int32_t)decodebits(buf, bitsizeint[2]);
         } else {
-            decodeints(buf, 3, bitsize, sizeint, thiscoord);
+            decodeints(buf, 3, bitsize, sizeint, divint, thiscoord);
         }
         i++;
         thiscoord[0] += minint[0];
@@ -402,7 +459,7 @@ static bool read_frame(Reader& rd, FrameHeader& h, float* xyz /*natoms*3 or null
         if (run > 0) {
             for (int k = 0; k < run; k += 3) {
                 if (i >= h.natoms) return false;  // corrupt run overruns buffer
-                decodeints(buf, 3, smallidx, sizesmall, thiscoord);
+                decodeints(buf, 3, smallidx, sizesmall, divsmall, thiscoord);
                 i++;
                 thiscoord[0] += prevcoord[0] - small;
                 thiscoord[1] += prevcoord[1] - small;
@@ -440,6 +497,10 @@ static bool read_frame(Reader& rd, FrameHeader& h, float* xyz /*natoms*3 or null
         }
         sizesmall[0] = sizesmall[1] = sizesmall[2] = (uint32_t)magicints[smallidx];
         if (sizesmall[0] == 0) return false;  // corrupted stream
+        if (is_smaller != 0) {  // refresh the reciprocal only on change
+            divsmall[1].set(sizesmall[1]);
+            divsmall[2] = divsmall[1];
+        }
     }
     return !buf.overrun;  // truncated payload = corrupt frame
 }
