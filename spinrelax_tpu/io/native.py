@@ -31,7 +31,7 @@ def _build_lib(src: str, out: str):
     tmp = f"{out}.{os.getpid()}.tmp"
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", src, "-o", tmp],
+            ["g++", "-O3", "-pthread", "-shared", "-fPIC", src, "-o", tmp],
             check=True,
             capture_output=True,
         )
@@ -189,6 +189,12 @@ def _load_xtc():
             ctypes.POINTER(ctypes.c_float), ctypes.c_long,
         ]
         lib.xtc_next.restype = ctypes.c_long
+        lib.xtc_next_mt.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_int,
+        ]
+        lib.xtc_next_mt.restype = ctypes.c_long
         lib.xtc_close.argtypes = [ctypes.c_void_p]
         lib.xtc_close.restype = None
         _xtc_lib = lib
@@ -201,9 +207,12 @@ def xtc_available() -> bool:
     return _load_xtc() is not None
 
 
-def read_xtc(fn: str):
+def read_xtc(fn: str, threads: int = 1):
     """-> (xyz (nFrames, nAtoms, 3) [nm] float32, boxes (nFrames, 3, 3),
-    times (nFrames,))."""
+    times (nFrames,)).
+
+    ``threads``: decode with this many worker threads (0 = one per
+    core, 1 = sequential).  Output is identical regardless."""
     lib = _load_xtc()
     if lib is None:
         raise OSError("native XTC codec unavailable (no compiler?)")
@@ -213,30 +222,58 @@ def read_xtc(fn: str):
     if rc != 0:
         raise OSError(f"xtc_info failed on {fn!r} (code {rc})")
     nf, na = n_frames.value, natoms.value
+    n_threads = _xtc_threads(threads)
     xyz = np.empty((nf, na, 3), dtype=np.float32)
     times = np.empty(nf, dtype=np.float32)
     boxes = np.empty((nf, 3, 3), dtype=np.float32)
-    got = lib.xtc_read(
-        fn.encode(),
-        xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        times.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        nf, na,
-    )
+    if n_threads > 1:
+        handle = lib.xtc_open(fn.encode(), ctypes.byref(natoms))
+        if not handle:
+            raise OSError(f"xtc_open failed on {fn!r}")
+        try:
+            got = lib.xtc_next_mt(
+                handle,
+                xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                times.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                nf, n_threads,
+            )
+        finally:
+            lib.xtc_close(handle)
+    else:
+        got = lib.xtc_read(
+            fn.encode(),
+            xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            times.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            nf, na,
+        )
     if got != nf:
         raise OSError(f"xtc_read returned {got} of {nf} frames for {fn!r}")
     return xyz, boxes, times
 
 
-def iter_xtc(fn: str, chunk_frames: int):
+def _xtc_threads(threads: int) -> int:
+    """0 = auto (all cores); 1 = sequential; N = exactly N workers."""
+    if threads == 0:
+        return os.cpu_count() or 1
+    return max(1, threads)
+
+
+def iter_xtc(fn: str, chunk_frames: int, threads: int = 1):
     """Stream an .xtc in fixed-size frame chunks without loading the file
     (the >RAM ingest path; run-all.bash:359 feeds multi-GB solute.xtc).
 
     Yields (xyz (c, nAtoms, 3) [nm] f32, boxes (c, 3, 3), times (c,)).
+
+    ``threads``: decode each chunk with this many worker threads (frames
+    decode independently after a cheap offset scan); 0 = one per core,
+    1 (default) = sequential.  Output is identical regardless.
     """
     lib = _load_xtc()
     if lib is None:
         raise OSError("native XTC codec unavailable (no compiler?)")
+    n_threads = _xtc_threads(threads)
     natoms = ctypes.c_int()
     handle = lib.xtc_open(fn.encode(), ctypes.byref(natoms))
     if not handle:
@@ -247,12 +284,13 @@ def iter_xtc(fn: str, chunk_frames: int):
             xyz = np.empty((chunk_frames, na, 3), dtype=np.float32)
             times = np.empty(chunk_frames, dtype=np.float32)
             boxes = np.empty((chunk_frames, 3, 3), dtype=np.float32)
-            got = lib.xtc_next(
+            got = lib.xtc_next_mt(
                 handle,
                 xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                 times.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                 boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                 chunk_frames,
+                n_threads,
             )
             if got < 0:
                 why = {-3: "frame natoms mismatch",

@@ -79,6 +79,7 @@ def iter_trajectory(
     chunk_frames: int,
     top_fn: Optional[str] = None,
     timestep: float = 1.0,
+    io_threads: int = 0,
 ):
     """Stream a trajectory in fixed-size frame chunks without loading it
     into RAM (the >HBM ingest path, SURVEY §5 'long-context').
@@ -88,6 +89,10 @@ def iter_trajectory(
     - ``.npz`` / ``.pdb`` : loaded once, then sliced (these formats cannot
       be memory-mapped; convert to .npy for out-of-core trajectories).
     - mdtraj formats: ``md.iterload`` when mdtraj is installed.
+
+    ``io_threads``: worker threads for the compressed .xtc decode
+    (0 = one per core, 1 = sequential; output identical regardless —
+    frames decode independently after an offset scan).
 
     Yields (xyz_chunk (c, nAtoms, 3), timestep_ps).
     """
@@ -137,7 +142,7 @@ def iter_trajectory(
         # yield even at chunk_frames=1 (stage_ct_streamed probes dt with
         # a single-frame read; yielding the caller's default there would
         # silently mis-scale every Palmer chunk).
-        chunks = native.iter_xtc(fn, chunk_frames)
+        chunks = native.iter_xtc(fn, chunk_frames, threads=io_threads)
         head = list(itertools.islice(chunks, 2))
         if not head:
             return

@@ -15,6 +15,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -719,6 +720,7 @@ long xtc_read(const char* path, float* xyz, float* times, float* boxes,
 struct XtcStream {
     FILE* fp;
     int natoms;
+    std::vector<char> path;  // for per-thread reopens (xtc_next_mt)
 };
 
 // Open + peek natoms from the first frame header (magic, natoms are the
@@ -735,7 +737,9 @@ void* xtc_open(const char* path, int* natoms) {
     }
     fseek(fp, 0, SEEK_SET);
     *natoms = na;
-    return new XtcStream{fp, na};
+    XtcStream* s = new XtcStream{fp, na, {}};
+    s->path.assign(path, path + strlen(path) + 1);
+    return s;
 }
 
 // Read up to max_frames frames from the current position.  Returns the
@@ -758,6 +762,80 @@ long xtc_next(void* handle, float* xyz, float* times, float* boxes,
         f++;
     }
     return f;
+}
+
+// Threaded chunk reader: XTC frames are self-delimiting and decode
+// independently, so after a cheap header-hop scan (fseek past payloads)
+// collects the next <= max_frames frame offsets, worker threads decode
+// disjoint frame blocks into disjoint slices of the caller's buffers —
+// each on its own FILE* over the same path.  Semantics identical to
+// calling xtc_next in a loop (same -3/-4 error codes, earliest-frame
+// error wins; the stream position ends after the last decoded frame).
+// On a 1-core host this degrades gracefully to the sequential path.
+long xtc_next_mt(void* handle, float* xyz, float* times, float* boxes,
+                 long max_frames, int n_threads) {
+    XtcStream* s = (XtcStream*)handle;
+    if (n_threads <= 1) return xtc_next(handle, xyz, times, boxes, max_frames);
+
+    // Scan pass: record the byte offset of each upcoming frame.
+    std::vector<long> offs;
+    offs.reserve((size_t)max_frames);
+    Reader rd{s->fp};
+    FrameHeader h{};
+    long scan_end = 0;
+    {
+        long pos = ftell(s->fp);
+        if (pos < 0) return -4;
+        while ((long)offs.size() < max_frames && !rd.eof()) {
+            offs.push_back(pos);
+            if (!read_frame(rd, h, nullptr)) return -4;  // corrupt scan
+            pos = ftell(s->fp);
+            if (pos < 0) return -4;
+        }
+        scan_end = pos;
+    }
+    long n = (long)offs.size();
+    if (n == 0) return 0;
+
+    int T = n_threads;
+    if ((long)T > n) T = (int)n;
+    std::vector<long> status((size_t)T, 0);  // 0 ok, else error code
+    std::vector<std::thread> workers;
+    const char* path = s->path.data();
+    int natoms = s->natoms;
+    long per = (n + T - 1) / T;
+    for (int t = 0; t < T; t++) {
+        long b0 = (long)t * per;
+        long b1 = b0 + per < n ? b0 + per : n;
+        if (b0 >= b1) break;
+        workers.emplace_back([=, &offs, &status]() {
+            FILE* fp = fopen(path, "rb");
+            if (!fp) { status[t] = -4; return; }
+            Reader wrd{fp};
+            FrameHeader wh{};
+            for (long f = b0; f < b1; f++) {
+                if (f == b0 || ftell(fp) != offs[f]) {
+                    if (fseek(fp, offs[f], SEEK_SET) != 0) {
+                        status[t] = -4;
+                        break;
+                    }
+                }
+                if (!read_frame(wrd, wh, xyz + (size_t)f * natoms * 3, natoms)) {
+                    status[t] = wh.natoms > 0 && wh.natoms != natoms ? -3 : -4;
+                    break;
+                }
+                times[f] = wh.time;
+                if (boxes) memcpy(boxes + (size_t)f * 9, wh.box, 9 * sizeof(float));
+            }
+            fclose(fp);
+        });
+    }
+    for (auto& w : workers) w.join();
+    for (int t = 0; t < T; t++)
+        if (status[t] != 0) return status[t];  // earliest block's error
+    // Leave the shared stream positioned after the last decoded frame.
+    if (fseek(s->fp, scan_end, SEEK_SET) != 0) return -4;
+    return n;
 }
 
 void xtc_close(void* handle) {

@@ -560,7 +560,8 @@ def cmd_center(argv):
         if a.infn.endswith(".xtc"):
             from ..io import native
 
-            for xyz_c, b33, t_c in native.iter_xtc(a.infn, a.batch):
+            for xyz_c, b33, t_c in native.iter_xtc(a.infn, a.batch,
+                                                   threads=0):
                 yield xyz_c, _ortho_box(b33), t_c
         elif a.infn.endswith(".trr"):
             from ..io import gmx

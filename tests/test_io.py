@@ -381,6 +381,59 @@ def test_xtc_streaming_iter(tmp_path):
     assert tchunks[0][1] == 2.5
 
 
+def test_xtc_threaded_decode_identical(tmp_path):
+    """xtc_next_mt (threaded chunk decode: offset scan + disjoint frame
+    blocks per worker) must be bit-identical to the sequential reader
+    for every thread count, including partial tail chunks, and must
+    report the same -3/-4 errors."""
+    from spinrelax_tpu.io import native
+
+    if not native.xtc_available():
+        pytest.skip("no compiler for the native XTC codec")
+    rng = np.random.default_rng(11)
+    nf, na = 23, 31
+    xyz = rng.uniform(0, 4, (nf, na, 3)).astype(np.float32)
+    times = np.arange(nf, dtype=np.float32) * 0.5
+    boxes = np.zeros((nf, 3, 3), dtype=np.float32)
+    boxes[:, [0, 1, 2], [0, 1, 2]] = 4.0
+    fn = str(tmp_path / "mt.xtc")
+    native.write_xtc(fn, xyz, times, boxes=boxes)
+
+    seq = native.read_xtc(fn, threads=1)
+    for threads in (0, 2, 3, 7):
+        mt = native.read_xtc(fn, threads=threads)
+        for s, m in zip(seq, mt):
+            np.testing.assert_array_equal(s, m)
+        # chunked streaming with a partial tail (23 = 2*10 + 3)
+        chunks = list(native.iter_xtc(fn, chunk_frames=10, threads=threads))
+        assert [c[0].shape[0] for c in chunks] == [10, 10, 3]
+        np.testing.assert_array_equal(
+            np.concatenate([c[0] for c in chunks]), seq[0]
+        )
+        np.testing.assert_array_equal(
+            np.concatenate([c[2] for c in chunks]), seq[2]
+        )
+
+    # Error parity: mid-stream natoms flip and corrupt tail raise the
+    # same errors through the threaded path.
+    other = str(tmp_path / "other.xtc")
+    native.write_xtc(other, rng.uniform(0, 4, (2, 40, 3)).astype(np.float32))
+    mixed = str(tmp_path / "mixed.xtc")
+    with open(mixed, "wb") as out:
+        out.write(open(fn, "rb").read())
+        out.write(open(other, "rb").read())
+    with pytest.raises(OSError, match="natoms mismatch"):
+        for _ in native.iter_xtc(mixed, chunk_frames=50, threads=3):
+            pass
+    data = open(fn, "rb").read()
+    trunc = str(tmp_path / "trunc_mt.xtc")
+    with open(trunc, "wb") as out:
+        out.write(data[: len(data) - 10])
+    with pytest.raises(OSError, match="corrupt|truncated|failed"):
+        for _ in native.iter_xtc(trunc, chunk_frames=50, threads=3):
+            pass
+
+
 def test_xtc_mixed_natoms_and_corruption_raise(tmp_path):
     """A mid-stream frame with a different atom count must raise (not
     overrun the chunk buffer), and a corrupt tail must raise (not be
