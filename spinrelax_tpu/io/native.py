@@ -189,12 +189,19 @@ def _load_xtc():
             ctypes.POINTER(ctypes.c_float), ctypes.c_long,
         ]
         lib.xtc_next.restype = ctypes.c_long
-        lib.xtc_next_mt.argtypes = [
-            ctypes.c_void_p,
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_int,
-        ]
-        lib.xtc_next_mt.restype = ctypes.c_long
+        try:
+            lib.xtc_next_mt.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_int,
+            ]
+            lib.xtc_next_mt.restype = ctypes.c_long
+            lib._has_mt = True
+        except AttributeError:
+            # A prebuilt libxtc.so from before the threaded reader (the
+            # "ship only the .so" deployment _build_lib supports): keep
+            # the whole codec usable, just decode sequentially.
+            lib._has_mt = False
         lib.xtc_close.argtypes = [ctypes.c_void_p]
         lib.xtc_close.restype = None
         _xtc_lib = lib
@@ -222,42 +229,52 @@ def read_xtc(fn: str, threads: int = 1):
     if rc != 0:
         raise OSError(f"xtc_info failed on {fn!r} (code {rc})")
     nf, na = n_frames.value, natoms.value
-    n_threads = _xtc_threads(threads)
     xyz = np.empty((nf, na, 3), dtype=np.float32)
     times = np.empty(nf, dtype=np.float32)
     boxes = np.empty((nf, 3, 3), dtype=np.float32)
-    if n_threads > 1:
-        handle = lib.xtc_open(fn.encode(), ctypes.byref(natoms))
-        if not handle:
-            raise OSError(f"xtc_open failed on {fn!r}")
-        try:
-            got = lib.xtc_next_mt(
-                handle,
-                xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                times.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                nf, n_threads,
-            )
-        finally:
-            lib.xtc_close(handle)
-    else:
-        got = lib.xtc_read(
-            fn.encode(),
-            xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            times.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            nf, na,
+    if nf == 0:
+        # xtc_open peeks the first frame header, so it cannot open an
+        # empty (e.g. aborted-writer) file — return the empty arrays the
+        # sequential reader always produced.
+        return xyz, boxes, times
+    handle = lib.xtc_open(fn.encode(), ctypes.byref(natoms))
+    if not handle:
+        raise OSError(f"xtc_open failed on {fn!r}")
+    try:
+        got = _xtc_next_call(
+            lib, handle, xyz, times, boxes, nf, _xtc_threads(lib, threads)
         )
+    finally:
+        lib.xtc_close(handle)
     if got != nf:
         raise OSError(f"xtc_read returned {got} of {nf} frames for {fn!r}")
     return xyz, boxes, times
 
 
-def _xtc_threads(threads: int) -> int:
-    """0 = auto (all cores); 1 = sequential; N = exactly N workers."""
+def _xtc_threads(lib, threads: int) -> int:
+    """0 = auto (all cores); 1 = sequential; N = exactly N workers.
+    Clamped to 1 when the loaded .so predates xtc_next_mt."""
+    if not getattr(lib, "_has_mt", False):
+        return 1
     if threads == 0:
         return os.cpu_count() or 1
     return max(1, threads)
+
+
+def _xtc_next_call(lib, handle, xyz, times, boxes, max_frames, n_threads):
+    """One chunk read through xtc_next_mt (or plain xtc_next on a stale
+    prebuilt .so); identical output and error codes either way."""
+    fn = lib.xtc_next_mt if getattr(lib, "_has_mt", False) else lib.xtc_next
+    args = (
+        handle,
+        xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        times.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_frames,
+    )
+    if fn is getattr(lib, "xtc_next_mt", None):
+        return fn(*args, n_threads)
+    return fn(*args)
 
 
 def iter_xtc(fn: str, chunk_frames: int, threads: int = 1):
@@ -273,7 +290,7 @@ def iter_xtc(fn: str, chunk_frames: int, threads: int = 1):
     lib = _load_xtc()
     if lib is None:
         raise OSError("native XTC codec unavailable (no compiler?)")
-    n_threads = _xtc_threads(threads)
+    n_threads = _xtc_threads(lib, threads)
     natoms = ctypes.c_int()
     handle = lib.xtc_open(fn.encode(), ctypes.byref(natoms))
     if not handle:
@@ -284,13 +301,8 @@ def iter_xtc(fn: str, chunk_frames: int, threads: int = 1):
             xyz = np.empty((chunk_frames, na, 3), dtype=np.float32)
             times = np.empty(chunk_frames, dtype=np.float32)
             boxes = np.empty((chunk_frames, 3, 3), dtype=np.float32)
-            got = lib.xtc_next_mt(
-                handle,
-                xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                times.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                chunk_frames,
-                n_threads,
+            got = _xtc_next_call(
+                lib, handle, xyz, times, boxes, chunk_frames, n_threads
             )
             if got < 0:
                 why = {-3: "frame natoms mismatch",

@@ -489,6 +489,13 @@ static bool read_frame(Reader& rd, FrameHeader& h, float* xyz /*natoms*3 or null
             *lfp++ = thiscoord[2] * inv_precision;
         }
         smallidx += is_smaller;
+        // Foreign-bytes safety: a hostile stream can walk smallidx past
+        // the magicints table one is_smaller=+1 block at a time (the
+        // header check only bounds the STARTING index) — clamp before
+        // any magicints[smallidx] read.  Indices in [0, FIRSTIDX) hit
+        // the table's leading zeros and are rejected by the
+        // sizesmall==0 check below, matching canonical xdrfile.
+        if (smallidx < 0 || smallidx > LASTIDX) return false;
         if (is_smaller < 0) {
             small = smaller;
             smaller = (smallidx > FIRSTIDX) ? magicints[smallidx - 1] / 2 : 0;
@@ -803,13 +810,22 @@ long xtc_next_mt(void* handle, float* xyz, float* times, float* boxes,
     std::vector<std::thread> workers;
     const char* path = s->path.data();
     int natoms = s->natoms;
+    // Workers need independent file positions, so each gets its own
+    // open file description.  Reopen through the HELD fd
+    // (/proc/self/fd/N re-opens the same inode with a fresh offset) so
+    // an .xtc unlinked or atomically replaced after xtc_open keeps
+    // decoding exactly like the sequential path, which reads through
+    // the retained FILE*; fall back to the stored path off-Linux.
+    char fdpath[64];
+    snprintf(fdpath, sizeof fdpath, "/proc/self/fd/%d", fileno(s->fp));
     long per = (n + T - 1) / T;
     for (int t = 0; t < T; t++) {
         long b0 = (long)t * per;
         long b1 = b0 + per < n ? b0 + per : n;
         if (b0 >= b1) break;
         workers.emplace_back([=, &offs, &status]() {
-            FILE* fp = fopen(path, "rb");
+            FILE* fp = fopen(fdpath, "rb");
+            if (!fp) fp = fopen(path, "rb");
             if (!fp) { status[t] = -4; return; }
             Reader wrd{fp};
             FrameHeader wh{};

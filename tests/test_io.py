@@ -434,6 +434,38 @@ def test_xtc_threaded_decode_identical(tmp_path):
             pass
 
 
+def test_xtc_threaded_empty_file_and_unlink(tmp_path):
+    """Threaded decode keeps the sequential reader's file-lifetime
+    semantics: a zero-frame .xtc returns empty arrays (not an open
+    error), and a file unlinked after the stream was opened keeps
+    decoding through the held descriptor."""
+    from spinrelax_tpu.io import native
+
+    if not native.xtc_available():
+        pytest.skip("no compiler for the native XTC codec")
+
+    empty = str(tmp_path / "empty.xtc")
+    open(empty, "wb").close()
+    for threads in (1, 3):
+        xyz, boxes, times = native.read_xtc(empty, threads=threads)
+        assert xyz.shape[0] == 0 and boxes.shape[0] == 0 and times.shape[0] == 0
+
+    rng = np.random.default_rng(5)
+    nf, na = 9, 25
+    xyz = rng.uniform(0, 4, (nf, na, 3)).astype(np.float32)
+    fn = str(tmp_path / "unlinked.xtc")
+    native.write_xtc(fn, xyz, np.arange(nf, dtype=np.float32))
+    ref = native.read_xtc(fn)[0]
+
+    it = native.iter_xtc(fn, chunk_frames=4, threads=3)
+    first = next(it)[0]
+    os.unlink(fn)  # tempfile open-then-delete pattern
+    rest = [c[0] for c in it]
+    np.testing.assert_array_equal(
+        np.concatenate([first] + rest), ref
+    )
+
+
 def test_xtc_mixed_natoms_and_corruption_raise(tmp_path):
     """A mid-stream frame with a different atom count must raise (not
     overrun the chunk buffer), and a corrupt tail must raise (not be

@@ -226,6 +226,46 @@ def test_handcrafted_run_stream(tmp_path):
     np.testing.assert_array_equal(got_cpp, got_py)
 
 
+def test_hostile_smallidx_walk_rejected(tmp_path):
+    """A crafted stream whose atom blocks each signal is_smaller=+1 walks
+    smallidx past the end of the magicints table (the header check only
+    bounds the STARTING index).  The decoder must reject the frame —
+    not read past the table (UB) or overflow decodeints' byte scratch."""
+    precision = 100.0
+    minint = [0, 0, 0]
+    maxint = [2000, 2000, 2000]
+    sizeint = [2001, 2001, 2001]
+    bitsize = xdr_ref.sizeofints(sizeint)
+    smallidx = 70  # LASTIDX - 2: two +1 steps stay in-table, the third must reject
+
+    n_atoms = 12  # > 9: compressed layout
+    bw = xdr_ref.BitWriter()
+    for a in range(3):
+        xdr_ref.write_ints(bw, bitsize, sizeint, [100 + a, 200 + a, 300 + a])
+        bw.bits(1, 1)   # flag: run-length change signalled
+        bw.bits(5, 2)   # field 2 -> run = 0, is_smaller = +1
+    payload = bw.close()
+
+    fn = str(tmp_path / "hostile_smallidx.xtc")
+    with open(fn, "wb") as fp:
+        fp.write(struct.pack(">iii", 1995, n_atoms, 0))
+        fp.write(struct.pack(">f", 0.0))
+        fp.write(struct.pack(">9f", *np.eye(3, dtype=np.float32).reshape(9)))
+        fp.write(struct.pack(">i", n_atoms))
+        fp.write(struct.pack(">f", precision))
+        fp.write(struct.pack(">3i", *minint))
+        fp.write(struct.pack(">3i", *maxint))
+        fp.write(struct.pack(">i", smallidx))
+        fp.write(struct.pack(">i", len(payload)))
+        fp.write(payload)
+        fp.write(b"\x00" * ((-len(payload)) % 4))
+
+    with pytest.raises(OSError):
+        native.read_xtc(fn)
+    with pytest.raises(OSError):
+        native.read_xtc(fn, threads=2)
+
+
 # ---------------------------------------------------------------------------
 # TRR foreign-bytes validation: frames hand-assembled from the public
 # trnheader spec (magic 1993; version string as outer i32 len+1 + inner
