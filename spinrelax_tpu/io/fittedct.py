@@ -17,7 +17,6 @@ Format (fitting_Ct_functions.py:242-261 writer, :432-481 parser):
 
 from __future__ import annotations
 
-import sys
 from typing import Optional
 
 import numpy as np

@@ -14,7 +14,8 @@ from __future__ import annotations
 
 import dataclasses
 import re
-from typing import List, Optional, Sequence, Tuple
+import warnings
+from typing import List, Tuple
 
 import numpy as np
 
@@ -31,6 +32,21 @@ class Topology:
     @property
     def n_atoms(self) -> int:
         return len(self.atom_names)
+
+    @property
+    def res_indices(self) -> np.ndarray:
+        """0-based internal residue index per atom (mdtraj's ``resid``):
+        increments whenever (chain, resSeq, resName) changes along the
+        file order — distinct from the author-assigned ``resSeq``."""
+        idx = np.empty(self.n_atoms, dtype=int)
+        cur, prev = -1, None
+        for i in range(self.n_atoms):
+            key = (self.chain_ids[i], int(self.res_seqs[i]), self.res_names[i])
+            if key != prev:
+                cur += 1
+                prev = key
+            idx[i] = cur
+        return idx
 
     def select(self, expr: str) -> np.ndarray:
         """A small selection language covering the reference's usage:
@@ -70,12 +86,19 @@ class Topology:
                 }
                 m = ops[op](self.occupancies, val)
             elif clause.startswith("resSeq") or clause.startswith("resid"):
-                mt = re.match(r"(?:resSeq|resid)\s+(\d+)(?:\s+to\s+(\d+))?", clause)
+                mt = re.match(r"(resSeq|resid)\s+(\d+)(?:\s+to\s+(\d+))?", clause)
                 if not mt:
                     raise ValueError(f"cannot parse residue clause: {clause!r}")
-                lo = int(mt.group(1))
-                hi = int(mt.group(2)) if mt.group(2) else lo
-                m = (self.res_seqs >= lo) & (self.res_seqs <= hi)
+                lo = int(mt.group(2))
+                hi = int(mt.group(3)) if mt.group(3) else lo
+                # mdtraj semantics, which reference selection strings
+                # are written in (calculate-Ct-from-traj.py:34-51):
+                # 'resid' is the 0-BASED internal residue index,
+                # 'resSeq' the author-assigned PDB number.  Mapping both
+                # to resSeq silently shifted migrated 'resid i to j'
+                # selections by the numbering offset.
+                vals = self.res_indices if mt.group(1) == "resid" else self.res_seqs
+                m = (vals >= lo) & (vals <= hi)
             elif clause == "all":
                 m = np.ones(self.n_atoms, dtype=bool)
             else:
@@ -214,4 +237,14 @@ def bond_indices(
         res_h = top.res_seqs[idx_h]
         if not np.array_equal(key_h, key_x):
             raise ValueError("H and X selections cover different residues")
+    if len(np.unique(res_h)) != len(res_h):
+        # The stage artefacts key rows by resSeq alone (reference wire
+        # format, e.g. '# Residue: N' in fittedCt) — duplicate numbers
+        # across chains pair fine here (keys above are chain-aware) but
+        # collide in every downstream by-residue lookup.
+        warnings.warn(
+            "duplicate residue numbers across chains: downstream "
+            "artefacts key rows by resSeq alone and will be ambiguous "
+            "(renumber chains or select one chain, e.g. 'resid i to j')"
+        )
     return idx_h, idx_x, res_h

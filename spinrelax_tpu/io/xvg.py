@@ -34,6 +34,11 @@ def load_matrix(fn: str) -> np.ndarray:
         if line[0] in _COMMENT or line[0] == "&":
             continue
         rows.append([float(x) for x in line.split()])
+    if not rows:
+        # np.array([]) is 1-D; letting it through surfaces later as a
+        # cryptic "too many indices" in m[:, 0] — name the file instead
+        # (truncated/not-yet-written tables are a real resume scenario).
+        raise ValueError(f"{fn}: no data rows (only comments/blank lines)")
     return np.array(rows)
 
 
@@ -86,6 +91,15 @@ def load_sxydylist(fn: str, key: str = "legend"):
         ylist.append(y)
         if dy:
             dylist.append(dy)
+    if dylist and len(dylist) != len(xlist):
+        # The reference's loader (general_scripts.py:182-213) silently
+        # returns a dy list shorter than x/y here, and downstream numpy
+        # broadcasting then fits residues against the WRONG error bars.
+        # That is a defect, not a quirk worth replicating (SURVEY §2.7).
+        raise ValueError(
+            f"{fn}: {len(dylist)} of {len(xlist)} sets carry a dy column "
+            "— mixed with/without-error sets cannot be aligned"
+        )
     if dylist:
         return legs, np.array(xlist), np.array(ylist), np.array(dylist)
     return legs, np.array(xlist), np.array(ylist), []

@@ -472,3 +472,84 @@ def test_host_stream_delegates_to_stream_accumulate():
     np.testing.assert_allclose(np.asarray(mean.T), np.asarray(m2), atol=1e-7)
     with pytest.raises(ValueError, match="no chunks"):
         host_stream(iter([]), 16)
+
+
+def _mini_pdb(tmp_path, chains):
+    """chains: list of (chain_id, [resSeq, ...]) — one N + one H per residue."""
+    lines, serial = [], 0
+    for cid, seqs in chains:
+        for rs in seqs:
+            for nm, el in (("N", "N"), ("H", "H")):
+                serial += 1
+                lines.append(
+                    f"ATOM  {serial:5d}  {nm:<3s} ALA {cid}{rs:4d}    "
+                    f"{1.0:8.3f}{1.0:8.3f}{1.0:8.3f}  1.00  0.00"
+                    f"           {el}"
+                )
+    fn = str(tmp_path / "mini.pdb")
+    with open(fn, "w") as fp:
+        fp.write("\n".join(lines) + "\nEND\n")
+    return fn
+
+
+def test_select_resid_is_zero_based_index(tmp_path):
+    """'resid' must use mdtraj's 0-based internal residue index (the
+    semantics reference selection strings are written in), 'resSeq' the
+    PDB author numbering — previously both mapped to resSeq, silently
+    shifting migrated 'resid i to j' selections."""
+    from spinrelax_tpu.io import pdb as pdbio
+
+    fn = _mini_pdb(tmp_path, [("A", [5, 6, 9])])  # indices 0,1,2
+    top, _ = pdbio.read_pdb(fn)
+    np.testing.assert_array_equal(top.res_indices, [0, 0, 1, 1, 2, 2])
+    # resid 1 = SECOND residue (resSeq 6)
+    sel = top.select("name N and resid 1")
+    np.testing.assert_array_equal(top.res_seqs[sel], [6])
+    sel = top.select("name N and resid 1 to 2")
+    np.testing.assert_array_equal(top.res_seqs[sel], [6, 9])
+    # resSeq keeps author numbering
+    sel = top.select("name N and resSeq 6")
+    np.testing.assert_array_equal(top.res_seqs[sel], [6])
+
+
+def test_bond_indices_warns_on_duplicate_res_ids(tmp_path):
+    """Homodimer chains with overlapping numbering pair correctly (keys
+    are chain-aware) but must WARN: stage artefacts key by resSeq alone."""
+    import warnings as _w
+
+    from spinrelax_tpu.io import pdb as pdbio
+
+    fn = _mini_pdb(tmp_path, [("A", [1, 2]), ("B", [1, 2])])
+    top, _ = pdbio.read_pdb(fn)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        idx_h, idx_x, res_h = pdbio.bond_indices(top)
+    assert any("duplicate residue numbers" in str(r.message) for r in rec)
+    np.testing.assert_array_equal(res_h, [1, 2, 1, 2])
+    # Single chain: no warning.
+    fn2 = _mini_pdb(tmp_path, [("A", [1, 2])])
+    top2, _ = pdbio.read_pdb(fn2)
+    with _w.catch_warnings(record=True) as rec2:
+        _w.simplefilter("always")
+        pdbio.bond_indices(top2)
+    assert not rec2
+
+
+def test_xvg_empty_and_mixed_dy_raise(tmp_path):
+    """Header-only tables raise a named error (not 'too many indices');
+    sets mixing with/without dy columns raise instead of silently
+    broadcasting the wrong error bars (reference defect, SURVEY §2.7)."""
+    from spinrelax_tpu.io import xvg
+
+    empty = tmp_path / "empty.dat"
+    empty.write_text("# header only\n@ legend\n")
+    with pytest.raises(ValueError, match="no data rows"):
+        xvg.load_xy(str(empty))
+
+    mixed = tmp_path / "mixed.dat"
+    mixed.write_text(
+        '@ s0 legend "R 1"\n1 2 0.1\n2 3 0.2\n&\n'
+        '@ s1 legend "R 2"\n1 4\n2 5\n&\n'
+    )
+    with pytest.raises(ValueError, match="dy column"):
+        xvg.load_sxydylist(str(mixed))
