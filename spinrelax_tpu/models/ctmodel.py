@@ -82,23 +82,25 @@ class CtModelSet:
         for i, (cs, ts) in enumerate(zip(C_list, tau_list)):
             cs = np.asarray(cs, dtype=float)
             ts = np.asarray(ts, dtype=float)
+            # dC and dtau are handled symmetrically and independently:
+            # either may be given without the other (the legacy fittedCt
+            # format can carry dC-only rows).
+            dc = np.asarray(dC_list[i], dtype=float) if dC_list is not None else None
+            dt = np.asarray(dtau_list[i], dtype=float) if dtau_list is not None else None
             if sort and len(ts) > 1:
                 order = np.argsort(ts)
                 cs, ts = cs[order], ts[order]
-                if dC_list is not None:
-                    dc = np.asarray(dC_list[i], dtype=float)[order]
-                    dt = np.asarray(dtau_list[i], dtype=float)[order]
-                else:
-                    dc = dt = None
-            else:
-                dc = np.asarray(dC_list[i], dtype=float) if dC_list is not None else None
-                dt = np.asarray(dtau_list[i], dtype=float) if dtau_list is not None else None
+                if dc is not None:
+                    dc = dc[order]
+                if dt is not None:
+                    dt = dt[order]
             k = len(cs)
             C[i, :k] = cs
             tau[i, :k] = ts
             mask[i, :k] = 1.0
             if dc is not None:
                 dC[i, :k] = dc
+            if dt is not None:
                 dtau[i, :k] = dt
         if s2fast is None:
             s2fast = [False] * n
@@ -144,8 +146,12 @@ class CtModelSet:
         return self.zeta * (self.S2[:, None] + s)
 
     def select(self, idx) -> "CtModelSet":
-        """Subset of residues (host-side), preserving names."""
+        """Subset of residues (host-side), preserving names.  Accepts
+        integer indices or a boolean mask (normalised to indices so the
+        names list — int-indexed below — stays aligned with the arrays)."""
         idx = np.asarray(idx)
+        if idx.dtype == bool:
+            idx = np.where(idx)[0]
         take = lambda a: None if a is None else jnp.asarray(np.asarray(a)[idx])
         return CtModelSet(
             S2=take(self.S2),

@@ -47,6 +47,16 @@ def compute_j(pair: NucleusPair, diffusion: Diffusion, cts: CtModelSet, vecs=Non
     )
 
 
+def _csa_broadcast(csa, ensemble: bool):
+    """Shared rule for aligning a per-residue (nRes,) CSA array with an
+    ensemble J of shape (nRes, nSamp, 5): add the sample axis.  Scalars
+    and already-broadcastable arrays pass through."""
+    if csa is None:
+        return None
+    csa = jnp.asarray(csa)
+    return csa[:, None] if (csa.ndim == 1 and ensemble) else csa
+
+
 def predict_rates(
     pair: NucleusPair,
     diffusion: Diffusion,
@@ -64,15 +74,7 @@ def predict_rates(
     """
     J = compute_j(pair, diffusion, cts, vecs)
     ensemble = J.ndim == 3  # (nRes, nSamp, 5)
-    if csa is not None:
-        csa = jnp.asarray(csa)
-        if csa.ndim == 1 and ensemble:
-            csa_b = csa[:, None]
-        else:
-            csa_b = csa
-    else:
-        csa_b = None
-    rates = rx.relaxation_from_j(J, pair, csa=csa_b)
+    rates = rx.relaxation_from_j(J, pair, csa=_csa_broadcast(csa, ensemble))
     if not ensemble:
         return RatesWithErrors(rates.R1, rates.R2, rates.NOE, rates.rho)
     R1, dR1 = weighted_mean_std(rates.R1, weights, axis=-1)
@@ -102,12 +104,7 @@ def rates_from_j_newapi(pair: NucleusPair, J, weights=None, csa=None) -> RatesWi
     depend only on vectors + tensor shape, not on the field)."""
     ensemble = J.ndim == 3
     f_dd = pair.factor_dd()
-    csa_v = None if csa is None else jnp.asarray(csa)
-    if csa_v is not None and csa_v.ndim == 1 and ensemble:
-        csa_b = csa_v[:, None]
-    else:
-        csa_b = csa_v
-    f_csa = pair.factor_csa(csa_b)
+    f_csa = pair.factor_csa(_csa_broadcast(csa, ensemble))
     tf = pair.time_fact
 
     r1_s = rx.r1_from_j(J, f_dd, f_csa, tf)

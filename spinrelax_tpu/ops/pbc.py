@@ -46,8 +46,11 @@ import numpy as np
 WATER_ION_RESNAMES = frozenset(
     {"SOL", "HOH", "WAT", "TIP3", "TIP4", "TIP5", "SPC", "SPCE", "OPC",
      "T3P", "T4P", "MW",
+     # element-style ion names (GROMACS/AMBER)
      "NA", "CL", "K", "MG", "ZN", "CA", "CA2", "NA+", "CL-", "K+", "BR",
-     "CS", "LI", "RB", "F", "IOD"}
+     "CS", "LI", "RB", "F", "IOD",
+     # CHARMM ion residue names (toppar convention)
+     "SOD", "CLA", "POT", "CES", "LIT", "CAL", "BAR", "RUB", "ZN2", "CD2"}
 )
 
 
@@ -166,7 +169,14 @@ def _make_whole_frame(xyz, box, mol_start):
     d = jnp.diff(xyz, axis=0, prepend=xyz[:1])
     corr = -jnp.round(d / box) * box  # whole-box correction per step
     corr = jnp.where(mol_start[:, None], 0.0, corr)
-    return xyz + jnp.cumsum(corr, axis=0)
+    cum = jnp.cumsum(corr, axis=0)
+    # Segmented restart: subtract each molecule's start-of-segment
+    # cumulative value, otherwise molecule m+1 is rigidly translated by
+    # molecule m's net whole-box shift (masked today by _compact_frame's
+    # whole-box re-imaging, but wrong for any direct caller).
+    idx = jnp.arange(xyz.shape[0])
+    start_idx = jax.lax.cummax(jnp.where(mol_start, idx, 0))
+    return xyz + cum - cum[start_idx]
 
 
 def _mol_centers(xyz, mol_id, n_mol, inv_count):

@@ -39,6 +39,22 @@ _HI = jax.lax.Precision.HIGHEST
 # ---------------------------------------------------------------------------
 
 
+def _fit_weights(top, fit_sel: str) -> np.ndarray:
+    """0/1 fit-weight vector for the orientation/superpose kernels.
+    Raises on an empty selection: an all-zero weight vector makes the
+    jitted weight normalisation 0/0, so every quaternion — and all
+    downstream C(t)/S2 — would be silently NaN."""
+    fit_idx = top.select(fit_sel)
+    if len(fit_idx) == 0:
+        raise ValueError(
+            f"fit selection {fit_sel!r} matches no atoms — orientation "
+            "fitting needs at least one reference atom"
+        )
+    w = np.zeros(top.n_atoms)
+    w[fit_idx] = 1.0
+    return w
+
+
 def stage_orientation(
     traj_files: Sequence[str],
     ref_pdb: str,
@@ -52,9 +68,7 @@ def stage_orientation(
     if os.path.exists(out_colvar) and not force:
         return out_colvar
     top, ref_xyz = pdbio.read_pdb(ref_pdb)
-    fit_idx = top.select(fit_sel)
-    weights = np.zeros(top.n_atoms)
-    weights[fit_idx] = 1.0
+    weights = _fit_weights(top, fit_sel)
     mode = "w"
     for fn in traj_files:
         xyz, dt = trajio.load_trajectory(fn, top_fn=ref_pdb)
@@ -424,9 +438,7 @@ def stage_ct(
     for trj_fn, ref_fn in zip(traj_files, ref_pdbs):
         top, ref_xyz = pdbio.read_pdb(ref_fn)
         idx_h, idx_x, res_h = pdbio.bond_indices(top, h_sel, x_sel)
-        fit_idx = top.select(fit_sel)
-        w = np.zeros(top.n_atoms)
-        w[fit_idx] = 1.0
+        w = _fit_weights(top, fit_sel)
         if timestep is None and trj_fn.endswith(".npy"):
             raise ValueError(
                 f"{trj_fn!r}: bare .npy carries no time axis — pass "
@@ -1169,9 +1181,7 @@ def stage_ct_streamed(
     for trj_fn, ref_fn in zip(traj_files, ref_pdbs):
         top, ref_xyz = pdbio.read_pdb(ref_fn)
         idx_h, idx_x, res_h = pdbio.bond_indices(top, h_sel, x_sel)
-        fit_idx = top.select(fit_sel)
-        w = np.zeros(top.n_atoms)
-        w[fit_idx] = 1.0
+        w = _fit_weights(top, fit_sel)
         w_j = jnp.asarray(w)
         ref_j = jnp.asarray(ref_xyz[0])
         ih, ix = jnp.asarray(idx_h), jnp.asarray(idx_x)

@@ -553,3 +553,78 @@ def test_xvg_empty_and_mixed_dy_raise(tmp_path):
     )
     with pytest.raises(ValueError, match="dy column"):
         xvg.load_sxydylist(str(mixed))
+
+
+def test_empty_fit_selection_raises(tmp_path):
+    """A typo'd fit selection must raise, not hand an all-zero weight
+    vector to the jitted orientation kernel (0/0 -> every quaternion and
+    all downstream C(t)/S2 silently NaN)."""
+    from spinrelax_tpu.pipeline import stages
+
+    fn = _mini_pdb(tmp_path, [("A", [1, 2])])
+    xyz = np.ones((3, 4, 3), np.float32)
+    np.savez(tmp_path / "traj.npz", xyz=xyz, time=np.arange(3.0))
+    with pytest.raises(ValueError, match="matches no atoms"):
+        stages.stage_orientation(
+            [str(tmp_path / "traj.npz")], fn,
+            str(tmp_path / "colvar"), fit_sel="name CA1",
+        )
+
+
+def test_ctmodel_from_lists_dc_dtau_independent():
+    """dC_list and dtau_list are independent: either alone must fill its
+    own array (previously dC-only crashed under sort and dtau-only was
+    silently dropped)."""
+    from spinrelax_tpu.models import CtModelSet
+
+    kw = dict(names=["1"], S2=[0.8], C_list=[[0.1, 0.05]],
+              tau_list=[[200.0, 20.0]])
+    only_dc = CtModelSet.from_lists(**kw, dC_list=[[0.01, 0.02]])
+    np.testing.assert_allclose(np.asarray(only_dc.dC), [[0.02, 0.01]])
+    assert only_dc.dtau is None
+    only_dt = CtModelSet.from_lists(**kw, dtau_list=[[1.0, 2.0]])
+    np.testing.assert_allclose(np.asarray(only_dt.dtau), [[2.0, 1.0]])
+    assert only_dt.dC is None
+
+
+def test_ctmodel_select_boolean_mask():
+    """select() with a boolean mask must subset names consistently with
+    the arrays (previously names were int()-indexed by the mask)."""
+    from spinrelax_tpu.models import CtModelSet
+
+    cts = CtModelSet.from_lists(
+        names=["A", "B", "C"], S2=[0.1, 0.2, 0.3],
+        C_list=[[0.5], [0.6], [0.7]], tau_list=[[10.0], [20.0], [30.0]],
+    )
+    sub = cts.select(np.array([True, False, True]))
+    assert sub.names == ["A", "C"]
+    np.testing.assert_allclose(np.asarray(sub.S2), [0.1, 0.3])
+
+
+def test_charmm_ion_names_are_solvent():
+    from spinrelax_tpu.ops.pbc import WATER_ION_RESNAMES
+
+    for rn in ("SOD", "CLA", "POT", "CES", "CAL"):
+        assert rn in WATER_ION_RESNAMES
+
+
+def test_make_whole_restarts_per_molecule():
+    """Molecule m's net whole-box correction must not translate
+    molecule m+1 (segmented cumsum restart)."""
+    import jax.numpy as jnp
+
+    from spinrelax_tpu.ops.pbc import _make_whole_frame
+
+    box = jnp.asarray([10.0, 10.0, 10.0])
+    # mol 0: two atoms broken across the boundary (9.8 -> 0.2: the
+    # second atom is imaged down by one box, net corr -10 on x).
+    # mol 1: intact pair far from boundaries — must be untouched.
+    xyz = jnp.asarray([
+        [9.8, 5.0, 5.0], [0.2, 5.0, 5.0],
+        [4.0, 4.0, 4.0], [4.2, 4.0, 4.0],
+    ])
+    mol_start = jnp.asarray([True, False, True, False])
+    out = np.asarray(_make_whole_frame(xyz, box, mol_start))
+    np.testing.assert_allclose(out[0], [9.8, 5.0, 5.0], atol=1e-6)
+    np.testing.assert_allclose(out[1], [10.2, 5.0, 5.0], atol=1e-6)
+    np.testing.assert_allclose(out[2:], np.asarray(xyz)[2:], atol=1e-6)
