@@ -68,14 +68,29 @@ def _isotopes_from_loop(loop: nmrstar.Loop) -> List[str]:
     NOE loops carry Atom_type_1/Atom_type_2 etc., and a null isotope
     number is guessed from the element (13C, 15N, ...) rather than
     hard-coded to 15."""
-    iso_tags = [t for t in loop.tags if t.startswith("Atom_isotope_number")]
-    el_tags = [t for t in loop.tags if t.startswith("Atom_type")]
+    import re as _re
+
+    def _suffixes(prefix):
+        # 'Atom_type' / 'Atom_type_1' / ... — not 'Atom_type_details'.
+        return {
+            t[len(prefix):]: t
+            for t in loop.tags
+            if t.startswith(prefix) and _re.fullmatch(r"(_\d+)?", t[len(prefix):])
+        }
+
+    # Pair isotope and element columns BY SUFFIX: a loop that carries
+    # Atom_type_1 but no Atom_isotope_number column at all must still
+    # use the element fallback (zip over the two tag lists silently
+    # returned [] there, defaulting everything to 15N — wrong physics
+    # for a 13C experiment).
+    iso_by_suffix = _suffixes("Atom_isotope_number")
     out = []
-    for it, et in zip(iso_tags, el_tags):
+    for suf, et in sorted(_suffixes("Atom_type").items()):
         el = _first(loop.get_tag(et))
         if el is None:
             continue
-        num = _first(loop.get_tag(it))
+        it = iso_by_suffix.get(suf)
+        num = _first(loop.get_tag(it)) if it is not None else None
         if num is None:
             num = _ISO_BY_ELEMENT.get(el)
             if num is None:

@@ -51,7 +51,10 @@ def read_colvar(fn: str) -> Tuple[List[str], np.ndarray]:
         rows: List[str] = []
         with open(fn) as fp:
             for line in fp:
-                if not line.strip() or line.startswith("#"):
+                # Same skip rules as the native fast path (skip_chars
+                # '#@&'): environment (compiler or not) must not change
+                # which files parse.
+                if not line.strip() or line[0] in "#@&":
                     continue
                 rows.append(line)
         table = np.loadtxt(rows, ndmin=2)
@@ -75,8 +78,8 @@ def read_colvar_multi(fn: str) -> Tuple[List[List[str]], np.ndarray]:
     cur: List[str] = []
     with open(fn) as fp:
         for line in fp:
-            if not line.strip():
-                continue
+            if not line.strip() or line[0] in "@&":
+                continue  # '#@&' skip rules, matching read_colvar
             if line.startswith("#"):
                 parts = line.split()
                 if len(parts) > 1 and parts[1] == "FIELDS":
@@ -111,14 +114,15 @@ def write_colvar(fn: str, field_names: List[str], data: np.ndarray):
 
 def count_colvar_rows(fn: str) -> int:
     """Count data rows of a colvar file at I/O speed (no float parsing;
-    same skip rules as the readers: '#' and blank lines ignored) — the
+    same skip rules as the readers: '#'/'@'/'&' and blank lines) — the
     cheap pre-pass the streamed Delta-q error path needs, since the
     reference's sub-chunk blocking is defined on the TOTAL length
     (calculate-dq-distribution.py:128-144)."""
     n = 0
     with open(fn) as fp:
         for line in fp:
-            if line.startswith("#") or not line.strip():
+            # '#@&' skip rules, matching read_colvar's both paths.
+            if not line.strip() or line[0] in "#@&":
                 continue
             n += 1
     return n
@@ -164,8 +168,8 @@ def iter_colvar_chunks(fn: str, chunk_frames: int = 65536):
                     field_names = parts[2:]
                     seen_header = True
                 continue
-            if not line.strip():
-                continue
+            if not line.strip() or line[0] in "@&":
+                continue  # '#@&' skip rules, matching read_colvar
             rows.append(line)
             if len(rows) == chunk_frames:
                 yield field_names, np.loadtxt(rows, ndmin=2)

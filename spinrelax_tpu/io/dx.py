@@ -42,10 +42,30 @@ def read_dx(fn: str, units: str = "A"):
                     abc[deltadim] = scale * np.array([float(x) for x in parts[1:4]])
                     deltadim += 1
             else:
-                if count < ntot:
-                    for tok in parts:
-                        data[count] = float(tok)
-                        count += 1
+                if count >= ntot:
+                    # Data complete: tolerate the trailing footer
+                    # (object "density" class field / attribute lines,
+                    # which write_dx itself emits) but fail cleanly on
+                    # surplus NUMERIC values instead of silently
+                    # dropping them.
+                    try:
+                        float(parts[0])
+                    except ValueError:
+                        continue
+                    raise ValueError(
+                        f"{fn}: more data values than the declared "
+                        f"{ntot} items"
+                    )
+                for tok in parts:
+                    if count >= ntot:
+                        # Per-token bound: an over-long final line must
+                        # fail cleanly, not IndexError past the array.
+                        raise ValueError(
+                            f"{fn}: more data values than the declared "
+                            f"{ntot} items"
+                        )
+                    data[count] = float(tok)
+                    count += 1
     if data is None:
         raise ValueError(
             f"{fn}: no 'data follows' section found (truncated DX file?)"

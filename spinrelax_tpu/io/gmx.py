@@ -59,10 +59,17 @@ def _read_frame_header(fp) -> Optional[TrrFrameHeader]:
         h.top_size, h.sym_size, h.x_size, h.v_size, h.f_size,
         h.natoms, h.step, h.nre,
     ) = struct.unpack(">13i", fp.read(52))
-    # Precision from the positions (or box) section size.
+    # Precision detection follows GROMACS's nFloatSize chain over every
+    # vector block (x -> v -> f -> box): a velocity- or force-only frame
+    # (nstvout != nstxout) carries no x/box yet still fixes the reals'
+    # width — falling back to box alone desyncs double-precision streams.
     per = None
     if h.x_size:
         per = h.x_size / (h.natoms * 3)
+    elif h.v_size:
+        per = h.v_size / (h.natoms * 3)
+    elif h.f_size:
+        per = h.f_size / (h.natoms * 3)
     elif h.box_size:
         per = h.box_size / 9
     h.double = per == 8

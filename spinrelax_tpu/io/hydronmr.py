@@ -33,7 +33,10 @@ def reorder_axes(D: np.ndarray, mat: np.ndarray) -> Tuple[np.ndarray, np.ndarray
         return np.array([d0, d2, d1]), _ROTS["x90"] @ mat
     if d2 <= d1 <= d0:
         return np.array([d2, d1, d0]), _ROTS["y90"] @ mat
-    if d1 < d0 < d2:
+    if d1 < d0 <= d2:
+        # <= closes the d1 < d0 == d2 degenerate hole (the reference's
+        # all-strict ladder sys.exits on it, parse-hydroNMR-results.py:44
+        # — a defect, not a quirk: z90 orders it correctly).
         return np.array([d1, d0, d2]), _ROTS["z90"] @ mat
     if d1 < d2 < d0:
         return np.array([d1, d2, d0]), _ROTS["fwd"] @ mat
@@ -110,6 +113,11 @@ def main(argv=None):
     if not a.rotate:
         return
 
+    if pdb_file is None:
+        raise SystemExit(
+            "--rotate needs a structure: the results file names no "
+            "'Structural file:' — pass --pdb explicitly"
+        )
     with open(pdb_file[:-4] + ".Dxyz", "w") as fp:
         print("%g %g %g" % tuple(DD), file=fp)
     with open(pdb_file[:-4] + ".Dsymm", "w") as fp:

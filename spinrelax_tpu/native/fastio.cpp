@@ -55,11 +55,15 @@ struct MappedFile {
         fd = ::open(path, O_RDONLY);
         if (fd < 0) return false;
         struct stat st;
-        if (fstat(fd, &st) != 0) { ::close(fd); return false; }
+        // On failure, reset fd before returning: the destructor also
+        // closes, and a double ::close could destroy another thread's
+        // recycled descriptor (the threaded XTC workers open files
+        // concurrently).
+        if (fstat(fd, &st) != 0) { ::close(fd); fd = -1; return false; }
         size = static_cast<size_t>(st.st_size);
         if (size == 0) { data = nullptr; return true; }
         void* p = mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
-        if (p == MAP_FAILED) { ::close(fd); return false; }
+        if (p == MAP_FAILED) { ::close(fd); fd = -1; return false; }
         data = static_cast<const char*>(p);
         // Sequential advisory: big linear sweep.
         madvise(const_cast<char*>(data), size, MADV_SEQUENTIAL);
@@ -82,12 +86,26 @@ inline const char* skip_line(const char* p, const char* end) {
 }  // namespace
 
 // strtod on a non-NUL-terminated mapping may walk past the final page
-// when the file size is an exact page multiple: parse near-end tokens
-// through a bounded NUL-terminated copy.
+// when the file size is an exact page multiple: raw strtod is safe only
+// when a terminator byte (whitespace/newline — anything non-numeric)
+// provably exists before `end`.  A fixed "last 32 bytes" window is NOT
+// enough: a >=32-char final token (e.g. '%.25e' output) with no trailing
+// newline still scans one past the mapping.  Copy-terminate whenever the
+// token itself reaches `end`.
+static inline bool strtod_char(char c) {
+    // Superset of bytes strtod can consume (digits, sign, dot, exponent,
+    // hex/inf/nan letters) — anything else terminates its scan in-bounds.
+    return (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.' ||
+           (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z');
+}
+
 static double safe_strtod(const char* p, const char* end, char** next) {
-    if (end - p >= 32) return strtod(p, next);
-    char tmp[40];
+    const char* q = p;
+    while (q < end && strtod_char(*q)) ++q;
+    if (q < end) return strtod(p, next);  // in-bounds terminator exists
+    char tmp[64];
     size_t n = (size_t)(end - p);
+    if (n >= sizeof tmp) n = sizeof tmp - 1;  // token longer than any real number
     memcpy(tmp, p, n);
     tmp[n] = 0;
     char* nx = nullptr;
@@ -205,10 +223,17 @@ int fastio_count_fields_headers(const char* path, long* n_headers) {
         while (p < end && is_blank(*p)) ++p;
         if (p < end && *p == '#') {
             const char* q = p;
-            // look for "FIELDS" within this comment line
             const char* line_end = q;
             while (line_end < end && *line_end != '\n') ++line_end;
-            if (memmem(q, static_cast<size_t>(line_end - q), "FIELDS", 6)) ++count;
+            // Match the Python readers exactly (parts[1] == 'FIELDS'):
+            // FIELDS must be the SECOND whitespace token, not a
+            // substring anywhere in the comment ('# note: FIELDS
+            // unchanged' is not a header).
+            while (q < line_end && !is_blank(*q)) ++q;  // skip '#!'/'#'
+            while (q < line_end && is_blank(*q)) ++q;
+            if (line_end - q >= 6 && memcmp(q, "FIELDS", 6) == 0 &&
+                (q + 6 == line_end || is_blank(q[6])))
+                ++count;
             p = line_end < end ? line_end + 1 : end;
             continue;
         }

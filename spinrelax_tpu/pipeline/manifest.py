@@ -63,7 +63,11 @@ def stage_is_current(
         with open(mf) as fp:
             data = json.load(fp)
     except Exception:
-        return True
+        # A manifest that EXISTS but cannot be parsed (disk error, hand
+        # edit) must not silently bless possibly-stale artefacts — one
+        # spurious re-run is strictly safer than stale reuse, which is
+        # the exact failure this module exists to prevent.
+        return False
     rec = data.get(stage)
     if rec is None:
         return True

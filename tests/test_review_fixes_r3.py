@@ -628,3 +628,167 @@ def test_make_whole_restarts_per_molecule():
     np.testing.assert_allclose(out[0], [9.8, 5.0, 5.0], atol=1e-6)
     np.testing.assert_allclose(out[1], [10.2, 5.0, 5.0], atol=1e-6)
     np.testing.assert_allclose(out[2:], np.asarray(xyz)[2:], atol=1e-6)
+
+
+def test_trr_velocity_only_double_frame_keeps_sync(tmp_path):
+    """Precision detection must follow GROMACS's x->v->f->box chain: a
+    double-precision velocity-only frame (no x, no box) previously fell
+    back to single-precision time/lambda reads and desynced the stream."""
+    import struct
+
+    from spinrelax_tpu.io import gmx
+
+    natoms = 5
+    rng = np.random.default_rng(2)
+    xyz = rng.uniform(0, 3, (natoms, 3))
+
+    def frame(x_size, v_size, box_size, payload):
+        out = bytearray()
+        out += struct.pack(">i", 1993)
+        out += struct.pack(">i", 13)
+        out += struct.pack(">i", 12) + b"GMX_trn_file"
+        out += struct.pack(">13i", 0, 0, box_size, 0, 0, 0, 0,
+                           x_size, v_size, 0, natoms, 0, 0)
+        out += struct.pack(">2d", 1.0, 0.0)  # double time/lambda
+        out += payload
+        return bytes(out)
+
+    # frame 1: velocities only (nstvout snapshot), double precision
+    vel = struct.pack(f">{natoms*3}d", *(np.zeros(natoms * 3) + 0.25))
+    f1 = frame(0, natoms * 3 * 8, 0, vel)
+    # frame 2: normal coordinate frame, double precision
+    box = np.diag([3.0, 3.0, 3.0])
+    pay = struct.pack(">9d", *box.reshape(9))
+    pay += struct.pack(f">{natoms*3}d", *xyz.reshape(-1))
+    f2 = frame(natoms * 3 * 8, 0, 9 * 8, pay)
+
+    fn = str(tmp_path / "vonly.trr")
+    with open(fn, "wb") as fp:
+        fp.write(f1 + f2)
+    frames = list(gmx.iter_trr(fn))
+    assert len(frames) == 1  # v-only frame skipped, not desynced
+    np.testing.assert_allclose(frames[0][0], xyz.astype(np.float32), atol=1e-6)
+
+
+def test_bmrb_atom_type_without_isotope_column(tmp_path):
+    """A loop carrying Atom_type_1='C' but NO Atom_isotope_number column
+    must use the element fallback (13C), not silently default to 15N."""
+    from spinrelax_tpu.io import bmrb
+
+    star = """data_test
+save_T1_set
+   _Heteronucl_T1_list.Sf_category heteronucl_T1_relaxation
+   _Heteronucl_T1_list.Spectrometer_frequency_1H 600.13
+   _Heteronucl_T1_list.T1_val_units s
+   loop_
+      _T1.Comp_index_ID
+      _T1.Atom_type
+      _T1.T1_val
+      _T1.T1_val_err
+      2 C 0.5 0.01
+      3 C 0.4 0.01
+   stop_
+save_
+"""
+    fn = tmp_path / "entry.str"
+    fn.write_text(star)
+    bmrb.main(["-f", str(fn), "-o", str(tmp_path / "expt")])
+    written = [p for p in (tmp_path).iterdir() if p.name.startswith("expt")]
+    assert written, "no experiment file written"
+    text = written[0].read_text()
+    assert "13C" in text and "15N" not in text
+
+
+def test_manifest_corrupt_is_stale(tmp_path):
+    """An existing-but-unparseable manifest must force a re-run, not
+    silently bless possibly-stale artefacts."""
+    from spinrelax_tpu.pipeline import manifest
+
+    pref = str(tmp_path / "run")
+    inp = tmp_path / "in.dat"
+    outp = tmp_path / "out.dat"
+    inp.write_text("1\n")
+    outp.write_text("2\n")
+    manifest.record_stage(pref, "stage", [str(inp)], {})
+    assert manifest.stage_is_current(pref, "stage", [str(inp)], [str(outp)], {})
+    mf = manifest._manifest_path(pref)
+    with open(mf, "w") as fp:
+        fp.write("{not json")
+    assert not manifest.stage_is_current(
+        pref, "stage", [str(inp)], [str(outp)], {}
+    )
+
+
+def test_hydronmr_degenerate_oblate_ordering():
+    """D = (2, 1, 2) (d1 < d0 == d2) must order via z90, not raise."""
+    from spinrelax_tpu.io.hydronmr import reorder_axes
+
+    D, mat = reorder_axes(np.array([2.0, 1.0, 2.0]), np.eye(3))
+    np.testing.assert_allclose(D, [1.0, 2.0, 2.0])
+    # z90 rotation applied
+    assert not np.allclose(mat, np.eye(3))
+
+
+def test_colvar_skip_rules_consistent(tmp_path):
+    """'@' xvg-legend lines must be skipped by the numpy fallback and
+    count_colvar_rows exactly like the native fast path, and a comment
+    merely CONTAINING the word FIELDS is not a header."""
+    from spinrelax_tpu.io import colvar as colvario
+    from spinrelax_tpu.io import native
+
+    fn = str(tmp_path / "c.colvar")
+    with open(fn, "w") as fp:
+        fp.write("#! FIELDS time q.w\n")
+        fp.write("# note: FIELDS unchanged from previous run\n")
+        fp.write('@ s0 legend "q.w"\n')
+        fp.write("0.0 1.0\n1.0 0.9\n&\n")
+    names, data = colvario.read_colvar(fn)
+    assert names == ["time", "q.w"]
+    assert data.shape == (2, 2)
+    assert colvario.count_colvar_rows(fn) == 2
+    if native.available():
+        n = native.count_fields_headers(fn)
+        assert n == 1  # annotation comment not counted
+
+
+def test_dx_surplus_values_raise(tmp_path):
+    from spinrelax_tpu.io import dx as dxio
+
+    fn = str(tmp_path / "h.dx")
+    data = np.arange(8.0).reshape(2, 2, 2)
+    dxio.write_dx(fn, data, data.shape, np.zeros(3), np.eye(3))
+    back, dims, orig, abc = dxio.read_dx(fn)  # footer tolerated
+    np.testing.assert_allclose(back, data)
+    # inject surplus numeric values before the footer
+    lines = open(fn).read().splitlines()
+    k = max(i for i, l in enumerate(lines)
+            if l and l[0].isdigit() or l.startswith("-"))
+    lines.insert(k + 1, "9 9 9")
+    fn2 = str(tmp_path / "bad.dx")
+    open(fn2, "w").write("\n".join(lines) + "\n")
+    with pytest.raises(ValueError, match="more data values"):
+        dxio.read_dx(fn2)
+
+
+def test_fastio_exact_page_long_token(tmp_path):
+    """A table whose file size is an exact page multiple, ending in a
+    >=32-char numeric token with no trailing newline, must parse (not
+    walk strtod past the mapping)."""
+    from spinrelax_tpu.io import native
+
+    if not native.available():
+        pytest.skip("no compiler for libfastio")
+    val = "0." + "1" * 38  # 40-char token
+    row = "3.5 " + val
+    pad = 4096 - (len(row) % 4096)
+    content = ("# " + "x" * (pad - 3) + "\n") + row if pad >= 4 else row
+    # Re-pad exactly: comment line of length pad, then the row, no newline.
+    content = "#" + "x" * (4096 - len(row) - 2) + "\n" + row
+    fn = str(tmp_path / "page.dat")
+    with open(fn, "w") as fp:
+        fp.write(content)
+    assert os.path.getsize(fn) % 4096 == 0
+    table = native.load_table(fn, skip_chars="#@&")
+    assert table is not None
+    np.testing.assert_allclose(table[0, 0], 3.5)
+    np.testing.assert_allclose(table[0, 1], float(val))
