@@ -2,8 +2,13 @@
 
 This is the #1 compute sink of the reference workflow
 (``calculate-Ct-from-traj.py:200-238``): an O(nDeltas * nFrames) explicit
-lag loop of einsums.  Here it becomes an O(N log N) FFT over the frame
-axis using the tensor-component identity
+lag loop of einsums.  Here the lag profile comes from correlation
+theorems over the frame axis — production dispatch (``_acf_sums``) is a
+matmul-form Cooley-Tukey DFT (``_acf_sums_xla``, MXU-shaped) or the
+fused Pallas kernel (``ops.pallas_acf``); ``_acf_sums_fft`` is the
+straight O(N log N) ``jnp.fft`` form, kept as an independently-derived
+parity oracle (test_autocorr).  All rest on the tensor-component
+identity
 
     P2(v(t).v(t+dt)) = 1.5 * (v.v')^2 - 0.5
     (v.v')^2 = sum_ab [v_a v_b](t) * [v_a v_b](t+dt)
@@ -145,9 +150,10 @@ ACF_IMPL = "auto"
 
 def use_pallas_for(dtype, n_frames: int, n_deltas: int) -> bool:
     """THE dispatch predicate for the fused Pallas kernel — every caller
-    (standard (..., F, 3) layout AND the pretiled tile layout, whose
-    shape[-2] is the lane dim, not F) must route through this single
-    rule so backend selection can never diverge between entry points."""
+    (standard (..., F, 3) layout AND the pretiled (nTiles, 3, F, 128)
+    tile layout: shape[-2] is F in BOTH, which is what lets them share
+    this predicate) must route through this single rule so backend
+    selection can never diverge between entry points."""
     from .pallas_acf import supports
 
     return ACF_IMPL == "pallas" or (
@@ -554,21 +560,7 @@ def stream_accumulate(chunk_iter, n_frames_per_chunk: int):
     produced by byte-identical code or the multi-host parity guarantee
     silently breaks."""
     n_deltas = n_frames_per_chunk // 2
-
-    # ONE dispatch per group: ACF + per-chunk statistics + accumulator
-    # update fused into a single jitted program (each separate eager op
-    # costs a ~8 ms relay round-trip through the axon tunnel, docs/PERF.md
-    # "dispatch overhead" — at thousands of streamed groups this
-    # dominated the CLI streaming path).
-    @jax.jit
-    def update(v, acc_s, acc_s2):
-        n_vals = n_frames_per_chunk - jnp.arange(
-            1, n_deltas + 1, dtype=v.dtype
-        )
-        s = _acf_sums(jnp.swapaxes(v, 1, 2), n_deltas)  # (g, nRes, nDeltas)
-        # palmer_pooled_stats convention: accumulate e = per - 1, e**2.
-        e = -1.5 + 1.5 * s / n_vals
-        return acc_s + jnp.sum(e, axis=0), acc_s2 + jnp.sum(e**2, axis=0)
+    update = _stream_update_jit(n_frames_per_chunk, n_deltas)
 
     acc_s = acc_s2 = None
     n_rep = 0
@@ -586,6 +578,30 @@ def stream_accumulate(chunk_iter, n_frames_per_chunk: int):
     if acc_s is None:
         raise ValueError("empty chunk iterator")
     return acc_s, acc_s2, n_rep
+
+
+@functools.lru_cache(maxsize=None)
+def _stream_update_jit(n_frames_per_chunk: int, n_deltas: int):
+    """ONE dispatch per group: ACF + per-chunk statistics + accumulator
+    update fused into a single jitted program (each separate eager op
+    costs a ~8 ms relay round-trip through the axon tunnel, docs/PERF.md
+    "dispatch overhead").  Cached at module level: jax.jit keys its trace
+    cache on the wrapper OBJECT, so a fresh closure per stream_accumulate
+    call would recompile the identical program for every stream (minutes
+    of remote AOT) — e.g. the per-host ingest loop calls this once per
+    host."""
+
+    @jax.jit
+    def update(v, acc_s, acc_s2):
+        n_vals = n_frames_per_chunk - jnp.arange(
+            1, n_deltas + 1, dtype=v.dtype
+        )
+        s = _acf_sums(jnp.swapaxes(v, 1, 2), n_deltas)  # (g, nRes, nDeltas)
+        # palmer_pooled_stats convention: accumulate e = per - 1, e**2.
+        e = -1.5 + 1.5 * s / n_vals
+        return acc_s + jnp.sum(e, axis=0), acc_s2 + jnp.sum(e**2, axis=0)
+
+    return update
 
 
 def ct_palmer_direct(vecs):

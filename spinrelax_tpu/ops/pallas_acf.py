@@ -455,6 +455,13 @@ def acf_sums_pallas(vecs, n_deltas: int, mode: str = "cat64c",
     can emit this layout (device-side generators, tiled loaders) skip
     the XLA transpose pre-pass entirely, which dominates the step at
     large batch (measured pathological at B ~ 4e4).
+
+    CONTRACT NOTE for pretiled: the true batch size is unknown here
+    (tiles are lane-padded by the producer), so the output keeps ALL
+    nTiles*128 lanes — including any zero-pad lanes — in both output
+    layouts; the caller slices to its true batch (in-repo callers pass
+    ``transpose_out=False`` and slice, e.g. palmer_group_update_pretiled).
+    The standard layout slices to B = prod(leading dims) itself.
     """
     nf_in = vecs.shape[-2]  # F in both layouts
     nd_pad_probe = ((n_deltas + 7) // 8) * 8
@@ -497,8 +504,19 @@ def acf_sums_pallas(vecs, n_deltas: int, mode: str = "cat64c",
             )
     if tiles < 1:
         raise ValueError(f"tiles must be >= 1, got {tiles}")
+    req_tiles = tiles
     while n_tiles % tiles != 0:  # clamp to a divisor of the tile count
         tiles -= 1
+    if tiles != req_tiles:
+        import warnings
+
+        # Loud, not silent: a perf experiment requesting tiles=4 on a
+        # 6-tile batch would otherwise record tiles=4 timings that
+        # actually ran tiles=2.
+        warnings.warn(
+            f"acf_sums_pallas: tiles={req_tiles} does not divide the "
+            f"{n_tiles}-tile batch; running tiles={tiles}"
+        )
     if pretiled:
         v = vecs.astype(dtype)
         v_spec = pl.BlockSpec(

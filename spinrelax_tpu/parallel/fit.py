@@ -95,5 +95,8 @@ def shard_experiment_set(es: ExperimentSet, mesh) -> ExperimentSet:
         # mode, poisoning the LM jacobian through masked entries.
         vecs=put(es.vecs, fill="edge"),
         weights=put(es.weights, fill="edge"),
-        csa=None if es.csa is None else np.asarray(_pad0(es.csa, pad)),
+        # csa is residue-leading like everything above: committed to the
+        # same sharding, or every jitted chisq dispatch re-ships it
+        # host->device through the ~36 MB/s tunnel.
+        csa=put(es.csa),
     )

@@ -108,6 +108,7 @@ class ShardedCtStream:
         # shape, so no per-g_pad bookkeeping is needed here.
         self._step = self._make_step()
         self._ones_w = {}  # (g_pad, g) -> device weight vector
+        self._g_canon = None  # first-seen padded group size (shape anchor)
         self._group_sharding = NamedSharding(mesh, P("rep", None, "res", None))
         self._w_sharding = NamedSharding(mesh, P("rep"))
 
@@ -166,6 +167,14 @@ class ShardedCtStream:
         if N not in (self.n_res, self.n_res_pad):
             raise ValueError(f"group has {N} residues, expected {self.n_res}")
         g_pad = _pad_to(g, self.rep_dim)
+        # Pad ragged (usually final) groups up to the first-seen group
+        # size: a smaller g_pad would be a NEW shape for the shard_map
+        # step — one full retrace + remote-AOT recompile (minutes through
+        # the axon tunnel) to process a single tail group.  Zero weights
+        # keep the statistics exact; a LARGER group later re-anchors.
+        if self._g_canon is not None:
+            g_pad = max(g_pad, self._g_canon)
+        self._g_canon = g_pad
         if isinstance(group, jax.Array):
             vd = group.astype(self.dtype)
             if g_pad != g or N != self.n_res_pad:
@@ -387,21 +396,25 @@ def run_sharded_finish(
     idx = np.concatenate([np.arange(n_res), np.zeros(pad, dtype=int)])
     cts_pad = cts.select(idx) if pad else cts
 
-    # Cached per (pair, diffusion) object pair: a fresh jax.jit wrapper
-    # each call would retrace the whole ensemble-rates program on every
-    # invocation (minutes of remote AOT through the axon tunnel for a
-    # repeated-stream driver).  The cached closure keeps both objects
-    # alive, so their ids cannot be recycled while the entry exists.
+    # Cached per pair VALUE (NucleusPair is a frozen dataclass, hashable
+    # by value): a fresh jax.jit wrapper each call would retrace the
+    # whole ensemble-rates program on every invocation (minutes of
+    # remote AOT through the axon tunnel for a repeated-stream driver).
+    # Diffusion is passed as a jit ARGUMENT, not closed over: it is a
+    # registered pytree (kind static, tensor values dynamic), so a
+    # global-fit loop feeding fresh Diffusion objects per trial reuses
+    # ONE compiled program, and in-place mutation cannot serve stale
+    # values out of a baked-in closure.
     def _make_rates():
-        def _rates_fn(cts_, vecs_, w_, csa_):
+        def _rates_fn(diffusion_, cts_, vecs_, w_, csa_):
             return obs.predict_rates(
-                pair, diffusion, cts_, vecs=vecs_, weights=w_, csa=csa_
+                pair, diffusion_, cts_, vecs=vecs_, weights=w_, csa=csa_
             )
 
         return jax.jit(_rates_fn)
 
-    rates = _cached_jit(("rates", id(pair), id(diffusion)), _make_rates)(
-        cts_pad, vecs_d, w_d, csa_d
+    rates = _cached_jit(("rates", pair), _make_rates)(
+        diffusion, cts_pad, vecs_d, w_d, csa_d
     )
     return FlagshipRates(
         Ct, dCt, cts,

@@ -249,3 +249,23 @@ def test_streamed_empty_iterator_raises():
 
     with _pytest.raises(ValueError, match="empty chunk iterator"):
         ct_palmer_streamed(iter([]), 32)
+
+
+def test_acf_fft_oracle_matches_production_paths():
+    """_acf_sums_fft (straight jnp.fft correlation) is kept as an
+    independently-derived oracle for the production matmul-DFT path —
+    this parity pin is what keeps it from being dead code."""
+    import jax.numpy as jnp
+
+    from spinrelax_tpu.ops.autocorr import _acf_sums_fft, _acf_sums_xla
+
+    rng = np.random.default_rng(12)
+    v = rng.normal(size=(3, 50, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    v = jnp.asarray(v)
+    nd = 25
+    np.testing.assert_allclose(
+        np.asarray(_acf_sums_fft(v, nd)),
+        np.asarray(_acf_sums_xla(v, nd)),
+        rtol=1e-9, atol=1e-9,
+    )

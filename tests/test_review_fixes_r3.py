@@ -792,3 +792,70 @@ def test_fastio_exact_page_long_token(tmp_path):
     assert table is not None
     np.testing.assert_allclose(table[0, 0], 3.5)
     np.testing.assert_allclose(table[0, 1], float(val))
+
+
+def test_sharded_rates_jit_diffusion_is_argument():
+    """run_sharded_finish must treat Diffusion as a jit ARGUMENT: two
+    calls with different Diso (fresh objects) share one compiled entry
+    and return DIFFERENT rates (a closure-baked diffusion returned the
+    first call's rates forever)."""
+    from spinrelax_tpu.models import Diffusion
+    from spinrelax_tpu.parallel import streamed
+    from spinrelax_tpu.parallel.mesh import make_mesh
+    from spinrelax_tpu.parallel.streamed import ShardedCtStream, run_sharded_finish
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(3)
+    n_frames, n_res = 32, 5
+    # Smooth wobble around fixed directions -> S2 well above 0, so the
+    # global Diso actually enters J (pure noise fits S2 ~ 0 and then any
+    # Diso multiplies a zero amplitude).
+    base = rng.normal(size=(1, 1, n_res, 3))
+    v = base + 0.15 * rng.normal(size=(4, n_frames, n_res, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    stream = ShardedCtStream(mesh, n_frames, n_res, dtype=np.float64)
+    stream.update(v)
+
+    kw = dict(n_res=n_res, delta_t=1.0, names=[str(i) for i in range(n_res)])
+    out1 = run_sharded_finish(
+        mesh, *stream.accumulators(),
+        diffusion=Diffusion.isotropic(diso=4e-5), **kw,
+    )
+    n_cache = len(streamed._JIT_CACHE)
+    out2 = run_sharded_finish(
+        mesh, *stream.accumulators(),
+        diffusion=Diffusion.isotropic(diso=8e-5), **kw,
+    )
+    assert len(streamed._JIT_CACHE) == n_cache  # no new entry per object
+    assert not np.allclose(out1.R1, out2.R1)  # new Diso actually used
+
+
+def test_sharded_stream_ragged_group_keeps_shape_anchor():
+    """A smaller final group must pad UP to the first-seen group size
+    (one compiled shard_map shape), with exact statistics."""
+    from spinrelax_tpu.ops.autocorr import ct_palmer
+    from spinrelax_tpu.parallel.mesh import make_mesh
+    from spinrelax_tpu.parallel.streamed import ShardedCtStream
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(4)
+    n_frames, n_res = 16, 3
+    chunks = rng.normal(size=(9, n_frames, n_res, 3))
+    chunks /= np.linalg.norm(chunks, axis=-1, keepdims=True)
+    stream = ShardedCtStream(mesh, n_frames, n_res, dtype=np.float64)
+    stream.update(chunks[:8])
+    anchor = stream._g_canon
+    stream.update(chunks[8:])  # g=1 -> padded to the anchor, not rep_dim
+    assert stream._g_canon == anchor
+    mean, dct = stream.finalize()
+    ref_mean, ref_dct = ct_palmer(chunks)
+    np.testing.assert_allclose(mean, np.asarray(ref_mean), rtol=1e-10)
+    np.testing.assert_allclose(dct, np.asarray(ref_dct), rtol=1e-10)
+
+
+def test_stream_update_program_is_shared():
+    """stream_accumulate's fused update is cached at module level — two
+    streams of the same shape must reuse ONE jitted program."""
+    from spinrelax_tpu.ops.autocorr import _stream_update_jit
+
+    assert _stream_update_jit(16, 8) is _stream_update_jit(16, 8)
