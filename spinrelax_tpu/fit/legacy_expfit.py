@@ -31,8 +31,6 @@ import numpy as np
 
 from .lm import lm_solve
 
-# Maximum number of exponential terms across both families.
-
 
 def _split_params(params, num_pars: int):
     """Unpack the reference's flat (guess-ordered) parameter vector.
@@ -166,7 +164,7 @@ def _fit_family(model_fn, guess_fn, num_pars: int, x, y, dy=None,
     dyb = None if dy is None or (hasattr(dy, "__len__") and len(dy) == 0) else np.atleast_2d(np.asarray(dy, dtype=float))
 
     t_max = float(x[-1])
-    p0 = _exp_guess(num_pars, t_max) if guess_fn is None else guess_fn(num_pars, t_max)
+    p0 = guess_fn(num_pars, t_max)  # both callers always pass a guess_fn
     # Bounds: amplitudes/S2 in [0, 1]; taus in (0, cap].
     lo = np.zeros(num_pars)
     hi = np.ones(num_pars)

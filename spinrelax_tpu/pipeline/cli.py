@@ -31,9 +31,39 @@ def _split_floats(s: str):
     return [float(x) for x in re.split(r"[,\s]+", s.strip()) if x]
 
 
-def _parse_diffusion(args):
-    """Shared -D/--tau/--aniso parsing
-    (calculate-relaxations-multi-field.py:13-37)."""
+def _dxyz_from_iso_aniso_rhomb(diso, aniso, rhomb):
+    """(Diso, Daniso, Drhomb) -> (Dx, Dy, Dz), the exact inverse of the
+    reference's translate_D (parse-hydroNMR-results.py:90-98):
+    Diso = mean(D), aniso = 2Dz/(Dx+Dy), rhomb = 3(Dy-Dx)/(2Dz-Dx-Dy)."""
+    s = 6.0 * diso / (2.0 + aniso)  # Dx + Dy
+    dz = 3.0 * diso * aniso / (2.0 + aniso)
+    half_diff = rhomb * s * (aniso - 1.0) / 6.0
+    return [s / 2.0 - half_diff, s / 2.0 + half_diff, dz]
+
+
+_D_HELP = {
+    "relax": "diffusion tensor: Diso | 'Diso,Daniso' | 'Diso,Daniso,Drhomb' "
+             "[1/time_unit] (reference -D convention, "
+             "calculate-relaxations-from-Ct.py:600-611)",
+    "multifield": "diffusion tensor: Diso | 'Dpar,Dperp' (converted to "
+                  "Diso/Daniso like the reference's bConvert, "
+                  "calculate-relaxations-multi-field.py:34) | "
+                  "'Diso,Daniso,Drhomb' [1/ps]",
+}
+
+
+def _parse_diffusion(args, flavor: str = "relax"):
+    """Shared -D/--tau/--aniso parsing.  The two reference front-ends
+    disagree on what TWO -D values mean, and both meanings are kept:
+
+    - flavor="relax": (Diso, Daniso) — calculate-relaxations-from-Ct.py
+      :600-611; three values are the documented (Diso, Daniso, Drhomb)
+      (:506 — the reference documents but never wires the 3-value case;
+      we implement the documented interface).
+    - flavor="multifield": (Dpar, Dperp), converted like bConvert=True
+      (calculate-relaxations-multi-field.py:34,
+      spectral_densities.py:477).
+    """
     from ..models import Diffusion
 
     D = getattr(args, "D", None)
@@ -52,8 +82,12 @@ def _parse_diffusion(args):
             return Diffusion.isotropic(diso=vals[0])
         return Diffusion.axisymmetric(diso=vals[0], aniso=aniso)
     if len(vals) == 2:
+        if flavor == "multifield":
+            return Diffusion.axisymmetric(dpar=vals[0], dperp=vals[1])
         return Diffusion.axisymmetric(diso=vals[0], aniso=vals[1])
-    return Diffusion.ellipsoid(vals)
+    if len(vals) == 3:
+        return Diffusion.ellipsoid(_dxyz_from_iso_aniso_rhomb(*vals))
+    sys.exit(f"= = = ERROR: -D takes 1-3 values, got {len(vals)}")
 
 
 def _parse_csa(csa_arg, names):
@@ -310,7 +344,8 @@ def cmd_relax(argv):
                    help="time units of the autocorrelation file")
     p.add_argument("--tau", type=float, default=None)
     p.add_argument("--aniso", type=float, default=1.0)
-    p.add_argument("-D", "--DTensor", dest="D", default=None)
+    p.add_argument("-D", "--DTensor", dest="D", default=None,
+                   help=_D_HELP["relax"])
     p.add_argument("--zeta", type=float, default=0.890023)
     p.add_argument("--csa", default=None)
     p.add_argument("--shiftres", type=int, default=0)
@@ -339,6 +374,10 @@ def cmd_relax(argv):
     else:
         sys.exit("= = = ERROR: give either --B0 [T] or --freq [Hz]")
     diffusion = _parse_diffusion(a)
+    # --rXH applies to EVERY prediction path, including --theoretical
+    # (calculate-relaxations-from-Ct.py:747-750 scales zeta before any
+    # branch).
+    zeta = a.zeta if a.rXH is None else (1.02 / a.rXH) ** 6
     if a.theoretical:
         if diffusion.kind == "direct":
             # Reference errors here too (calculate-relaxations-from-Ct.py
@@ -348,7 +387,7 @@ def cmd_relax(argv):
                 "(a rigid baseline needs a diffusion model)"
             )
         rates = stage_relax_theoretical(
-            diffusion, freq_mhz=freq_mhz, nuclei=a.nuclei, zeta=a.zeta
+            diffusion, freq_mhz=freq_mhz, nuclei=a.nuclei, zeta=zeta
         )
         label = {
             "isotropic": "Isotropic",
@@ -366,7 +405,6 @@ def cmd_relax(argv):
         names = fctio.read_fittedct(a.in_ct).names
         csa = _parse_csa(a.csa, names)
     q_rot = np.array(_split_floats(a.q_rot)) if a.q_rot else None
-    zeta = a.zeta if a.rXH is None else (1.02 / a.rXH) ** 6
     stage_relax(
         a.in_ct, a.outpref, diffusion,
         vec_file=a.distfn, q_rot=q_rot, freq_mhz=freq_mhz, nuclei=a.nuclei,
@@ -396,7 +434,8 @@ def cmd_multifield(argv):
                         "instead of a --distfn distribution")
     p.add_argument("--tau", type=float, default=None)
     p.add_argument("--aniso", type=float, default=None)
-    p.add_argument("-D", "--DTensor", dest="D", default=None)
+    p.add_argument("-D", "--DTensor", dest="D", default=None,
+                   help=_D_HELP["multifield"])
     p.add_argument("--zeta", type=float, default=0.890023)
     p.add_argument("--csa", default=None)
     p.add_argument("--opt", "--fit", dest="opt", default=None)
@@ -408,7 +447,13 @@ def cmd_multifield(argv):
     from ..io import fittedct as fctio
     from .stages import stage_multifield
 
-    diffusion = _parse_diffusion(a)
+    diffusion = _parse_diffusion(a, flavor="multifield")
+    if diffusion.kind == "direct":
+        # Match the reference's immediate, actionable exit
+        # (calculate-relaxations-multi-field.py:16-18) instead of a
+        # ValueError traceback out of the evaluation internals.
+        sys.exit("= = ERROR: No global tumbling parameters given! "
+                 "(pass --tau or -D)")
     csa = None
     if a.csa is not None:
         names = fctio.read_fittedct(a.in_ct).names
@@ -581,14 +626,32 @@ def cmd_center(argv):
             # multi-GB npz a second time just to drop the box.
             obj = np.load(a.infn)
             xyz = np.asarray(obj["xyz"])
-            t = np.asarray(obj["time"]) if "time" in obj else None
+            if "time" in obj:
+                t = np.asarray(obj["time"])
+            elif "timestep" in obj:
+                # load_trajectory honours this key too; dropping it here
+                # silently reset the output timestep to 1.0.
+                t = np.arange(xyz.shape[0]) * float(obj["timestep"])
+            else:
+                t = None
             boxes = np.asarray(obj["box"]) if "box" in obj else None
-            if boxes is not None and boxes.shape[-2:] == (3, 3):
-                # Full box matrices (the layout cmd_center's own XTC
+            if boxes is not None and boxes.ndim == 3:
+                # Per-frame box matrices (the layout cmd_center's own XTC
                 # writer emits): reduce to orthorhombic lengths like the
                 # xtc/trr input paths — a diagonal matrix would otherwise
                 # fail the all-positive check on its off-diagonal zeros.
-                yield xyz, _ortho_box(boxes.reshape(-1, 3, 3)), t
+                yield xyz, _ortho_box(boxes), t
+            elif boxes is not None and boxes.shape == (3, 3) and not (
+                xyz.shape[0] == 3 and np.all(boxes > 0)
+            ):
+                # ONE box matrix for the whole trajectory — broadcast to
+                # every frame.  The (3,3) shape is ambiguous with three
+                # frames of per-frame lengths; an all-positive array for
+                # a 3-frame trajectory is read as lengths (a box MATRIX
+                # always has zero off-diagonals in the orthorhombic case
+                # this command supports).
+                b = _ortho_box(boxes[None])
+                yield xyz, np.broadcast_to(b, (xyz.shape[0], 3)).copy(), t
             else:
                 yield xyz, boxes, t
         else:
@@ -705,7 +768,14 @@ def cmd_make_ref(argv):
         sys.exit("= = = ERROR: npz trajectories need a topology PDB (-s)")
     top, _ = pdbio.read_pdb(top_fn)
     xyz, _ = trajio.load_trajectory(a.infn, top_fn=top_fn)
-    frame = xyz[a.frame : a.frame + 1]
+    if not (-xyz.shape[0] <= a.frame < xyz.shape[0]):
+        # An out-of-range slice is silently empty — it would "succeed"
+        # writing an atom-less reference PDB.
+        sys.exit(
+            f"= = = ERROR: --frame {a.frame} out of range "
+            f"(trajectory has {xyz.shape[0]} frames)"
+        )
+    frame = xyz[a.frame][None]
     if a.box is not None:
         from ..ops.pbc import unwrap_and_center
 

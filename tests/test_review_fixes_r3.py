@@ -859,3 +859,96 @@ def test_stream_update_program_is_shared():
     from spinrelax_tpu.ops.autocorr import _stream_update_jit
 
     assert _stream_update_jit(16, 8) is _stream_update_jit(16, 8)
+
+
+def test_parse_diffusion_flavors():
+    """-D parsing follows each reference front-end's own convention:
+    relax 2-value = (Diso, Daniso); multifield 2-value = (Dpar, Dperp)
+    converted like bConvert (spectral_densities.py:477); 3-value is the
+    documented (Diso, Daniso, Drhomb)."""
+    import argparse
+
+    from spinrelax_tpu.pipeline.cli import (
+        _dxyz_from_iso_aniso_rhomb, _parse_diffusion,
+    )
+
+    ns = argparse.Namespace(D="4.0e-5,3.0e-5", tau=None, aniso=None)
+    d_relax = _parse_diffusion(ns, flavor="relax")
+    assert d_relax.kind == "axisymmetric"
+    np.testing.assert_allclose(float(d_relax.diso), 4.0e-5)
+    np.testing.assert_allclose(float(d_relax.aniso), 3.0e-5)
+
+    d_mf = _parse_diffusion(ns, flavor="multifield")
+    # bConvert: Diso = (2*Dperp + Dpar)/3, aniso = Dpar/Dperp
+    np.testing.assert_allclose(
+        float(d_mf.diso), (2 * 3.0e-5 + 4.0e-5) / 3.0
+    )
+    np.testing.assert_allclose(float(d_mf.aniso), 4.0 / 3.0)
+
+    # 3-value: (Diso, aniso, rhomb) -> Dxyz, exact inverse of the
+    # reference's translate_D.
+    dxyz = np.asarray(_dxyz_from_iso_aniso_rhomb(4.0e-5, 1.5, 0.4))
+    np.testing.assert_allclose(np.mean(dxyz), 4.0e-5)
+    np.testing.assert_allclose(2 * dxyz[2] / (dxyz[0] + dxyz[1]), 1.5)
+    np.testing.assert_allclose(
+        3 * (dxyz[1] - dxyz[0]) / (2 * dxyz[2] - dxyz[0] - dxyz[1]), 0.4
+    )
+
+
+def test_multifield_without_tumbling_exits_cleanly(tmp_path):
+    from spinrelax_tpu.pipeline.cli import main
+
+    ct = tmp_path / "f.dat"
+    ct.write_text("# Residue: 1\n# Param S2_0: 0.8 +- 0.0\n")
+    exp = tmp_path / "e.dat"
+    exp.write_text("# Type R1\n1 1.0 0.1\n")
+    with pytest.raises(SystemExit, match="tumbling"):
+        main(["multifield", "-f", str(ct), str(exp)])
+
+
+def test_center_npz_single_box_matrix(tmp_path):
+    """A single (3,3) box matrix in an npz must broadcast to every frame
+    (previously became a 1-frame box -> vmap crash), and npz timestep
+    without a time array must survive into the output."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from spinrelax_tpu.pipeline.cli import main
+
+    rng = np.random.default_rng(8)
+    nf, na = 5, 8
+    xyz = rng.uniform(0, 4, (nf, na, 3)).astype(np.float32)
+    np.savez(tmp_path / "in.npz", xyz=xyz, box=np.diag([4.0, 4.0, 4.0]),
+             timestep=10.0)
+    lines = []
+    for i in range(na):
+        lines.append(
+            f"ATOM  {i+1:5d}  C{i:<2d} ALA A{1:4d}    "
+            f"{1.0:8.3f}{1.0:8.3f}{1.0:8.3f}  1.00  0.00           C"
+        )
+    (tmp_path / "top.pdb").write_text("\n".join(lines) + "\nEND\n")
+    out = tmp_path / "out.npz"
+    rc = main(["center", "-f", str(tmp_path / "in.npz"),
+               "-s", str(tmp_path / "top.pdb"), "-o", str(out)])
+    assert rc in (0, None)
+    got = np.load(out)
+    assert got["xyz"].shape == (nf, na, 3)
+    np.testing.assert_allclose(float(got["timestep"]), 10.0)
+
+
+def test_make_ref_frame_out_of_range(tmp_path):
+    from spinrelax_tpu.pipeline.cli import main
+
+    rng = np.random.default_rng(9)
+    xyz = rng.uniform(0, 4, (3, 4, 3)).astype(np.float32)
+    np.savez(tmp_path / "t.npz", xyz=xyz, time=np.arange(3.0))
+    lines = [
+        f"ATOM  {i+1:5d}  C{i:<2d} ALA A{1:4d}    "
+        f"{1.0:8.3f}{1.0:8.3f}{1.0:8.3f}  1.00  0.00           C"
+        for i in range(4)
+    ]
+    (tmp_path / "top.pdb").write_text("\n".join(lines) + "\nEND\n")
+    with pytest.raises(SystemExit, match="out of range"):
+        main(["make-ref", "-f", str(tmp_path / "t.npz"),
+              "-s", str(tmp_path / "top.pdb"), "--frame", "500",
+              "-o", str(tmp_path / "ref.pdb")])
