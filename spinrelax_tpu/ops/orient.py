@@ -121,3 +121,72 @@ def bond_vectors(frames, reference, idx_h, idx_x, fit_weights=None):
     q = orientation_quats(frames, reference, fit_weights)
     fitted = qt.vecnorm(qt.rotate_vector(raw, qt.qconj(q)[:, None, :]))
     return BondVectors(raw, fitted)
+
+
+def bond_obs_host(xyz, reference, idx_h, idx_x, fit_weights=None,
+                  frame_slab_bytes=1 << 23):
+    """Host-side sufficient statistics for :func:`bond_vectors_from_obs`.
+
+    The per-frame Kabsch/Horn fit consumes the coordinates ONLY through
+    the 3x3 correlation S (see :func:`orientation_quats`), and the bond
+    vectors are translation-invariant coordinate differences — so a
+    file-fed chunk never needs to ship its full (nFrames, nAtoms, 3)
+    coordinate block to the device.  This reduction is the whole
+    host->device contract of the streamed C(t) stages: nAtoms/nBonds-fold
+    less transfer (~17x for the reference's ubiquitin system; measured
+    file-fed e2e in docs/PERF.md round 3).
+
+    Returns (raw_diff (F, nBonds, 3), S (F, 3, 3)), both in the CANONICAL
+    dtype of ``xyz`` — i.e. exactly what ``jnp.asarray(xyz)`` would use
+    on device (f64 input under x64 stays f64: the mesh-parity tests rely
+    on f64 C(t) sitting 8 digits below printed precision).  S is
+    accumulated in float64 slabs (``frame_slab_bytes`` bounds the f64
+    temporary) — tighter than the device's f32-HIGHEST einsum.
+    """
+    import numpy as np
+
+    xyz = np.asarray(xyz)
+    out_dtype = jax.dtypes.canonicalize_dtype(
+        np.result_type(xyz.dtype, np.float32)
+    )
+    reference = np.asarray(reference, dtype=np.float64)
+    if fit_weights is None:
+        w = np.ones(reference.shape[0])
+    else:
+        w = np.asarray(fit_weights, dtype=np.float64)
+    w = w / w.sum()
+    ref_c = reference - (w[:, None] * reference).sum(0)
+    A = (w[:, None] * ref_c).T  # (3, nAtoms): S_f[i, j] = A @ frm_c_f
+
+    raw_diff = (xyz[:, idx_h, :] - xyz[:, idx_x, :]).astype(
+        out_dtype, copy=False
+    )
+    n_frames, n_atoms = xyz.shape[:2]
+    slab = max(1, int(frame_slab_bytes // (n_atoms * 3 * 8)))
+    S = np.empty((n_frames, 3, 3), dtype=out_dtype)
+    for lo in range(0, n_frames, slab):
+        x = xyz[lo : lo + slab].astype(np.float64, copy=False)
+        # No per-frame COM subtraction: A's weighted columns sum to zero
+        # (ref_c is weighted-centred), so A @ (x - com) == A @ x exactly —
+        # translation invariance is built into A.  Skipping the centring
+        # pass avoids a second (slab, nAtoms, 3) f64 temporary; with the
+        # default 8 MB slab the BLAS temporaries stay arena-resident
+        # (fresh large numpy buffers fault 10-32 us/page here,
+        # docs/PERF.md) — 242 -> 30 ms per 4000-frame ubiquitin group.
+        S[lo : lo + slab] = A @ x
+    return raw_diff, S
+
+
+@jax.jit
+def bond_vectors_from_obs(raw_diff, S):
+    """Device half of the split :func:`bond_vectors`: normalised raw and
+    superposed bond vectors from the host-reduced observables of
+    :func:`bond_obs_host`.  Identical convention to ``bond_vectors`` —
+    Horn quaternion from S, conjugate rotation of the difference vectors
+    (calculate-Ct-from-traj.py:64-86,466-467)."""
+    raw = qt.vecnorm(jnp.asarray(raw_diff))
+    K = _horn_K(jnp.asarray(S))
+    _, vecs = jnp.linalg.eigh(K)
+    q = qt.qreduce(vecs[..., :, -1])
+    fitted = qt.vecnorm(qt.rotate_vector(raw, qt.qconj(q)[:, None, :]))
+    return BondVectors(raw, fitted)

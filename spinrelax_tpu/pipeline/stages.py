@@ -447,9 +447,12 @@ def stage_ct(
         xyz, dt = trajio.load_trajectory(trj_fn, top_fn=ref_fn)
         if timestep is not None:
             dt = timestep
-        bv = orient.bond_vectors(
-            jnp.asarray(xyz), jnp.asarray(ref_xyz[0]), jnp.asarray(idx_h),
-            jnp.asarray(idx_x), jnp.asarray(w),
+        # Host-reduced observables (NH diffs + 3x3 Horn correlations)
+        # instead of shipping the full coordinate block to the device —
+        # the same contract the streamed stage uses (docs/PERF.md).
+        raw_diff, S = orient.bond_obs_host(xyz, ref_xyz[0], idx_h, idx_x, w)
+        bv = orient.bond_vectors_from_obs(
+            jnp.asarray(raw_diff), jnp.asarray(S)
         )
         if res_ids is None:
             res_ids, delta_t = list(res_h), dt
@@ -1182,9 +1185,7 @@ def stage_ct_streamed(
         top, ref_xyz = pdbio.read_pdb(ref_fn)
         idx_h, idx_x, res_h = pdbio.bond_indices(top, h_sel, x_sel)
         w = _fit_weights(top, fit_sel)
-        w_j = jnp.asarray(w)
-        ref_j = jnp.asarray(ref_xyz[0])
-        ih, ix = jnp.asarray(idx_h), jnp.asarray(idx_x)
+        ref0 = ref_xyz[0]
 
         if timestep is None and trj_fn.endswith(".npy"):
             # A bare .npy has no time axis: iter_trajectory would echo a
@@ -1217,8 +1218,16 @@ def stage_ct_streamed(
             trj_fn, chunk_frames=group_frames, top_fn=ref_fn,
             timestep=delta_t,
         ):
-            bv = orient.bond_vectors(
-                jnp.asarray(xyz_chunk), ref_j, ih, ix, w_j
+            # Host-reduced observables: only the (F, nBonds, 3) NH diffs
+            # + (F, 3, 3) Horn correlations cross host->device — NOT the
+            # full (F, nAtoms, 3) coordinate block the decoder produced
+            # (~17x less transfer at ubiquitin scale; the measured
+            # file-fed bottleneck on remote links, docs/PERF.md).
+            raw_diff, S = orient.bond_obs_host(
+                xyz_chunk, ref0, idx_h, idx_x, w
+            )
+            bv = orient.bond_vectors_from_obs(
+                jnp.asarray(raw_diff), jnp.asarray(S)
             )
             n_full = (xyz_chunk.shape[0] // fpc) * fpc
             if n_full == 0:

@@ -52,16 +52,21 @@ def test_count_headers(tmp_path):
 
 def test_faster_than_python(big_table):
     fn, _ = big_table
-    t0 = time.perf_counter()
+    # Interleaved best-of-3 on BOTH paths: this 1-core container runs
+    # the suite alongside other work, and a single descheduling blip
+    # made the old mean-of-3 flake.  min() is the noise-robust
+    # wall-clock estimator; interleaving balances any load drift.
+    t_native, t_numpy = [], []
     for _ in range(3):
+        t0 = time.perf_counter()
         native.load_table(fn)
-    t_native = (time.perf_counter() - t0) / 3
-    t0 = time.perf_counter()
-    np.loadtxt(fn, comments="#")
-    t_numpy = time.perf_counter() - t0
+        t_native.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.loadtxt(fn, comments="#")
+        t_numpy.append(time.perf_counter() - t0)
     # np.loadtxt is already C-backed; we only require the native path to
     # not be slower (it usually wins 2-5x on comment-heavy files).
-    assert t_native < t_numpy * 1.5, (t_native, t_numpy)
+    assert min(t_native) < min(t_numpy) * 1.5, (t_native, t_numpy)
 
 
 def test_colvar_reader_uses_native(big_table):

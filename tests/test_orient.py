@@ -1,6 +1,7 @@
 """Horn orientation / superposition tests: exact recovery of known
 rotations, weighted fits, and noise robustness."""
 
+import jax
 import numpy as np
 
 import jax.numpy as jnp
@@ -92,3 +93,52 @@ def test_bond_vectors_rigid_body(rng):
     # Raw vectors differ across frames (sanity).
     raw = np.asarray(bv.raw)
     assert np.std(raw, axis=0).max() > 0.1
+
+
+def test_bond_obs_split_matches_bond_vectors(rng):
+    """The host-reduced observables path (bond_obs_host ->
+    bond_vectors_from_obs) must reproduce the monolithic device
+    bond_vectors: same Horn fit, same conventions, only the 3x3
+    correlation is accumulated on host (in f64) instead of on device."""
+    ref = make_molecule(rng, 30)
+    quats = random_unit_quats(rng, 25)
+    frames = np.asarray(
+        qt.rotate_vector(ref[None], quats[:, None])
+    ) + 0.01 * rng.normal(size=(25, 30, 3))
+    frames += rng.normal(size=(25, 1, 3))  # translations must cancel
+    idx_h = np.array([1, 3, 5, 7])
+    idx_x = np.array([0, 2, 4, 6])
+    w = rng.uniform(0.0, 1.0, 30)
+
+    want = orient.bond_vectors(
+        frames.astype(np.float32), ref.astype(np.float32),
+        jnp.asarray(idx_h), jnp.asarray(idx_x), jnp.asarray(w.astype(np.float32)),
+    )
+    raw_diff, S = orient.bond_obs_host(
+        frames.astype(np.float32), ref, idx_h, idx_x, w
+    )
+    assert raw_diff.dtype == np.float32 and S.dtype == np.float32
+    got = orient.bond_vectors_from_obs(raw_diff, S)
+    np.testing.assert_allclose(np.asarray(got.raw), np.asarray(want.raw),
+                               atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got.fitted), np.asarray(want.fitted), atol=1e-5
+    )
+
+    # Slab-bounded host accumulation is exact (same values at any slab).
+    raw2, S2 = orient.bond_obs_host(
+        frames.astype(np.float32), ref, idx_h, idx_x, w,
+        frame_slab_bytes=30 * 3 * 8,  # one frame per slab
+    )
+    np.testing.assert_array_equal(S2, S)
+    np.testing.assert_array_equal(raw2, raw_diff)
+
+    # f64 input keeps the CANONICAL dtype — exactly what jnp.asarray
+    # would produce (f64 under x64, f32 otherwise).  Hard-casting to f32
+    # broke the mesh-CLI artefact parity (reduction-order diffs surfaced
+    # at the f32 cancellation floor; test_runall_streamed_ct_mesh_cli).
+    raw64, S64 = orient.bond_obs_host(
+        frames.astype(np.float64), ref, idx_h, idx_x, w
+    )
+    want_dtype = jax.dtypes.canonicalize_dtype(np.float64)
+    assert raw64.dtype == want_dtype and S64.dtype == want_dtype
