@@ -74,6 +74,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_long,
         ]
         lib.fastio_write_table.restype = ctypes.c_int
+        lib.fastio_format_sxy.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_longlong, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_longlong,
+        ]
+        lib.fastio_format_sxy.restype = ctypes.c_longlong
         _lib = lib
     except Exception:
         _lib = None
@@ -108,6 +114,43 @@ def load_table(fn: str, skip_chars: str = "#@&") -> Optional[np.ndarray]:
     if n != rows.value * cols.value:
         raise OSError(f"fastio_parse_table short read on {fn!r}")
     return out
+
+
+def format_sxy(x, y) -> Optional[bytes]:
+    """Render ``n`` lines ``str(np.float64(x[i])) + " " + str(np.asarray
+    (y[i])).strip('[]')`` — the exact per-row bytes io.xvg.print_sxylist
+    produces — in one native call.  Returns None when the native library
+    is unavailable or the inputs are outside the fast path's contract
+    (caller falls back to the Python loop):
+
+    - x must be float64 (np.float64 scalar str == Python float repr);
+    - y must be a contiguous (n, k) float32/float64 block with k <= 3:
+      wider rows can exceed numpy's 75-char linewidth, which wraps
+      str(row) across lines — the native renderer does not reproduce
+      wrapping (3 elements are at most ~58 chars; 4 can reach 77).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x)
+    y = np.asarray(y)
+    if (x.dtype != np.float64 or y.ndim != 2 or y.dtype not in
+            (np.float32, np.float64) or y.shape[1] > 3 or
+            y.shape[0] != x.shape[0]):
+        return None
+    y = np.ascontiguousarray(y)
+    n, k = y.shape
+    cap = 64 + n * (40 + 40 * k)
+    out = ctypes.create_string_buffer(cap)
+    nb = lib.fastio_format_sxy(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        y.ctypes.data_as(ctypes.c_void_p),
+        1 if y.dtype == np.float32 else 0,
+        n, k, out, cap,
+    )
+    if nb < 0:
+        return None
+    return out.raw[:nb]
 
 
 def write_table(fn: str, data, append: bool = False) -> bool:

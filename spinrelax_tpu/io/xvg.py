@@ -145,21 +145,52 @@ def print_xylist(fn: str, x, ylist, cols: bool = False, header: str = ""):
                     print("&", file=fp)
 
 
+def _default_printoptions() -> bool:
+    """The native renderer replicates numpy's DEFAULT printoptions; any
+    user override (set_printoptions) must fall back to the live loop."""
+    po = np.get_printoptions()
+    return (
+        po["precision"] == 8 and not po["suppress"] and po["sign"] == "-"
+        and po["floatmode"] == "maxprec" and po["nanstr"] == "nan"
+        and po["infstr"] == "inf" and po.get("legacy") in (False, None)
+        and po["linewidth"] >= 75
+    )
+
+
 def print_sxylist(fn: str, legend, x, ylist, header: Sequence[str] = ()):
     """Legend-keyed multi-set output (general_scripts.py:275-290).
-    ylist may be (nSets, nPts) or (nSets, nPts, nCols)."""
+    ylist may be (nSets, nPts) or (nSets, nPts, nCols).
+
+    The ndim==3 rows are numpy's aligned `str(ndarray)` rendering (the
+    reference prints str(row).strip('[]')); at production scale (10^4
+    residues x 500 lags) the per-row numpy formatter dominated the whole
+    streamed C(t) stage (7.6 s of a 20 s steady-state call, docs/PERF.md)
+    — io.native.format_sxy renders the identical bytes in C (differential
+    fuzz pin in test_native.py)."""
     ylist = np.asarray(ylist)
+    fast = None
+    xarr = None
+    if (ylist.ndim == 3 and _default_printoptions()
+            and np.asarray(x).dtype == np.float64):
+        xarr = np.ascontiguousarray(x, dtype=np.float64)
+        from . import native
+
+        fast = native.format_sxy  # resolved once; None lib -> row fallback
     with open(fn, "w") as fp:
         for line in header:
             print(line, file=fp)
         for i in range(ylist.shape[0]):
             print('@s%d legend "%s"' % (i, legend[i]), file=fp)
-            for j in range(len(x)):
-                if ylist.ndim == 3:
+            block = fast(xarr, ylist[i]) if fast is not None else None
+            if block is not None:
+                fp.write(block.decode("ascii"))
+            elif ylist.ndim == 3:
+                for j in range(len(x)):
                     # reference: str(ndarray).strip('[]') — numpy's
                     # aligned rendering, incl. its padding whitespace
                     print(x[j], str(ylist[i, j]).strip("[]"), file=fp)
-                else:
+            else:
+                for j in range(len(x)):
                     print(x[j], ylist[i, j], file=fp)
             print("&", file=fp)
 

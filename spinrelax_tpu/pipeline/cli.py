@@ -866,6 +866,11 @@ def main(argv=None):
     if cmd not in COMMANDS:
         print(f"unknown command {cmd!r}; available: {sorted(COMMANDS)}", file=sys.stderr)
         return 1
+    # Each CLI run is a fresh process: reuse compiled XLA executables
+    # across invocations (SPINRELAX_NO_COMPILE_CACHE=1 to disable).
+    from ..utils import compile_cache
+
+    compile_cache.enable_default()
     t0 = time.time()
     COMMANDS[cmd](argv[1:])
     print("= = Finished. Total seconds elapsed: %g" % (time.time() - t0))

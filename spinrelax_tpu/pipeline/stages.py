@@ -9,6 +9,7 @@ follows the reference's output-file-existence convention
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import List, Optional, Sequence, Tuple
 
@@ -973,69 +974,25 @@ def stage_multifield(
 # ---------------------------------------------------------------------------
 
 
-def stage_ct_streamed(
-    traj_files: Sequence[str],
-    ref_pdbs: Sequence[str],
-    out_prefix: str,
-    tau_memory: float,
-    chunk_groups: int = 4,
-    timestep: Optional[float] = None,
-    q_rot: Optional[np.ndarray] = None,
-    h_sel: str = "name H",
-    x_sel: str = "name N and not resname PRO",
-    fit_sel: str = "occupancy > 0",
-    zeta: float = DEFAULT_ZETA,
-    do_ct: bool = True,
-    do_s2: bool = True,
-    do_vec_dist: bool = True,
-    do_vec_avg: bool = True,
-    vec_storage: str = "Histogram",
-    hist_bins: int = 72,
-    mesh=None,
-):
-    """Streaming equivalent of :func:`stage_ct`: trajectories are consumed
-    in groups of Palmer chunks (``chunk_groups`` chunks of tau_memory each
-    per device step) with running accumulators for C(t), S2, the average
-    vector and the Lambert histograms — the full trajectory never exists
-    in host or device memory.  Replaces the reference's ``--split`` memory
-    workaround (calculate-Ct-from-traj.py:426-453) with true streaming.
+@functools.lru_cache(maxsize=None)
+def _streamed_update_program(fpc, do_ct_here, do_s2, do_vec_avg,
+                             do_vec_dist, vec_storage, hist_nb_x,
+                             hist_nb_y):
+    """ONE jitted per-group program for :func:`stage_ct_streamed`: C(t)
+    ACF + Palmer stats + S2 blocks + average vector + Lambert histogram
+    all update DEVICE-resident accumulators in a single dispatch (each
+    separate eager op costs a ~8 ms relay round-trip through the axon
+    tunnel, docs/PERF.md) — and the histogram pools on device in int32
+    instead of paying a device->host fetch per group (spilled to the
+    int64 host total before overflow, see _spill_hist).
 
-    ``timestep`` is required for bare .npy inputs (no time axis).
-
-    ``mesh``: optional ("rep", "res") jax.sharding.Mesh — the C(t)
-    accumulation (the dominant cost) then runs through the sharded
-    shard_map group step of :class:`parallel.streamed.ShardedCtStream`
-    (chunks over "rep", bonds over "res", one psum over ICI), producing
-    identical statistics; the remaining light accumulators (S2,
-    histograms, average vector) stay single-device.
-    """
-    import jax
-
-    if len(ref_pdbs) == 1:
-        ref_pdbs = list(ref_pdbs) * len(traj_files)
-
-    res_ids = None
-    delta_t = None
-    fpc = None  # frames per Palmer chunk
-    acc = {}
-    ct_streams = {}
-    n_chunks_total = 0
-    q_rot_j = None if q_rot is None else jnp.asarray(q_rot)
-    pt_writer = None  # lazy PhiTheta stream writer (storage != Histogram)
-
-    hist_nb_x, hist_nb_y = hist_bins, hist_bins // 2
-
-    # ONE jitted program per group: C(t) ACF + Palmer stats + S2 blocks +
-    # average vector + Lambert histogram all update DEVICE-resident
-    # accumulators in a single dispatch (each separate eager op costs a
-    # ~8 ms relay round-trip through the axon tunnel, docs/PERF.md) —
-    # and the histogram pools on device in int32 instead of paying a
-    # device->host fetch per group (spilled to the int64 host total
-    # before any risk of overflow, see _spill_hist).
-    import jax
+    Module-level lru_cache so repeated stage calls with the same static
+    config reuse ONE jit cache (a per-call closure recompiled ~20 s of
+    remote AOT on every invocation — run-all with several trajectories /
+    library loops paid it each time)."""
 
     @jax.jit
-    def _fused_update(vec_raw_g, vec_fit_g, w_g, acc_in):
+    def _fused_update(vec_raw_g, vec_fit_g, w_g, q_rot_j, acc_in):
         # w_g: (g,) 1.0 for real chunks, 0.0 for the zero-padded tail
         # chunks of a partial final group — padding keeps ONE compiled
         # program for every group (a changed g would recompile the whole
@@ -1047,7 +1004,7 @@ def stage_ct_streamed(
         out = dict(acc_in)
         extras = {}
 
-        if do_ct and mesh is None:
+        if do_ct_here:
             for key, vv in (("ext", vec_raw_g), ("int", vec_fit_g)):
                 s = autocorr._acf_sums(jnp.swapaxes(vv, 1, 2), n_deltas)
                 # palmer_pooled_stats convention: e = per - 1, e**2.
@@ -1093,10 +1050,77 @@ def stage_ct_streamed(
                 extras["pt"] = geometry.xyz_to_pt(flat)
         return out, extras
 
+    return _fused_update
+
+
+def stage_ct_streamed(
+    traj_files: Sequence[str],
+    ref_pdbs: Sequence[str],
+    out_prefix: str,
+    tau_memory: float,
+    chunk_groups: int = 4,
+    timestep: Optional[float] = None,
+    q_rot: Optional[np.ndarray] = None,
+    h_sel: str = "name H",
+    x_sel: str = "name N and not resname PRO",
+    fit_sel: str = "occupancy > 0",
+    zeta: float = DEFAULT_ZETA,
+    do_ct: bool = True,
+    do_s2: bool = True,
+    do_vec_dist: bool = True,
+    do_vec_avg: bool = True,
+    vec_storage: str = "Histogram",
+    hist_bins: int = 72,
+    mesh=None,
+):
+    """Streaming equivalent of :func:`stage_ct`: trajectories are consumed
+    in groups of Palmer chunks (``chunk_groups`` chunks of tau_memory each
+    per device step) with running accumulators for C(t), S2, the average
+    vector and the Lambert histograms — the full trajectory never exists
+    in host or device memory.  Replaces the reference's ``--split`` memory
+    workaround (calculate-Ct-from-traj.py:426-453) with true streaming.
+
+    ``timestep`` is required for bare .npy inputs (no time axis).
+
+    ``mesh``: optional ("rep", "res") jax.sharding.Mesh — the C(t)
+    accumulation (the dominant cost) then runs through the sharded
+    shard_map group step of :class:`parallel.streamed.ShardedCtStream`
+    (chunks over "rep", bonds over "res", one psum over ICI), producing
+    identical statistics; the remaining light accumulators (S2,
+    histograms, average vector) stay single-device.
+    """
+    if len(ref_pdbs) == 1:
+        ref_pdbs = list(ref_pdbs) * len(traj_files)
+
+    res_ids = None
+    delta_t = None
+    fpc = None  # frames per Palmer chunk
+    acc = {}
+    ct_streams = {}
+    n_chunks_total = 0
+    q_rot_j = None if q_rot is None else jnp.asarray(q_rot)
+    pt_writer = None  # lazy PhiTheta stream writer (storage != Histogram)
+
+    hist_nb_x, hist_nb_y = hist_bins, hist_bins // 2
+
+    # The fused per-group program comes from a MODULE-LEVEL lru_cache
+    # keyed on the static config (_streamed_update_program): defining the
+    # jit inside this function would give every stage_ct_streamed call a
+    # fresh jit cache, recompiling ~20 s of remote AOT per call (measured
+    # via cProfile on the warm second call, docs/PERF.md).  The program
+    # is fetched lazily once fpc is known (first trajectory's timestep).
+    do_ct_here = bool(do_ct and mesh is None)
+
+    def _get_fused_update():
+        return _streamed_update_program(
+            fpc, do_ct_here, bool(do_s2), bool(do_vec_avg),
+            bool(do_vec_dist), vec_storage, hist_nb_x, hist_nb_y,
+        )
+
     def _init_accs(n_bonds, dtype):
         n_deltas = fpc // 2
         z = {}
-        if do_ct and mesh is None:
+        if do_ct_here:
             for key in ("ext", "int"):
                 z[f"ct_{key}_s"] = jnp.zeros((n_bonds, n_deltas), dtype)
                 z[f"ct_{key}_s2"] = jnp.zeros((n_bonds, n_deltas), dtype)
@@ -1156,7 +1180,9 @@ def stage_ct_streamed(
             np.concatenate([np.ones(g), np.zeros(max(g_pad, 0))]),
             dtype=vec_raw_g.dtype,
         )
-        new_acc, extras = _fused_update(vec_raw_g, vec_fit_g, w_g, dict(acc))
+        new_acc, extras = _get_fused_update()(
+            vec_raw_g, vec_fit_g, w_g, q_rot_j, dict(acc)
+        )
         acc.update(new_acc)
         if "edges" in extras and hist_edges is None:
             ep, ec = extras["edges"]

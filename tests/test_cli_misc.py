@@ -247,3 +247,22 @@ def test_cli_center(tmp_path, rng):
               "-s", str(tmp_path / "top.pdb"), "--output-group", "solute",
               "-o", str(tmp_path / "sol.npz")])
     assert np.load(tmp_path / "sol.npz")["xyz"].shape == (2, 20, 3)
+
+
+def test_compile_cache_helper(tmp_path, monkeypatch):
+    """enable_default points jax at the env-selected dir; the kill switch
+    wins; failures degrade silently (returns False, never raises)."""
+    import jax
+
+    from spinrelax_tpu.utils import compile_cache
+
+    monkeypatch.setenv("SPINRELAX_COMPILE_CACHE", str(tmp_path / "cc"))
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        assert compile_cache.enable_default()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cc")
+        assert (tmp_path / "cc").is_dir()
+        monkeypatch.setenv("SPINRELAX_NO_COMPILE_CACHE", "1")
+        assert not compile_cache.enable_default()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

@@ -106,3 +106,82 @@ def test_parse_table_rejects_wide_rows(tmp_path):
     fn.write_text("1 2 3\n4 5 6 7\n")
     with pytest.raises(OSError):
         native.load_table(str(fn))
+
+
+class TestFormatSxy:
+    """io.native.format_sxy must reproduce numpy's live rendering BYTE
+    FOR BYTE: print_sxylist artefacts (_Ctext/_Ctint.dat) are parity-
+    pinned against the reference, which prints str(ndarray) rows."""
+
+    def test_differential_fuzz_vs_numpy(self):
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        rng = np.random.default_rng(20260818)
+        for dtype in (np.float64, np.float32):
+            for trial in range(1500):
+                k = int(rng.integers(1, 4))
+                mag = 10.0 ** rng.uniform(-18, 18, k)
+                vals = (rng.normal(size=k) * mag).astype(dtype)
+                r = trial % 29
+                if r == 0: vals[rng.integers(0, k)] = dtype(0.0)
+                if r == 1: vals[rng.integers(0, k)] = dtype(-0.0)
+                if r == 2: vals[rng.integers(0, k)] = dtype(np.nan)
+                if r == 3: vals[rng.integers(0, k)] = dtype(np.inf)
+                if r == 4: vals[rng.integers(0, k)] = dtype(-np.inf)
+                if r == 5: vals[:] = dtype(np.nan)
+                if r == 6:
+                    vals = np.round(vals, int(rng.integers(0, 4))).astype(dtype)
+                if r == 7: vals = np.trunc(vals).astype(dtype)
+                if r == 8:
+                    # large integral region: dragon4 min_digits=0 emits
+                    # TRUE integer digits, not zero-filled shortest
+                    vals = np.trunc(rng.uniform(1e7, 1e8, k)).astype(dtype)
+                    vals *= np.where(rng.random(k) < 0.5, -1, 1).astype(dtype)
+                if r == 9:
+                    vals = (rng.normal(size=k) * 10.0 ** rng.uniform(
+                        -44 if dtype == np.float32 else -320,
+                        -30 if dtype == np.float32 else -300)).astype(dtype)
+                x = np.array([rng.normal() * 10.0 ** rng.uniform(-12, 24)])
+                want = f"{x[0]} {str(vals).strip('[]')}\n"
+                got = native.format_sxy(x, vals.reshape(1, -1))
+                assert got is not None
+                assert got.decode() == want, (
+                    dtype.__name__, vals.tobytes().hex())
+
+    def test_print_sxylist_fast_path_byte_identical(self, tmp_path):
+        """File-level check: the fast path and the forced Python loop
+        write identical bytes (incl. legends, '&' separators, headers)."""
+        from spinrelax_tpu.io import xvg
+
+        rng = np.random.default_rng(7)
+        y = np.stack([rng.uniform(0, 1, (5, 40)).astype(np.float32),
+                      (10 ** rng.uniform(-6, -2, (5, 40))).astype(np.float32)],
+                     axis=-1)
+        x = np.arange(1.0, 41.0)
+        leg = [f"s{i}" for i in range(5)]
+        fast_fn, slow_fn = str(tmp_path / "f.dat"), str(tmp_path / "s.dat")
+        xvg.print_sxylist(fast_fn, leg, x, y, header=["# h1", "# h2"])
+        orig = native.format_sxy
+        try:
+            native.format_sxy = lambda *a: None
+            xvg.print_sxylist(slow_fn, leg, x, y, header=["# h1", "# h2"])
+        finally:
+            native.format_sxy = orig
+        with open(fast_fn, "rb") as fa, open(slow_fn, "rb") as fb:
+            assert fa.read() == fb.read()
+
+    def test_print_sxylist_nondefault_printoptions_fall_back(self, tmp_path):
+        """A user set_printoptions must reach the live numpy rendering."""
+        from spinrelax_tpu.io import xvg
+
+        y = np.array([[[0.123456789, 0.5]]])
+        x = np.array([1.0])
+        fn = str(tmp_path / "p.dat")
+        try:
+            np.set_printoptions(precision=3)
+            xvg.print_sxylist(fn, ["a"], x, y)
+        finally:
+            np.set_printoptions(precision=8)
+        with open(fn) as fh:
+            body = fh.read()
+        assert "0.123 0.5" in body  # precision-3 rendering, not 8

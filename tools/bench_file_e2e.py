@@ -219,6 +219,12 @@ def main():
     if a.frames:
         n_frames = a.frames
 
+    # The CLI enables the persistent XLA compilation cache; this bench
+    # measures the same production path, so engage it identically.
+    from spinrelax_tpu.utils import compile_cache
+
+    compile_cache.enable_default()
+
     os.makedirs(a.workdir, exist_ok=True)
     ref_pdb = os.path.join(a.workdir, "reference.pdb")
     xtc = os.path.join(a.workdir, "traj.xtc")
