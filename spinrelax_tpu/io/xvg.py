@@ -163,10 +163,10 @@ def print_sxylist(fn: str, legend, x, ylist, header: Sequence[str] = ()):
 
     The ndim==3 rows are numpy's aligned `str(ndarray)` rendering (the
     reference prints str(row).strip('[]')); at production scale (10^4
-    residues x 500 lags) the per-row numpy formatter dominated the whole
-    streamed C(t) stage (7.6 s of a 20 s steady-state call, docs/PERF.md)
-    — io.native.format_sxy renders the identical bytes in C (differential
-    fuzz pin in test_native.py)."""
+    residues x 500 lags, a 158 MB _Ctext.dat) the per-row numpy
+    formatter takes 237 s — longer than the whole streamed compute —
+    so io.native.format_sxy renders the identical bytes in C (3.9 s,
+    60x; differential fuzz pin in test_native.py, A/B in docs/PERF.md)."""
     ylist = np.asarray(ylist)
     fast = None
     xarr = None

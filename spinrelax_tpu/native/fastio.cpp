@@ -577,11 +577,4 @@ long long fastio_format_sxy(const double* x, const void* y, int y_is_f32,
     return o - out;
 }
 
-// Single value rendered as str(np.asarray([v]))[1:-1] would be overkill;
-// this is py_repr for float64 scalars (np.float64 str semantics).
-long long fastio_py_repr(double v, char* out, long long cap) {
-    if (cap < 32) return -1;
-    return npf::py_repr(v, out);
-}
-
 }  // extern "C"
