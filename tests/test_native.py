@@ -141,6 +141,11 @@ class TestFormatSxy:
                     vals = (rng.normal(size=k) * 10.0 ** rng.uniform(
                         -44 if dtype == np.float32 else -320,
                         -30 if dtype == np.float32 else -300)).astype(dtype)
+                if r == 10 and dtype == np.float64:
+                    # full f64 exponent span: 3-digit positive exponents
+                    # (exp_size=3) are unreachable from the +-18 draw
+                    vals = (rng.normal(size=k)
+                            * 10.0 ** rng.uniform(-310, 305, k)).astype(dtype)
                 x = np.array([rng.normal() * 10.0 ** rng.uniform(-12, 24)])
                 want = f"{x[0]} {str(vals).strip('[]')}\n"
                 got = native.format_sxy(x, vals.reshape(1, -1))
