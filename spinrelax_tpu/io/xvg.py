@@ -153,7 +153,9 @@ def _default_printoptions() -> bool:
         po["precision"] == 8 and not po["suppress"] and po["sign"] == "-"
         and po["floatmode"] == "maxprec" and po["nanstr"] == "nan"
         and po["infstr"] == "inf" and po.get("legacy") in (False, None)
-        and po["linewidth"] >= 75
+        and po["linewidth"] >= 75 and po.get("formatter") is None
+        # rows are <= 3 elements; threshold <= 3 would summarize them
+        and po["threshold"] > 3
     )
 
 

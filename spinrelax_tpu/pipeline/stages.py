@@ -974,10 +974,10 @@ def stage_multifield(
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=8)
 def _streamed_update_program(fpc, do_ct_here, do_s2, do_vec_avg,
                              do_vec_dist, vec_storage, hist_nb_x,
-                             hist_nb_y):
+                             hist_nb_y, acf_impl):
     """ONE jitted per-group program for :func:`stage_ct_streamed`: C(t)
     ACF + Palmer stats + S2 blocks + average vector + Lambert histogram
     all update DEVICE-resident accumulators in a single dispatch (each
@@ -989,7 +989,12 @@ def _streamed_update_program(fpc, do_ct_here, do_s2, do_vec_avg,
     Module-level lru_cache so repeated stage calls with the same static
     config reuse ONE jit cache (a per-call closure recompiled ~20 s of
     remote AOT on every invocation — run-all with several trajectories /
-    library loops paid it each time)."""
+    library loops paid it each time).  ``acf_impl`` is the value of the
+    trace-time routing global ``autocorr.ACF_IMPL``: it must be part of
+    the key or a later flip of the global (bench A/Bs, test_pallas)
+    would silently keep executing the previously traced backend.  The
+    cache is bounded — each entry pins compiled executables and trace
+    constants for the process lifetime."""
 
     @jax.jit
     def _fused_update(vec_raw_g, vec_fit_g, w_g, q_rot_j, acc_in):
@@ -1115,6 +1120,7 @@ def stage_ct_streamed(
         return _streamed_update_program(
             fpc, do_ct_here, bool(do_s2), bool(do_vec_avg),
             bool(do_vec_dist), vec_storage, hist_nb_x, hist_nb_y,
+            autocorr.ACF_IMPL,
         )
 
     def _init_accs(n_bonds, dtype):

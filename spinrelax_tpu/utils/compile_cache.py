@@ -12,7 +12,11 @@ pool-server load; on locally attached TPUs the deserialise path is
 reliably fast).
 
 Enabled by the CLI entry point only — importing the library must stay
-side-effect free.  Controls:
+side-effect free.  Note that ``enable_default`` mutates PROCESS-GLOBAL
+jax config: in-process callers of ``cli.main`` (tests, notebooks)
+inherit the cache dir for the rest of the process — the test suite
+sets ``SPINRELAX_NO_COMPILE_CACHE=1`` in conftest for this reason.
+Controls:
 
 - ``SPINRELAX_NO_COMPILE_CACHE=1`` disables it.
 - ``SPINRELAX_COMPILE_CACHE=<dir>`` overrides the location

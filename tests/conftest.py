@@ -15,6 +15,12 @@ this point because no backend has been initialised yet.
 
 import os
 
+# Tests drive cli.main() in-process; without this the first such test
+# would point jax's persistent compilation cache at the developer's
+# real ~/.cache for the REST of the pytest process (state leaking
+# across runs).  test_compile_cache_helper overrides it explicitly.
+os.environ.setdefault("SPINRELAX_NO_COMPILE_CACHE", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

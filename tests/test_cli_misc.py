@@ -256,6 +256,7 @@ def test_compile_cache_helper(tmp_path, monkeypatch):
 
     from spinrelax_tpu.utils import compile_cache
 
+    monkeypatch.delenv("SPINRELAX_NO_COMPILE_CACHE", raising=False)
     monkeypatch.setenv("SPINRELAX_COMPILE_CACHE", str(tmp_path / "cc"))
     prev = jax.config.jax_compilation_cache_dir
     try:

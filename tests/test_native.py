@@ -190,3 +190,19 @@ class TestFormatSxy:
         with open(fn) as fh:
             body = fh.read()
         assert "0.123 0.5" in body  # precision-3 rendering, not 8
+
+    def test_print_sxylist_formatter_falls_back(self, tmp_path):
+        """A custom per-kind formatter must also reach the live loop."""
+        from spinrelax_tpu.io import xvg
+
+        y = np.array([[[0.123456789, 0.5]]])
+        x = np.array([1.0])
+        fn = str(tmp_path / "fmt.dat")
+        try:
+            np.set_printoptions(formatter={"float_kind": lambda v: "X%g" % v})
+            xvg.print_sxylist(fn, ["a"], x, y)
+        finally:
+            np.set_printoptions(formatter=None)
+        with open(fn) as fh:
+            body = fh.read()
+        assert "X0.123457 X0.5" in body
