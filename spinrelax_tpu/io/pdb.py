@@ -169,6 +169,21 @@ def write_pdb(fn: str, top: Topology, xyz: np.ndarray):
     xyz = np.asarray(xyz)
     if xyz.ndim == 2:
         xyz = xyz[None]
+    # The fixed-column format cannot represent these: an overflowing %4d
+    # resSeq (or %5d serial) shifts every later column, and read_pdb's
+    # fixed-offset parse then crashes — or silently mis-parses
+    # coordinates.  Fail loudly instead; callers with >9999 residues
+    # must split chains (bond pairing is (chain, resSeq)-keyed).
+    rs = np.asarray(top.res_seqs)
+    if rs.size and (rs.max() > 9999 or rs.min() < -999):
+        raise ValueError(
+            f"{fn}: resSeq outside the PDB %4d field "
+            f"[{rs.min()}, {rs.max()}] — split into chains"
+        )
+    if top.n_atoms > 99999:
+        raise ValueError(
+            f"{fn}: {top.n_atoms} atoms overflow the PDB %5d serial field"
+        )
     multi = xyz.shape[0] > 1
     with open(fn, "w") as fp:
         for m in range(xyz.shape[0]):

@@ -36,6 +36,27 @@ def _horn_K(S):
     return jnp.stack([row0, row1, row2, row3], -2)
 
 
+def _quats_from_S(S, continuous: bool):
+    """Horn quaternions from the correlation matrices: top eigenvector of
+    the 4x4 K, double-cover reduced; optionally sign-continuous along the
+    leading (frame) axis (flip q_t if q_t . q_{t-1} < 0).  ``continuous``
+    is a trace-time constant.  Shared by :func:`orientation_quats` and
+    :func:`bond_vectors_from_obs` so the convention cannot diverge."""
+    K = _horn_K(S)
+    _, vecs = jnp.linalg.eigh(K)  # ascending; take last column
+    q = qt.qreduce(vecs[..., :, -1])
+    if not continuous:
+        return q
+
+    def body(prev, qi):
+        s = jnp.where(jnp.sum(prev * qi) >= 0, 1.0, -1.0)
+        cur = qi * s
+        return cur, cur
+
+    _, q_cont = jax.lax.scan(body, q[0], q)
+    return q_cont
+
+
 @jax.jit
 def orientation_quats(frames, reference, weights=None):
     """Per-frame rigid-body orientation quaternions vs a reference.
@@ -62,17 +83,7 @@ def orientation_quats(frames, reference, weights=None):
     # S_f = sum_a w_a ref_a (x) frm_fa : (nFrames, 3, 3)
     S = jnp.einsum("a,ai,faj->fij", weights, ref_c, frm_c,
                   precision=jax.lax.Precision.HIGHEST)
-    K = _horn_K(S)
-    vals, vecs = jnp.linalg.eigh(K)  # ascending; take last column
-    q = vecs[..., :, -1]
-    q = qt.qreduce(q)
-    # Sign continuity along the trajectory: flip q_t if q_t . q_{t-1} < 0.
-    def body(prev, qi):
-        s = jnp.where(jnp.sum(prev * qi) >= 0, 1.0, -1.0)
-        cur = qi * s
-        return cur, cur
-    _, q_cont = jax.lax.scan(body, q[0], q)
-    return q_cont
+    return _quats_from_S(S, continuous=True)
 
 
 @jax.jit
@@ -183,10 +194,10 @@ def bond_vectors_from_obs(raw_diff, S):
     superposed bond vectors from the host-reduced observables of
     :func:`bond_obs_host`.  Identical convention to ``bond_vectors`` —
     Horn quaternion from S, conjugate rotation of the difference vectors
-    (calculate-Ct-from-traj.py:64-86,466-467)."""
+    (calculate-Ct-from-traj.py:64-86,466-467).  The sign-continuity scan
+    is skipped: rotate_vector is invariant under q -> -q, so continuity
+    only matters when the quaternions themselves are exposed."""
     raw = qt.vecnorm(jnp.asarray(raw_diff))
-    K = _horn_K(jnp.asarray(S))
-    _, vecs = jnp.linalg.eigh(K)
-    q = qt.qreduce(vecs[..., :, -1])
+    q = _quats_from_S(jnp.asarray(S), continuous=False)
     fitted = qt.vecnorm(qt.rotate_vector(raw, qt.qconj(q)[:, None, :]))
     return BondVectors(raw, fitted)

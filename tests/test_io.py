@@ -647,6 +647,28 @@ def test_write_pdb_preserves_4char_resnames(tmp_path):
     assert solute_mask(top2).tolist() == [True, False]
 
 
+def test_write_pdb_rejects_field_overflow(tmp_path):
+    """resSeq > 9999 (or < -999) overflows the fixed %4d column and
+    shifts every later field — read_pdb would then crash or silently
+    mis-parse coordinates.  write_pdb must fail loudly instead."""
+    from spinrelax_tpu.io.pdb import Topology, write_pdb
+
+    top = Topology(
+        atom_names=["CA"], res_seqs=np.array([10000]),
+        res_names=["ALA"], chain_ids=["A"],
+        occupancies=np.ones(1), elements=["C"],
+    )
+    with pytest.raises(ValueError, match="resSeq"):
+        write_pdb(str(tmp_path / "o.pdb"), top, np.zeros((1, 1, 3)))
+    top2 = Topology(
+        atom_names=["CA"], res_seqs=np.array([-1000]),
+        res_names=["ALA"], chain_ids=["A"],
+        occupancies=np.ones(1), elements=["C"],
+    )
+    with pytest.raises(ValueError, match="resSeq"):
+        write_pdb(str(tmp_path / "o.pdb"), top2, np.zeros((1, 1, 3)))
+
+
 def test_text_phitheta_loads_as_vector_distribution(tmp_path, rng):
     """-vecstorage TextPhiTheta artefacts must round-trip into
     load_vector_distribution (run-all step 4 consumed them with np.load

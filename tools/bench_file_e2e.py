@@ -33,6 +33,7 @@ import argparse
 import json
 import os
 import shutil
+import string
 import sys
 import time
 
@@ -125,15 +126,28 @@ def build_trajectory(workdir, n_res, n_pad_atoms, n_frames, dt=1.0,
         base[3 * n_res:] = fill
 
     names = ["N", "H", "CA"] * n_res + ["C"] * n_pad_atoms
-    res_seqs = np.concatenate(
-        [np.repeat(np.arange(2, n_res + 2), 3),
-         np.repeat(np.arange(n_res + 2, n_res + 2 + n_pad_atoms), 1)]
+    # PDB's %4d resSeq field caps at 9999 (write_pdb rejects overflow
+    # loudly): number residues 2..9999 within a chain and advance the
+    # chain id per 9998-residue block — bond pairing downstream is
+    # (chain, resSeq)-keyed (io/pdb.bond_indices), so duplicate resSeq
+    # values across chains stay unambiguous.
+    pool = (string.ascii_uppercase + string.ascii_lowercase
+            + string.digits)
+    total_res = n_res + n_pad_atoms
+    if total_res > 9998 * len(pool):
+        raise ValueError(f"{total_res} residues exceed single-char chains")
+    gres = np.arange(total_res)
+    atoms_per_res = np.concatenate(
+        [np.full(n_res, 3, dtype=int), np.ones(n_pad_atoms, dtype=int)]
     )
+    res_seqs = np.repeat(2 + (gres % 9998), atoms_per_res)
+    chain_ids = list(np.repeat(np.array(list(pool))[gres // 9998],
+                               atoms_per_res))
     res_names = ["ALA"] * (3 * n_res) + ["ALA"] * n_pad_atoms
     occs = np.tile([0.0, 0.0, 1.0], n_res)
     occs = np.concatenate([occs, np.ones(n_pad_atoms)])
     elements = ["N", "H", "C"] * n_res + ["C"] * n_pad_atoms
-    top = pdbio.Topology(names, res_seqs, res_names, ["A"] * n_atoms,
+    top = pdbio.Topology(names, res_seqs, res_names, chain_ids,
                          occs, elements)
     ref_pdb = os.path.join(workdir, "reference.pdb")
     pdbio.write_pdb(ref_pdb, top, base)
@@ -202,7 +216,13 @@ def main():
     p.add_argument("--frames", type=int, default=0, help="override frames")
     p.add_argument("--workdir", default="/tmp/spinrelax_file_e2e")
     p.add_argument("--keep", action="store_true",
-                   help="keep the workdir (reuse the trajectory next run)")
+                   help="keep the workdir (reuse the trajectory next run; "
+                        "NOTE: the remote pool server caches (program, "
+                        "input)->result, so a reused trajectory can report "
+                        "cached compute — see CLAUDE.md TPU timing rules)")
+    p.add_argument("--seed", type=int, default=0,
+                   help="trajectory RNG seed (default: fresh from the "
+                        "clock — honest TPU timings need fresh inputs)")
     p.add_argument("--tau-mem", type=float, default=1000.0,
                    help="Palmer memory time [ps] (1000-frame chunks at dt=1)")
     p.add_argument("--groups", type=int, default=4, help="chunks per dispatch")
@@ -225,6 +245,9 @@ def main():
 
     compile_cache.enable_default()
 
+    seed = a.seed if a.seed else (int(time.time()) & 0x7FFFFFFF)
+
+    pre_existing = os.path.isdir(a.workdir)
     os.makedirs(a.workdir, exist_ok=True)
     ref_pdb = os.path.join(a.workdir, "reference.pdb")
     xtc = os.path.join(a.workdir, "traj.xtc")
@@ -233,7 +256,10 @@ def main():
     reuse = False
     if a.keep and os.path.exists(meta_fn):
         with open(meta_fn) as fh:
-            reuse = json.load(fh) == meta and os.path.exists(xtc)
+            stored = json.load(fh)
+        stored.pop("seed", None)  # shape match only; seed is informational
+        reuse = stored == meta and os.path.exists(xtc)
+    meta["seed"] = seed
     if reuse:
         info = {"setup_s": 0.0, "file_bytes": os.path.getsize(xtc),
                 "n_atoms": 3 * n_res + n_pad, "n_frames": n_frames,
@@ -243,7 +269,7 @@ def main():
         print(f"= = building {n_frames} frames x {3 * n_res + n_pad} atoms "
               f"({n_res} NH bonds) in {a.workdir} ...")
         ref_pdb, xtc, info = build_trajectory(
-            a.workdir, n_res, n_pad, n_frames
+            a.workdir, n_res, n_pad, n_frames, seed=seed
         )
         with open(meta_fn, "w") as fh:
             json.dump(meta, fh)
@@ -311,7 +337,13 @@ def main():
     }
     print(json.dumps(result))
     if not a.keep:
-        shutil.rmtree(a.workdir, ignore_errors=True)
+        if pre_existing:
+            # Never rmtree a directory the tool did not create — the
+            # user's --workdir may hold unrelated files.
+            print(f"= = workdir {a.workdir} pre-existed; left in place "
+                  "(pass --keep to silence)", file=sys.stderr)
+        else:
+            shutil.rmtree(a.workdir, ignore_errors=True)
 
 
 if __name__ == "__main__":
