@@ -17,7 +17,7 @@ from spinrelax_tpu.parallel.mesh import make_mesh
 from spinrelax_tpu.parallel.streamed import ShardedCtStream, run_sharded_finish
 
 
-@pytest.mark.parametrize("kind", ["axisymmetric", "isotropic"])
+@pytest.mark.parametrize("kind", ["axisymmetric", "isotropic", "ellipsoid"])
 def test_flagship_sharded_matches_single_device(rng, kind):
     mesh = make_mesh(8)
     n_frames, n_res, n_samp = 32, 9, 12  # n_res NOT divisible by the mesh
@@ -45,6 +45,11 @@ def test_flagship_sharded_matches_single_device(rng, kind):
     pair = NucleusPair(B0=field_from_mhz(600.133), time_unit="ps")
     if kind == "axisymmetric":
         diffusion = Diffusion.axisymmetric(diso=4e-5, aniso=1.5)
+        v_in, w_in = vecs, weights
+    elif kind == "ellipsoid":
+        # fully anisotropic (Drhomb != 0): exercises the 5-coefficient
+        # ellipsoid J through the sharded ensemble-rates jit
+        diffusion = Diffusion.ellipsoid(np.array([2.8e-5, 3.6e-5, 5.6e-5]))
         v_in, w_in = vecs, weights
     else:
         diffusion = Diffusion.isotropic(diso=4e-5)
