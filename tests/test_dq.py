@@ -398,3 +398,68 @@ def test_single_lag_grid_raises_clear_error(qtraj):
     q, _ = qtraj
     with pytest.raises(ValueError, match="lag grid needs >= 2 points"):
         dq.analyse_dq(q[:400], 1.0, min_dt=50.0, max_dt=50.0, skip_dt=50.0)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("trial", range(3))
+def test_full_script_parity_randomized(tmp_path, trial):
+    """Randomized live-reference sweep over the dq pipeline: fully
+    anisotropic / prolate / oblate body tensors, each conjugated into a
+    RANDOM principal frame (the fixed-config parity test keeps the PAF on
+    the lab axes), random timestep and lag grid.  Differential: both
+    codes see the same colvar, so convention choices cancel."""
+    rng = np.random.default_rng(8265 + trial)
+    D_body, dt, grid = [
+        (np.array([6e-4, 1.1e-3, 2.2e-3]), 1.0, (5.0, 5.0, 500.0)),
+        (np.array([8e-4, 8.5e-4, 2.0e-3]), 2.0, (10.0, 10.0, 800.0)),
+        (np.array([4e-4, 1.8e-3, 1.9e-3]), 1.0, (4.0, 4.0, 400.0)),
+    ][trial]
+    q = simulate_diffusion_quats(rng, 24000, D_body, dt=dt)
+    # Conjugate into a random principal frame: q' = q * r re-labels the
+    # body axes, so the diffusion tensor's PAF is r instead of identity.
+    r = rng.normal(size=4)
+    r /= np.linalg.norm(r)
+    q = np.array([np_qmult(qi, r) for qi in q])
+    mindt, skip, maxdt = grid
+
+    colvar = tmp_path / "colvar-qorient"
+    with open(colvar, "w") as fp:
+        fp.write("#! FIELDS time q.w q.x q.y q.z\n")
+        for t in range(q.shape[0]):
+            fp.write(" %f %f %f %f %f\n"
+                     % (t * dt, q[t, 0], q[t, 1], q[t, 2], q[t, 3]))
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = SHIM + ":" + REF
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, os.path.join(REF, "calculate-dq-distribution.py"),
+         "--iso", "--aniso", "-f", str(colvar), "-o", str(tmp_path / "ref"),
+         "--mindt", str(mindt), "--skip", str(skip), "--maxdt", str(maxdt)],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    ref_tau_iso = None
+    with open(tmp_path / "ref-iso.dat") as fp:
+        for line in fp:
+            if line.startswith("# model fit"):
+                ref_tau_iso = float(line.split("=")[1].split("[")[0])
+    ref_taus = []
+    ref_q = None
+    with open(tmp_path / "ref-aniso2.dat") as fp:
+        for line in fp:
+            if "tau =" in line:
+                ref_taus.append(float(line.split("=")[1].split("[")[0]))
+            if line.startswith("# Quaternion"):
+                ref_q = np.array([float(x) for x in line.split(":")[1].split()])
+
+    res = dq.analyse_dq(q, delta_t=dt, min_dt=mindt, max_dt=maxdt,
+                        skip_dt=skip)
+    if 0 < ref_tau_iso < 1e6:
+        np.testing.assert_allclose(res.iso_tau, ref_tau_iso, rtol=1e-3)
+    else:
+        assert 0 < res.iso_tau < 1e6
+    np.testing.assert_allclose(res.aniso_taus, ref_taus, rtol=1e-3)
+    dot = abs(float(np.dot(res.q_frame, ref_q)))
+    assert dot > 0.9999, (trial, res.q_frame, ref_q)
