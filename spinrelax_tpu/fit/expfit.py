@@ -135,8 +135,14 @@ def fit_ct_ladder(
     if ddecays is None:
         sig_d = jnp.ones_like(dec_d)
     else:
+        # sg > 0 (not sg <= 0) so NaN sigmas ALSO fall back to weight 1:
+        # a single-Palmer-chunk stream has dCt = NaN everywhere (the
+        # deliberate count==1 sqrt(n)-1 quirk of palmer_pooled_stats),
+        # and NaN passes a <=0 test — every caller would silently fit
+        # all-NaN.  This is the single home of that guard (callers must
+        # not pre-sanitise).
         sg = jnp.asarray(ddecays, dtype=float)
-        sig_d = jnp.where(sg <= 0, jnp.ones((), dec_d.dtype), sg)
+        sig_d = jnp.where(sg > 0, sg, jnp.ones((), dec_d.dtype))
 
     if n_components is not None:
         ladder = [2 * n_components + 1 if use_s2fast else 2 * n_components]

@@ -33,6 +33,9 @@ from jax import shard_map
 
 from ..ops import autocorr
 
+# jitted psum collectives, keyed on the mesh (see reduce_partials_collective)
+_REDUCE_CACHE: dict = {}
+
 
 class CtPartial(NamedTuple):
     """One host's streamed contribution: per-(residue, lag) running sums.
@@ -115,11 +118,20 @@ def reduce_partials_collective(partials: Sequence[CtPartial], mesh: Mesh):
             jax.lax.psum(jnp.sum(c), "rep"),
         )
 
-    mapped = shard_map(
-        reduce_local,
-        mesh=mesh,
-        in_specs=(P("rep"), P("rep"), P("rep")),
-        out_specs=(P(), P(), P()),
-    )
-    acc_s, acc_s2, count = jax.jit(mapped)(stacked_s, stacked_s2, counts)
+    # Cache the jitted collective per (mesh): jax.jit keys its trace
+    # cache on the WRAPPER object, so a fresh shard_map+jit per call
+    # would re-pay the full remote-AOT compile on every pooling (the
+    # same pattern parallel/streamed._JIT_CACHE documents).  jit's own
+    # cache then specialises per input shape.
+    key = ("ingest_reduce", mesh)
+    jitted = _REDUCE_CACHE.get(key)
+    if jitted is None:
+        mapped = shard_map(
+            reduce_local,
+            mesh=mesh,
+            in_specs=(P("rep"), P("rep"), P("rep")),
+            out_specs=(P(), P(), P()),
+        )
+        jitted = _REDUCE_CACHE[key] = jax.jit(mapped)
+    acc_s, acc_s2, count = jitted(stacked_s, stacked_s2, counts)
     return _pooled_stats(np.asarray(acc_s), np.asarray(acc_s2), float(count))

@@ -72,6 +72,11 @@ def pad_and_shard(mesh: Mesh, arrays):
     # jax arrays without a host bounce.
     arrays = [a if isinstance(a, jax.Array) else np.asarray(a)
               for a in arrays]
+    if any(a.ndim == 0 for a in arrays):
+        raise ValueError(
+            "pad_and_shard pads the LEADING axis: 0-d inputs have none "
+            "— broadcast scalars to a (n,) residue axis first"
+        )
     n_orig = arrays[0].shape[0]
     ndev = int(mesh.devices.size)
     pad = (-n_orig) % ndev

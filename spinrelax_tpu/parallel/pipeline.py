@@ -106,8 +106,7 @@ def make_forward(pair: Optional[NucleusPair] = None, tau_iso: float = 4242.0,
 def make_sharded_forward(mesh, **kwargs):
     """jit the forward step with (rep, res) sharding constraints; GSPMD
     inserts the cross-chunk mean/SEM collectives."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
     fwd = make_forward(**kwargs)
-    in_shard = NamedSharding(mesh, P("rep", None, "res", None))
-    return jax.jit(fwd, in_shardings=in_shard)
+    from .mesh import vecs_sharding
+
+    return jax.jit(fwd, in_shardings=vecs_sharding(mesh))

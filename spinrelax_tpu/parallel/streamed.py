@@ -58,12 +58,6 @@ def _cached_jit(key, make):
     return fn
 
 
-def _import_pooled_stats():
-    from ..ops.autocorr import palmer_pooled_stats
-
-    return palmer_pooled_stats
-
-
 _DEFAULT_PAIR: Optional[NucleusPair] = None
 
 
@@ -104,12 +98,21 @@ class ShardedCtStream:
         self.dtype = dtype
 
         self.reset()
-        # ONE jitted step — jax.jit's own cache specialises per input
-        # shape, so no per-g_pad bookkeeping is needed here.
-        self._step = self._make_step()
+        # ONE jitted step shared ACROSS instances via _JIT_CACHE:
+        # stage_ct_streamed builds two streams ("ext"/"int") per call and
+        # fresh ones every call — a per-instance jax.jit would recompile
+        # the identical shard_map program each time (minutes of remote
+        # AOT through the axon tunnel).  jax.jit's own cache then
+        # specialises per input shape, so no per-g_pad bookkeeping.
+        self._step = _cached_jit(
+            ("stream_step", mesh, self.n_frames, np.dtype(dtype).name),
+            self._make_step,
+        )
         self._ones_w = {}  # (g_pad, g) -> device weight vector
         self._g_canon = None  # first-seen padded group size (shape anchor)
-        self._group_sharding = NamedSharding(mesh, P("rep", None, "res", None))
+        from .mesh import vecs_sharding
+
+        self._group_sharding = vecs_sharding(mesh)
         self._w_sharding = NamedSharding(mesh, P("rep"))
 
     def reset(self) -> None:
@@ -216,10 +219,8 @@ class ShardedCtStream:
     def finalize(self):
         """-> (Ct, dCt) of shape (nDeltas, nRes), identical statistics to
         ct_palmer over the concatenated stream."""
-        from ..ops.autocorr import palmer_pooled_stats
-
         acc_s, acc_s2, count = self.accumulators()
-        mean, dct = palmer_pooled_stats(
+        mean, dct = autocorr.palmer_pooled_stats(
             jnp.asarray(acc_s)[: self.n_res],
             jnp.asarray(acc_s2)[: self.n_res],
             float(count),
@@ -259,10 +260,8 @@ def make_sharded_finish(mesh: Mesh, delta_t: float = 1.0,
     res_sharding = NamedSharding(mesh, P(("rep", "res"), None))
 
     def finish(acc_s, acc_s2, count):
-        from ..ops.autocorr import palmer_pooled_stats
-
         acc_s = jax.lax.with_sharding_constraint(acc_s, res_sharding)
-        mean, dct = palmer_pooled_stats(acc_s, acc_s2, count)  # (nResPad, nD)
+        mean, dct = autocorr.palmer_pooled_stats(acc_s, acc_s2, count)  # (nResPad, nD)
         n_deltas = mean.shape[1]
         dt = (jnp.arange(n_deltas, dtype=mean.dtype) + 1.0) * delta_t
         # SEM-weighted like the reference pipeline (see
@@ -346,7 +345,7 @@ def run_sharded_finish(
 
     # 1. Pooled statistics, computed where the accumulators live.
     mean, dct = _cached_jit(
-        "pooled_stats", lambda: jax.jit(_import_pooled_stats())
+        "pooled_stats", lambda: jax.jit(autocorr.palmer_pooled_stats)
     )(acc_s, acc_s2, count)
     Ct = np.asarray(mean)[:n_res]
     dCt = np.asarray(dct)[:n_res]
@@ -354,11 +353,9 @@ def run_sharded_finish(
     dt = (np.arange(n_deltas, dtype=Ct.dtype) + 1.0) * delta_t
 
     # 2. DoF ladder, residue-sharded (SEM-weighted like stage_fit_ct).
-    # A single-chunk stream has dCt = NaN everywhere (the deliberate
-    # count==1 sqrt(n)-1 quirk of palmer_pooled_stats) — the ladder's
-    # sigma guard tests sigma <= 0, which NaN passes, so the whole fit
-    # would silently go NaN.  Use the same NaN-safe guard as
-    # make_sharded_finish: dct > 0 is False for NaN -> weight 1.0.
+    # NaN dCt columns (single-chunk streams, the count==1 sqrt(n)-1
+    # quirk) are sanitised INSIDE fit_ct_ladder's sigma canonicalisation
+    # — the single home of that guard.
     # The ladder is fed the DEVICE-resident slices (Ct/dCt were fetched
     # only for the host-facing return): re-shipping the (nRes, nDeltas)
     # matrix through a ~36 MB/s remote-TPU link would cost more than the
@@ -369,7 +366,7 @@ def run_sharded_finish(
         names=names,
         dt=dt,
         decays=mean[:n_res],
-        ddecays=jnp.where(dct[:n_res] > 0, dct[:n_res], 1.0),
+        ddecays=dct[:n_res],
         use_s2fast=use_s2fast,
         n_components=n_components,
         chisq_threshold=chisq_threshold,
@@ -386,6 +383,11 @@ def run_sharded_finish(
     def put(a):
         if a is None:
             return None
+        a = a if isinstance(a, jax.Array) else np.asarray(a)
+        if a.ndim == 0:
+            # predict_rates accepts a scalar csa; give it a residue axis
+            # so it pads/shards like the per-residue arrays.
+            a = jnp.full((n_res,), a)
         (out,), _ = pad_and_shard(mesh, [a])
         return out
 

@@ -174,3 +174,51 @@ def test_sharded_multifield_fit_matches_single_device(rng):
     np.testing.assert_allclose(f_shard.diso, f_plain.diso, rtol=1e-8)
     np.testing.assert_allclose(f_shard.aniso, f_plain.aniso, rtol=1e-8)
     np.testing.assert_allclose(f_shard.diso, 4e-5, rtol=1e-4)
+
+
+def test_stream_step_shared_across_instances():
+    """Two ShardedCtStream instances with the same (mesh, frames, dtype)
+    must share ONE jitted step: stage_ct_streamed builds two streams per
+    call (ext/int) and fresh ones per call — per-instance jits recompiled
+    the identical shard_map program each time (minutes of remote AOT
+    through the axon tunnel)."""
+    from spinrelax_tpu.parallel.mesh import make_mesh
+    from spinrelax_tpu.parallel.streamed import ShardedCtStream
+
+    mesh = make_mesh(8)
+    a = ShardedCtStream(mesh, 16, 9, dtype=np.float64)
+    b = ShardedCtStream(mesh, 16, 9, dtype=np.float64)
+    assert a._step is b._step
+    c = ShardedCtStream(mesh, 32, 9, dtype=np.float64)
+    assert c._step is not a._step  # different shapes = different program
+
+
+def test_pad_and_shard_rejects_scalars():
+    from spinrelax_tpu.parallel.mesh import make_mesh, pad_and_shard
+
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError, match="0-d"):
+        pad_and_shard(mesh, [np.float64(1.7e-4)])
+
+
+def test_flagship_finish_accepts_scalar_csa(rng):
+    """predict_rates documents csa as None/scalar/(nRes,); the sharded
+    wrapper must accept the scalar form too (it previously died with an
+    opaque IndexError inside pad_and_shard)."""
+    from spinrelax_tpu.parallel.mesh import make_mesh
+    from spinrelax_tpu.parallel.streamed import (
+        ShardedCtStream, run_sharded_finish,
+    )
+    from spinrelax_tpu.models import Diffusion
+
+    mesh = make_mesh(8)
+    n_frames, n_res = 16, 5
+    chunks = rng.normal(size=(3, n_frames, n_res, 3))
+    chunks /= np.linalg.norm(chunks, axis=-1, keepdims=True)
+    stream = ShardedCtStream(mesh, n_frames, n_res, dtype=np.float64)
+    stream.update(chunks)
+    out = run_sharded_finish(
+        mesh, *stream.accumulators(), n_res=n_res, delta_t=1.0,
+        diffusion=Diffusion.isotropic(diso=4e-5), csa=np.float64(-1.7e-4),
+    )
+    assert np.all(np.isfinite(np.asarray(out.R1)))
