@@ -51,6 +51,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache: a fresh driver process deserialises the
+    # compiled executables instead of re-paying remote AOT (minutes for
+    # the fused Pallas program on a cold tunnel).
+    try:
+        from spinrelax_tpu.utils.compile_cache import enable_default
+
+        enable_default()
+    except Exception:
+        pass
+
     from spinrelax_tpu.ops.autocorr import (
         palmer_group_update_pretiled,
         palmer_pooled_stats,

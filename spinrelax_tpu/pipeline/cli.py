@@ -198,7 +198,11 @@ def cmd_ct(argv):
     p.add_argument("-s", "--topfn", nargs="+", required=True)
     p.add_argument("-f", "--infn", nargs="+", required=True)
     p.add_argument("-o", "--outpref", default="out")
-    p.add_argument("-t", "--tau", type=float, required=True, help="memory time [ps]")
+    p.add_argument("-t", "--tau", type=float, default=None,
+                   help="memory time [ps]; optional like the reference "
+                        "(calculate-Ct-from-traj.py:313-316) — without it "
+                        "S2/vector statistics run unblocked over all "
+                        "frames and C(t) analysis is refused")
     p.add_argument("--prefact", type=float, default=(1.02 / 1.04) ** 6, dest="zeta")
     p.add_argument("--S2", dest="do_s2", action="store_true")
     p.add_argument("--S2mode", default="outer", choices=("outer", "ired", "wired"),
@@ -248,6 +252,21 @@ def cmd_ct(argv):
     storage = "Histogram" if a.do_hist else ("PhiTheta" if a.binary else "TextPhiTheta")
     if a.devices > 0 and a.split_groups <= 0:
         sys.exit("= = = ERROR: --devices requires the streaming path (--split N).")
+    if a.tau is None:
+        # Reference semantics (calculate-Ct-from-traj.py:358-360): S2 and
+        # vector statistics are legal without a memory time (unblocked, no
+        # error bars); C(t) is not.
+        if a.do_ct:
+            sys.exit(
+                "= = = Refusing to do C(t)-analysis without using a block "
+                "averaging over memory_time tau!"
+            )
+        if a.split_groups > 0:
+            sys.exit("= = = ERROR: --split streams in memory-time chunks; "
+                     "it requires -t/--tau.")
+        if a.S2mode != "outer":
+            sys.exit("= = = ERROR: --S2mode ired/wired needs a tumbling "
+                     "estimate; pass -t/--tau.")
     if a.split_groups > 0:
         if a.S2mode != "outer":
             sys.exit(
@@ -281,8 +300,21 @@ def cmd_ct(argv):
 
 def cmd_s2(argv):
     """Standalone S2 computation (calculate-S2.py equivalent): the ct
-    stage restricted to order parameters."""
-    cmd_ct(list(argv) + ["--S2"])
+    stage restricted to order parameters.
+
+    Unlike the ct stage (whose --prefact DEFAULTS to the libration
+    factor, calculate-Ct-from-traj.py:317), calculate-S2.py applies
+    zeta=1 unless its boolean --zeta switch is given
+    (calculate-S2.py:265,288-292); replicate that here while still
+    honouring an explicit --prefact passthrough."""
+    argv = list(argv)
+    zeta = 1.0
+    while "--zeta" in argv:
+        argv.remove("--zeta")
+        zeta = (1.02 / 1.04) ** 6
+    if not any(s == "--prefact" or s.startswith("--prefact=") for s in argv):
+        argv += ["--prefact", repr(zeta)]
+    cmd_ct(argv + ["--S2"])
 
 
 def cmd_fit_ct(argv):

@@ -408,7 +408,7 @@ def stage_ct(
     traj_files: Sequence[str],
     ref_pdbs: Sequence[str],
     out_prefix: str,
-    tau_memory: float,
+    tau_memory: Optional[float],
     q_rot: Optional[np.ndarray] = None,
     h_sel: str = "name H",
     x_sel: str = "name N and not resname PRO",
@@ -467,9 +467,21 @@ def stage_ct(
         vec_raw_list.append(np.asarray(bv.raw))
         vec_fit_list.append(np.asarray(bv.fitted))
 
-    vec_raw = autocorr.reformat_by_tau(vec_raw_list, delta_t, tau_memory)
-    vec_fit = autocorr.reformat_by_tau(vec_fit_list, delta_t, tau_memory)
-    dt_lags = np.asarray(autocorr.lag_times(delta_t, tau_memory))
+    if tau_memory is None:
+        # No memory time (calculate-Ct-from-traj.py:509-514,643-644 /
+        # calculate-S2.py:423-425,441-443): statistics run unblocked over
+        # all frames; C(t) is refused at :358-360.
+        if do_ct:
+            raise ValueError(
+                "C(t) analysis needs a memory time (tau_memory=None)"
+            )
+        vec_raw = np.concatenate(vec_raw_list, axis=0)[None]
+        vec_fit = np.concatenate(vec_fit_list, axis=0)[None]
+        dt_lags = None
+    else:
+        vec_raw = autocorr.reformat_by_tau(vec_raw_list, delta_t, tau_memory)
+        vec_fit = autocorr.reformat_by_tau(vec_fit_list, delta_t, tau_memory)
+        dt_lags = np.asarray(autocorr.lag_times(delta_t, tau_memory))
 
     out = {}
     if do_ct:
@@ -528,10 +540,18 @@ def stage_ct(
 
     if do_s2:
         if s2_mode == "outer":
-            s2 = np.asarray(
-                autocorr.s2_outer_blocked(jnp.asarray(flat), delta_t, tau_memory)
-            )
+            if tau_memory is None:
+                # Unblocked S2, value only (calculate-S2.py:122-125,143).
+                s2 = np.asarray(autocorr.s2_outer(jnp.asarray(flat)))
+            else:
+                s2 = np.asarray(
+                    autocorr.s2_outer_blocked(
+                        jnp.asarray(flat), delta_t, tau_memory
+                    )
+                )
         elif s2_mode in ("ired", "wired"):
+            if tau_memory is None:
+                raise ValueError("iRED/wiRED S2 needs a memory time")
             from ..ops import ired as iredops
 
             # iRED works on raw (lab-frame) vectors: the tumbling modes are

@@ -267,3 +267,83 @@ def test_compile_cache_helper(tmp_path, monkeypatch):
         assert not compile_cache.enable_default()
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_s2_zeta_semantics(tmp_path, rng):
+    """`spinrelax s2` applies zeta=1 by default and the libration factor
+    only under its boolean --zeta switch (calculate-S2.py:265,288-292),
+    while the ct stage's --prefact DEFAULTS to that factor
+    (calculate-Ct-from-traj.py:317)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_runall import build_synthetic_system
+
+    ref_fn, trj_fn, _ = build_synthetic_system(
+        tmp_path, rng, n_res=4, n_frames=200
+    )
+    zeta = (1.02 / 1.04) ** 6
+
+    def s2_of(outpref, cmd):
+        out = run_cli(cmd + ["-o", outpref], tmp_path)
+        assert out.returncode == 0, out.stderr[-2000:]
+        return np.loadtxt(tmp_path / (outpref + "_S2.dat"),
+                          comments=("#", "&", "@"))
+
+    base = ["-s", ref_fn, "-f", trj_fn, "-t", "50"]
+    plain = s2_of("plain", ["s2"] + base)
+    scaled = s2_of("scaled", ["s2"] + base + ["--zeta"])
+    ct_default = s2_of("ctdef", ["ct", "--S2"] + base)
+
+    # s2 --zeta == zeta * s2 default; ct's default already carries zeta.
+    np.testing.assert_allclose(scaled, plain * [1.0, zeta, zeta], rtol=1e-5)
+    np.testing.assert_allclose(ct_default, scaled, rtol=1e-5)
+    # an explicit --prefact passthrough beats the switch
+    pre = s2_of("pre", ["s2"] + base + ["--prefact", "0.5"])
+    np.testing.assert_allclose(pre, plain * [1.0, 0.5, 0.5], rtol=1e-5)
+
+    # tau is OPTIONAL (calculate-S2.py:259-262): without it the S2 is
+    # computed unblocked over all frames and carries no error column
+    # (calculate-S2.py:122-125,441-443), and C(t) is refused
+    # (calculate-Ct-from-traj.py:358-360).
+    nofield = s2_of("nofield", ["s2", "-s", ref_fn, "-f", trj_fn])
+    assert nofield.shape == (plain.shape[0], 2)  # resid + value only
+    np.testing.assert_allclose(nofield[:, 0], plain[:, 0])
+    assert np.all((nofield[:, 1] > 0.0) & (nofield[:, 1] <= 1.0))
+    # unblocked sees the full-trajectory decorrelation, so it sits at or
+    # below the block-averaged mean on a decaying C(t)
+    assert np.all(nofield[:, 1] <= plain[:, 1] + 1e-6)
+    bad = run_cli(["ct", "--Ct", "-s", ref_fn, "-f", trj_fn, "-o", "x"],
+                  tmp_path)
+    assert bad.returncode != 0
+    assert "Refusing to do C(t)-analysis" in (bad.stderr + bad.stdout)
+
+
+def test_plot_ct_flag_surface(tmp_path):
+    """plot-ct accepts the reference's full cosmetic flag surface
+    (plot-fittedCt-values.py:29-65) and renders each variant."""
+    from spinrelax_tpu.io.fittedct import write_fittedct
+    from spinrelax_tpu.models.ctmodel import CtModelSet
+    from spinrelax_tpu.pipeline.plotting import main as plot_main
+
+    cts = CtModelSet.from_lists(
+        ["2", "3", "4"],
+        [0.82, 0.78, 0.85],
+        [[0.10, 0.05], [0.12, 0.0], [0.08, 0.04]],
+        [[50.0, 1500.0], [80.0, 1.0], [30.0, 900.0]],
+    )
+    fn = tmp_path / "toy_fittedCt.dat"
+    write_fittedct(str(fn), cts)
+
+    plot_main(["-f", str(fn), "-o", str(tmp_path / "a.png"), "-v",
+               "--smin", "3", "--smax", "12", "--xmin", "1", "--xmax", "6",
+               "--xlabel", "Residue", "--title", "toy", "--tu", "ns"])
+    assert (tmp_path / "a.png").stat().st_size > 0
+
+    # sequence tick labels + xshift + explicit tau window (shifts the
+    # 1 ps component into S2_fast and the 1500 ps one into S2_slow)
+    plot_main(["-f", str(fn), "-o", str(tmp_path / "b.png"),
+               "--sequence", "ALA GLY SER", "--xshift", "2",
+               "--tmin", "10", "--tmax", "1000"])
+    assert (tmp_path / "b.png").stat().st_size > 0
+
+    plot_main(["-f", str(fn), "-o", str(tmp_path / "c.png"), "--noshift"])
+    assert (tmp_path / "c.png").stat().st_size > 0
