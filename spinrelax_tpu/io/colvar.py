@@ -22,6 +22,10 @@ import numpy as np
 
 
 def _read_field_names(fn: str) -> List[str]:
+    """FIELDS header from the file top.  Stops at the first data row: a
+    full-file scan cost ~0.8 s per 10^6-line colvar and could not catch
+    the real aggregate-file misuse anyway (repeated IDENTICAL headers
+    pass silently) — aggregate handling lives in read_colvar_multi."""
     field_names: List[str] = []
     with open(fn) as fp:
         for line in fp:
@@ -35,6 +39,8 @@ def _read_field_names(fn: str) -> List[str]:
                             f"{field_names} vs {names}"
                         )
                     field_names = names
+            elif line.strip() and line[0] not in "@&" and field_names:
+                break
     return field_names
 
 

@@ -281,6 +281,10 @@ class DqResult(NamedTuple):
     # (density-normalised like np.histogramdd(density=True) over (-1,1)^3;
     # populated only by the streamed path when hist_bins > 0 — the
     # in-memory stage computes histograms directly from dq_vectors)
+    anis_chunk_samples: Optional[np.ndarray] = None  # (nChunk, 5) per-chunk
+    # (Diso, aniL, rhomL, aniS, rhomS) in the MAIN fit's axis order
+    iso_models: Optional[np.ndarray] = None  # (1+nChunk, L) fitted curves
+    aniso_models: Optional[np.ndarray] = None  # (1+nChunk, 3, L)
 
 
 def _lag_grid(delta_t: float, min_dt: float, max_dt: float, skip_dt: float,
@@ -373,48 +377,95 @@ def analyse_dq_multi(
     return _finalise_dq(stats, lags, delta_t, n_chunks)
 
 
-def _finalise_dq(stats: DqStats, lags, delta_t: float, n_chunks: int) -> "DqResult":
-    frame = principal_frame(stats)
-    x = np.asarray(lags, dtype=float) * delta_t
-    iso = np.asarray(stats.iso)
-    tau_iso = float(np.asarray(fit_exp_decay(jnp.asarray(x), jnp.asarray(iso), 1.5, -0.5)))
-    aniso = np.asarray(frame.aniso_decay).T
-    taus_aniso = np.asarray(fit_exp_decay(jnp.asarray(x), jnp.asarray(aniso), 0.5, 0.5))
+@partial(jax.jit, static_argnames=("n_chunks",))
+def _finalise_device(iso, M, iso_c, M_c, x, n_chunks: int):
+    """Everything after dq_statistics in ONE compiled program returning
+    ONE packed vector: PAF frame, exponential-fit taus (main + chunks,
+    batched), anisotropy conversions (main + per-chunk in the main
+    order, calculate-dq-distribution.py:230-272) and the fitted model
+    curves for the artefact graphs.  Through the axon relay each
+    dispatch costs ~8 ms and each fetch ~20 ms; the previous eager
+    finalise paid ~70 of them (~2 s/stage at 1 M frames)."""
+    dt = iso.dtype
+    L = iso.shape[0]
+    # principal frame (principal_frame, kept callable standalone)
+    eigvals, eigvecs = jnp.linalg.eigh(M)
+    axes = jnp.swapaxes(eigvecs, -1, -2)
+    q_all = qt.frame_transform_min(axes)
+    q_frame = q_all[0]
+    R = qt.quat_to_mat(q_frame)
+    MR = jnp.einsum("ab,lbc,dc->lad", R, M, R, precision=_HI)
+    aniso = 1.0 - 2.0 * jnp.stack(
+        [MR[:, 0, 0], MR[:, 1, 1], MR[:, 2, 2]], axis=-1
+    )  # (L, 3)
     if n_chunks > 0:
-        iso_chunks = np.asarray(stats.iso_chunks).T
-        tau_iso_chunks = np.asarray(
-            fit_exp_decay(jnp.asarray(x), jnp.asarray(iso_chunks), 1.5, -0.5)
-        )
-        aniso_chunks = np.moveaxis(np.asarray(frame.aniso_chunks), 0, -1)
-        tau_aniso_chunks = np.asarray(
-            fit_exp_decay(jnp.asarray(x), jnp.asarray(aniso_chunks), 0.5, 0.5)
-        )
+        MRc = jnp.einsum("ab,lcbe,de->lcad", R, M_c, R, precision=_HI)
+        aniso_c = 1.0 - 2.0 * jnp.stack(
+            [MRc[..., 0, 0], MRc[..., 1, 1], MRc[..., 2, 2]], axis=-1
+        )  # (L, C, 3)
     else:
-        iso_chunks = np.zeros((0, len(x)))
-        tau_iso_chunks = np.zeros(0)
-        aniso_chunks = np.zeros((0, 3, len(x)))
-        tau_aniso_chunks = np.zeros((0, 3))
-    D_axes = tau_to_D(taus_aniso)
-    anis = tuple(
-        float(np.asarray(v)) for v in calculate_anisotropies(jnp.asarray(np.sort(D_axes)))
-    )
+        aniso_c = jnp.zeros((L, 0, 3), dt)
+    # batched exponential fits: row 0 = the full series, rows 1.. chunks
+    iso_stack = jnp.concatenate([iso[None, :], iso_c.T], axis=0)
+    tau_iso_all = fit_exp_decay(x, iso_stack, 1.5, -0.5)  # (1+C,)
+    aniso_stack = jnp.concatenate(
+        [aniso.T[None], jnp.moveaxis(aniso_c, 0, -1)], axis=0
+    )  # (1+C, 3, L)
+    tau_aniso_all = fit_exp_decay(x, aniso_stack, 0.5, 0.5)  # (1+C, 3)
+    # anisotropy conversions; chunks use the MAIN fit's axis order
+    # (stage header semantics, calculate-dq-distribution.py:241-268)
+    D_axes = tau_to_D(tau_aniso_all[0])
+    order = jnp.argsort(D_axes)
+    anis_main = jnp.stack(calculate_anisotropies(D_axes[order]))  # (5,)
+    D_ch = tau_to_D(tau_aniso_all[1:])  # (C, 3)
+    anis_ch = jnp.stack(
+        calculate_anisotropies(D_ch[:, order]), axis=-1
+    )  # (C, 5)
+    # fitted model curves for the artefact graphs
+    iso_models = isotropic_decay(x[None, :], tau_iso_all[:, None])
+    aniso_models = anisotropic_decay(
+        x[None, None, :], tau_aniso_all[..., None]
+    )  # (1+C, 3, L)
+    parts = [iso, M, iso_c, aniso, aniso_c, q_frame, q_all, axes,
+             tau_iso_all, tau_aniso_all, anis_main, anis_ch,
+             iso_models, aniso_models]
+    return jnp.concatenate([p.reshape(-1).astype(dt) for p in parts])
+
+
+def _finalise_dq(stats: DqStats, lags, delta_t: float, n_chunks: int) -> "DqResult":
+    x = np.asarray(lags, dtype=float) * delta_t
+    L = len(x)
+    C = int(stats.iso_chunks.shape[1]) if stats.iso_chunks.size else 0
+    packed = np.asarray(
+        _finalise_device(stats.iso, stats.M, stats.iso_chunks,
+                         stats.M_chunks, jnp.asarray(x), n_chunks)
+    ).astype(np.float64)
+    sizes = [L, 9 * L, L * C, 3 * L, 3 * L * C, 4, 4 * L, 9 * L,
+             1 + C, 3 * (1 + C), 5, 5 * C, (1 + C) * L, (1 + C) * 3 * L]
+    (iso, M, iso_c, aniso, aniso_c, q_frame, q_all, axes,
+     tau_iso_all, tau_aniso_all, anis_main, anis_ch,
+     iso_models, aniso_models) = np.split(packed, np.cumsum(sizes)[:-1])
+    tau_aniso_all = tau_aniso_all.reshape(1 + C, 3)
     return DqResult(
-        M=np.asarray(stats.M),
+        M=M.reshape(L, 3, 3),
         lag_times=x,
         iso=iso,
-        iso_tau=tau_iso,
-        iso_tau_chunks=tau_iso_chunks,
-        aniso=aniso,
-        aniso_taus=taus_aniso,
-        aniso_tau_chunks=tau_aniso_chunks,
-        aniso_chunks=aniso_chunks,
-        iso_chunks=iso_chunks,
-        q_frame=np.asarray(frame.q_frame),
-        q_per_lag=np.asarray(frame.q_per_lag),
-        axes_per_lag=np.asarray(frame.axes_per_lag),
-        D_iso=float(tau_to_D(tau_iso)),
-        D_axes=np.asarray(D_axes),
-        anisotropies=anis,
+        iso_tau=float(tau_iso_all[0]),
+        iso_tau_chunks=tau_iso_all[1:],
+        aniso=aniso.reshape(L, 3).T,
+        aniso_taus=tau_aniso_all[0],
+        aniso_tau_chunks=tau_aniso_all[1:],
+        aniso_chunks=np.moveaxis(aniso_c.reshape(L, C, 3), 0, -1),
+        iso_chunks=iso_c.reshape(L, C).T,
+        q_frame=q_frame,
+        q_per_lag=q_all.reshape(L, 4),
+        axes_per_lag=axes.reshape(L, 3, 3),
+        D_iso=float(tau_to_D(tau_iso_all[0])),
+        D_axes=tau_to_D(tau_aniso_all[0]),
+        anisotropies=tuple(float(v) for v in anis_main),
+        anis_chunk_samples=anis_ch.reshape(C, 5),
+        iso_models=iso_models.reshape(1 + C, L),
+        aniso_models=aniso_models.reshape(1 + C, 3, L),
     )
 
 

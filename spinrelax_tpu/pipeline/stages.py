@@ -134,14 +134,18 @@ def _format_dq_headers(res: dqops.DqResult) -> Tuple[List[str], List[str]]:
             aniso_lines.append("# model fit, e_%i tau = %e +- %e %e [ps]" % ((i,) + b[:3]))
             b = flex_bounds(Dval[i], Dch[:, i])
             aniso_lines.append("# Converted D_%i = %e +- %e %e [s^-1]" % ((i,) + b[:3]))
-        order = np.argsort(Dval)
-        anis = dqops.calculate_anisotropies(jnp.asarray(np.sort(Dval)))
-        anis_samp = np.stack(
-            [
-                np.asarray(dqops.calculate_anisotropies(jnp.asarray(d[order])))
-                for d in Dch
-            ]
-        )
+        if res.anis_chunk_samples is not None:
+            anis = res.anisotropies
+            anis_samp = res.anis_chunk_samples
+        else:
+            order = np.argsort(Dval)
+            anis = dqops.calculate_anisotropies(jnp.asarray(np.sort(Dval)))
+            anis_samp = np.stack(
+                [
+                    np.asarray(dqops.calculate_anisotropies(jnp.asarray(d[order])))
+                    for d in Dch
+                ]
+            )
         errs = np.std(anis_samp, axis=0)
         labels = ["Diso", "Dani_L", "Drho_L", "Dani_S", "Drho_S"]
         fmts = ["# Converted %s = %e +- %e [s^-1]", "# Converted %s = %f +- %f",
@@ -311,42 +315,39 @@ def stage_dq(
     iso_hdr, aniso_hdr = _format_dq_headers(res)
     x = res.lag_times
     if do_iso:
-        iso_model = np.asarray(
-            dqops.isotropic_decay(jnp.asarray(x), res.iso_tau)
-        )
-        if res.iso_chunks.size:
-            groups = [np.stack([res.iso, iso_model])]
-            for i in range(res.iso_chunks.shape[0]):
-                cm = np.asarray(
-                    dqops.isotropic_decay(jnp.asarray(x), res.iso_tau_chunks[i])
-                )
-                groups.append(np.stack([res.iso_chunks[i], cm]))
-            _print_graphs(out_prefix + "-iso.dat", iso_hdr, x, groups)
+        # Fitted model curves ride along in DqResult (one packed device
+        # fetch in _finalise_dq) — per-chunk eager evals each paid a
+        # dispatch + fetch through the relay.
+        if res.iso_models is not None:
+            iso_curves = res.iso_models
         else:
-            _print_graphs(
-                out_prefix + "-iso.dat", iso_hdr, x,
-                [np.stack([res.iso, iso_model])],
+            taus = np.concatenate([[res.iso_tau], res.iso_tau_chunks])
+            iso_curves = np.asarray(
+                dqops.isotropic_decay(jnp.asarray(x)[None, :],
+                                      jnp.asarray(taus)[:, None])
             )
+        groups = [np.stack([res.iso, iso_curves[0]])]
+        for i in range(res.iso_chunks.shape[0] if res.iso_chunks.size else 0):
+            groups.append(np.stack([res.iso_chunks[i], iso_curves[1 + i]]))
+        _print_graphs(out_prefix + "-iso.dat", iso_hdr, x, groups)
 
     if do_aniso:
-        aniso_models = np.asarray(
-            dqops.anisotropic_decay(jnp.asarray(x)[None, :], jnp.asarray(res.aniso_taus)[:, None])
-        )
-        if res.aniso_chunks.size:
-            groups = [np.concatenate([res.aniso, aniso_models])]
-            for i in range(res.aniso_chunks.shape[0]):
-                cm = np.asarray(
-                    dqops.anisotropic_decay(
-                        jnp.asarray(x)[None, :], jnp.asarray(res.aniso_tau_chunks[i])[:, None]
-                    )
-                )
-                groups.append(np.concatenate([res.aniso_chunks[i], cm]))
-            _print_graphs(out_prefix + "-aniso2.dat", aniso_hdr, x, groups)
+        if res.aniso_models is not None:
+            aniso_curves = res.aniso_models
         else:
-            _print_graphs(
-                out_prefix + "-aniso2.dat", aniso_hdr, x,
-                [np.concatenate([res.aniso, aniso_models])],
+            taus = np.concatenate(
+                [res.aniso_taus[None], res.aniso_tau_chunks], axis=0
             )
+            aniso_curves = np.asarray(
+                dqops.anisotropic_decay(jnp.asarray(x)[None, None, :],
+                                        jnp.asarray(taus)[..., None])
+            )
+        groups = [np.concatenate([res.aniso, aniso_curves[0]])]
+        for i in range(res.aniso_chunks.shape[0] if res.aniso_chunks.size else 0):
+            groups.append(
+                np.concatenate([res.aniso_chunks[i], aniso_curves[1 + i]])
+            )
+        _print_graphs(out_prefix + "-aniso2.dat", aniso_hdr, x, groups)
 
         # Per-lag PAF quaternions; first line carries the locked PAF, which
         # run-all extracts with `head -n 1 ... | awk '{print $2,$3,$4,$5}'`.

@@ -463,3 +463,43 @@ def test_full_script_parity_randomized(tmp_path, trial):
     np.testing.assert_allclose(res.aniso_taus, ref_taus, rtol=1e-3)
     dot = abs(float(np.dot(res.q_frame, ref_q)))
     assert dot > 0.9999, (trial, res.q_frame, ref_q)
+
+
+def test_packed_finalise_model_fields_match_eager(qtraj):
+    """The fused device finalise (one dispatch, one packed fetch) rides
+    the fitted model curves and per-chunk anisotropy conversions along
+    in DqResult; pin them against independent eager recomputation from
+    the fitted taus (the pre-fusion writer semantics,
+    calculate-dq-distribution.py:230-272,613-647)."""
+    q, _ = qtraj
+    res = dq.analyse_dq(q[:6000], delta_t=1.0, min_dt=20.0, max_dt=400.0,
+                        skip_dt=20.0, n_chunks=4)
+    x = res.lag_times
+
+    # Fitted model curves: row 0 the full series, rows 1.. the chunks.
+    taus_iso = np.concatenate([[res.iso_tau], res.iso_tau_chunks])
+    np.testing.assert_allclose(
+        res.iso_models,
+        np.asarray(dq.isotropic_decay(x[None, :], taus_iso[:, None])),
+        rtol=1e-12,
+    )
+    taus_an = np.concatenate([res.aniso_taus[None], res.aniso_tau_chunks])
+    np.testing.assert_allclose(
+        res.aniso_models,
+        np.asarray(dq.anisotropic_decay(x[None, None, :], taus_an[..., None])),
+        rtol=1e-12,
+    )
+
+    # Per-chunk anisotropy samples use the MAIN fit's axis order.
+    order = np.argsort(res.D_axes)
+    np.testing.assert_allclose(
+        res.anisotropies,
+        [float(v) for v in dq.calculate_anisotropies(jnp.asarray(res.D_axes[order]))],
+        rtol=1e-12,
+    )
+    D_ch = np.asarray(dq.tau_to_D(res.aniso_tau_chunks))
+    expect = np.stack(
+        [np.asarray(v) for v in dq.calculate_anisotropies(jnp.asarray(D_ch[:, order]))],
+        axis=-1,
+    )
+    np.testing.assert_allclose(res.anis_chunk_samples, expect, rtol=1e-12)

@@ -693,3 +693,25 @@ def test_text_phitheta_loads_as_vector_distribution(tmp_path, rng):
     assert [str(x) for x in n_t] == [str(x) for x in n_z]
     np.testing.assert_allclose(v_t, v_z, atol=1e-5)  # %g text rounding
     assert w_t is None and w_z is None
+
+
+def test_colvar_header_scan_stops_at_first_data_row(tmp_path):
+    """_read_field_names stops scanning at the first data row (a
+    full-file scan cost ~0.8 s per 10^6-line colvar); disagreeing
+    FIELDS headers BEFORE any data still raise, ones after data are
+    read_colvar_multi's job."""
+    from spinrelax_tpu.io import colvar
+
+    fn = tmp_path / "colvar"
+    fn.write_text(
+        "#! FIELDS time q.w\n 0.0 1.0\n#! FIELDS time other\n 1.0 0.5\n"
+    )
+    names, data = colvar.read_colvar(str(fn))
+    assert names == ["time", "q.w"]
+    assert data.shape == (2, 2)  # both rows load; header scan just stops
+
+    bad = tmp_path / "colvar-bad"
+    bad.write_text("#! FIELDS time q.w\n#! FIELDS time other\n 0.0 1.0\n")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="disagree"):
+        colvar.read_colvar(str(bad))
