@@ -601,6 +601,7 @@ def stage_fit_ct(
     use_s2fast: bool = True,
     force: bool = False,
     optimiser: str = "lm",
+    n_starts: int = 1,
 ) -> CtModelSet:
     out_fn = out_prefix + "_fittedCt.dat"
     legs, dts, cts, dcts = xvg.load_sxydylist(ct_files[0], "legend")
@@ -629,6 +630,16 @@ def stage_fit_ct(
                     simple_total_mean_square(jnp.asarray(stack), jnp.asarray(np.stack(all_dct)))
                 )
             )
+        # Averaged-C(t) report artefact in the reference's INTENDED
+        # format (calculate-fitted-Ct.py:140-147: bare float prints,
+        # one '&' per leg) — intended because the reference's whole
+        # multi-file path dies on the undefined `dt_prev` at :118
+        # before ever reaching this write.
+        with open(out_prefix + "_averageCt.dat", "w") as fp:
+            for i in range(len(legs)):
+                for j in range(decays.shape[1]):
+                    print(dt[j], decays[i][j], ddecays[i][j], file=fp)
+                print("&", file=fp)
 
     model = fit_ct_ladder(
         names=legs,
@@ -638,6 +649,7 @@ def stage_fit_ct(
         use_s2fast=use_s2fast,
         n_components=n_components,
         optimiser=optimiser,
+        n_starts=n_starts,
     )
     fctio.write_fittedct(out_fn, model, dt=dt, targets=decays)
     return model
