@@ -19,7 +19,7 @@ import numpy as np
 from ..models.ctmodel import CtModelSet
 from .lm import (  # noqa: F401 (fit_multiexp is part of the public surface)
     fit_multiexp, fit_multiexp_ladder, fit_multiexp_stacked,
-    fit_multiexp_varpro,
+    fit_multiexp_varpro, fit_multiexp_warm,
 )
 
 LADDER_WITH_FAST = (2, 3, 5, 7, 9)
@@ -29,7 +29,8 @@ LADDER_NO_FAST = (2, 4, 6, 8)
 _PACKED_CACHE: dict = {}
 
 
-def _packed_fit(fit_fn, dt_arr, dec, sig, K: int, s2_free: bool):
+def _packed_fit(fit_fn, dt_arr, dec, sig, K: int, s2_free: bool,
+                n_starts: int = 1):
     """Run one rung's batched fit and return ONE packed (B, 4K+6) device
     array [C | tau | dC | dtau | S2 dS2 chisq ok_fit ok_err ok_sum].
 
@@ -40,10 +41,12 @@ def _packed_fit(fit_fn, dt_arr, dec, sig, K: int, s2_free: bool):
     import jax
     import jax.numpy as jnp
 
-    key = (fit_fn, K, s2_free)
+    key = (fit_fn, K, s2_free, n_starts)
     if key not in _PACKED_CACHE:
+        kw = {"n_starts": n_starts} if n_starts > 1 else {}
+
         def run(dtv, d, s):
-            f = fit_fn(dtv, d, s, K=K, s2_free=s2_free)
+            f = fit_fn(dtv, d, s, K=K, s2_free=s2_free, **kw)
             cols = [f.C, f.tau, f.dC, f.dtau,
                     f.S2[:, None], f.dS2[:, None], f.chisq[:, None],
                     f.ok_fit[:, None].astype(d.dtype),
@@ -72,6 +75,59 @@ def _unpack_fit(packed, K: int) -> dict:
     }
 
 
+def _packed_fit_warm(dt_arr, dec, sig, C0, tau0, S20, K: int, s2_free: bool):
+    """Warm-start analogue of :func:`_packed_fit` (same one-dispatch/
+    one-fetch packing) over :func:`fit_multiexp_warm`."""
+    import jax
+    import jax.numpy as jnp
+
+    key = ("warm", K, s2_free)
+    if key not in _PACKED_CACHE:
+        def run(dtv, d, s, c0, t0, s20):
+            f = fit_multiexp_warm(dtv, d, s, c0, t0, s20, K=K, s2_free=s2_free)
+            cols = [f.C, f.tau, f.dC, f.dtau,
+                    f.S2[:, None], f.dS2[:, None], f.chisq[:, None],
+                    f.ok_fit[:, None].astype(d.dtype),
+                    f.ok_err[:, None].astype(d.dtype),
+                    f.ok_sum[:, None].astype(d.dtype)]
+            return jnp.concatenate(cols, axis=1)
+
+        _PACKED_CACHE[key] = jax.jit(run)
+    return _PACKED_CACHE[key](dt_arr, dec, sig, C0, tau0, S20)
+
+
+def _warm_p0(prev_fit, retry, K_p: int, K: int, s2_free: bool,
+             decays_np, step: float):
+    """Initial parameters for the warm-start retry: the previous rung's
+    accepted solution plus K-K_p fresh components at the FAST end of the
+    timescale window (log-midpoints between the grid step and the
+    fastest accepted tau).  The fresh amplitude is the unexplained
+    zero-time residual (mean of the first 10 points minus the model's
+    t->0 limit), capped so the pre-fit sum>1 quirk gate
+    (fitting_Ct_functions.py:336-338 via _finalise_multiexp) cannot
+    spuriously reject the restart."""
+    Cp = prev_fit["C"][retry][:, :K_p]
+    taup = prev_fit["tau"][retry][:, :K_p]
+    S2p = prev_fit["S2"][retry]
+    d = K - K_p
+    if d > 0:
+        tmin = np.maximum(taup.min(axis=1), step * 1.01)
+        newtau = np.exp(
+            np.linspace(np.log(np.full_like(tmin, step)), np.log(tmin),
+                        d + 2, axis=-1)
+        )[:, 1:-1]
+        avg_beg = decays_np[retry, :10].mean(axis=1)
+        resid = np.maximum(avg_beg - S2p - Cp.sum(axis=1), 1e-4)
+        resid = np.minimum(resid, np.maximum(1.0 - S2p - Cp.sum(axis=1), 1e-6))
+        newC = np.repeat((resid / d)[:, None], d, axis=1)
+        C0 = np.concatenate([newC, Cp], axis=1)
+        tau0 = np.concatenate([newtau, taup], axis=1)
+    else:
+        C0, tau0 = Cp, taup
+    S20 = S2p if s2_free else 1.0 - C0.sum(axis=1)
+    return C0, tau0, S20
+
+
 def _rung_spec(n_params: int):
     """nParams -> (K, s2_free) following set_nParams
     (fitting_Ct_functions.py:376-382)."""
@@ -92,6 +148,8 @@ def fit_ct_ladder(
     stacked: bool = False,
     optimiser: str = "lm",
     early_stop: bool = True,
+    warm_retry: bool = True,
+    n_starts: int = 1,
 ) -> CtModelSet:
     """Fit all residues' C(t) and select per-residue model complexity.
 
@@ -105,6 +163,23 @@ def fit_ct_ladder(
     optimiser : "lm" (default; curve_fit-parity joint LM) or "varpro"
         (variable projection: closed-form amplitudes per tau step —
         faster, but unconstrained amplitudes; see fit_multiexp_varpro).
+    n_starts : batched multi-start for the "lm" optimiser's rungs (see
+        fit_multiexp): n_starts-1 deterministic extra tau starts per
+        residue per rung, best cost wins, exact ties keep the cold
+        start.  n_starts=1 (default) is the reference's single cold
+        start; 8 beat scipy's TRF robustness on the hard-mix cohort at
+        ~n_starts x the rung compute.  Not supported for "varpro".
+    warm_retry : before ending a residue's walk at a rung that failed its
+        checks or stopped halving chi, refit that rung ONCE from the
+        previous rung's accepted solution plus one fresh fast component
+        (per-rung default is the reference's cold initialiser).  scipy's
+        TRF escapes local minima the cold-started joint LM can fall into
+        (two components collapsing onto one timescale while a
+        barely-sampled fast component goes unmodelled); the retry is
+        adopted only if it passes the SAME gates the cold fit faced, so
+        it converges our selection TOWARD the reference's on exactly the
+        rows where the optimisers disagreed.  ``False`` restores the
+        single-attempt walk.
     early_stop : fit each rung only on the residues whose selection walk
         is still descending the ladder (exact reference semantics — a
         residue that has broken out never consults later rungs,
@@ -121,6 +196,8 @@ def fit_ct_ladder(
         raise ValueError(f"unknown optimiser {optimiser!r} (lm|varpro)")
     if optimiser == "varpro" and stacked:
         raise ValueError("optimiser='varpro' uses per-rung solves (stacked=False)")
+    if n_starts > 1 and (optimiser != "lm" or stacked):
+        raise ValueError("n_starts > 1 requires optimiser='lm', stacked=False")
     import jax.numpy as jnp
 
     # Commit the decay matrix to the device ONCE and reuse it for every
@@ -230,7 +307,8 @@ def fit_ct_ladder(
             if idx is not None and mesh is not None:
                 (dec_i, sig_i), _ = pad_and_shard(mesh, [dec_i, sig_i])
             fit = _unpack_fit(
-                _packed_fit(fit_fn, dt_arr, dec_i, sig_i, K, s2_free), K
+                _packed_fit(fit_fn, dt_arr, dec_i, sig_i, K, s2_free,
+                            n_starts=n_starts), K
             )
             if idx is None:
                 fit = {k: v[:B] for k, v in fit.items()}
@@ -270,6 +348,53 @@ def fit_ct_ladder(
             unset = sel_idx[active] < 0
             brk = ~unset & (~ok | (chi >= sel_chi[active] * chisq_threshold))
             take = ok & ~brk
+            if warm_retry and i > 0 and np.any(brk) and rungs[i - 1][3] is not None:
+                # Second chance for the rows whose walk would end here:
+                # refit from the previous rung's solution (their sel_idx
+                # is i-1 by construction — a non-unset row only stays
+                # active by taking every rung since its first ok fit).
+                retry = active[brk]
+                K_p, s2f_p = specs[i - 1][1], specs[i - 1][2]
+                n_beg = min(10, dec_d.shape[1])
+                beg = np.zeros((B, n_beg))
+                beg[retry] = np.asarray(dec_d[retry, :n_beg])
+                C0, tau0, S20 = _warm_p0(
+                    rungs[i - 1][3], retry, K_p, K, s2_free, beg,
+                    float(np.mean(dt_arr[1:] - dt_arr[:-1])),
+                )
+                bucket = 256
+                while bucket < retry.size:
+                    bucket *= 2
+                bucket = min(bucket, max(B, 256))
+                pad = bucket - retry.size
+                idx_w = np.concatenate([retry, np.full(pad, retry[0])])
+                wargs = [dec_d[idx_w], sig_d[idx_w],
+                         np.concatenate([C0, np.repeat(C0[:1], pad, 0)]),
+                         np.concatenate([tau0, np.repeat(tau0[:1], pad, 0)]),
+                         np.concatenate([S20, np.repeat(S20[:1], pad)])]
+                if mesh is not None:
+                    wargs, _ = pad_and_shard(mesh, wargs)
+                wfit = _unpack_fit(
+                    _packed_fit_warm(dt_arr, *wargs, K, s2_free), K
+                )
+                wfit = {k: v[: retry.size] for k, v in wfit.items()}
+                ok_w = wfit["ok_fit"] & wfit["ok_err"] & wfit["ok_sum"]
+                acc = ok_w & (wfit["chisq"] < sel_chi[retry] * chisq_threshold)
+                if np.any(acc):
+                    rows_acc = retry[acc]
+                    for k, v in fit.items():
+                        # _unpack_fit views of a fetched device buffer
+                        # are read-only; rungs[] holds this same dict,
+                        # so reassigning the value updates the rung.
+                        if not v.flags.writeable:
+                            v = v.copy()
+                        v[rows_acc] = wfit[k][acc]
+                        fit[k] = v
+                    pos = np.nonzero(brk)[0][acc]
+                    brk[pos] = False
+                    take[pos] = True
+                    chi = chi.copy()
+                    chi[pos] = wfit["chisq"][acc]
             rows = active[take]
             sel_idx[rows] = i
             sel_chi[rows] = chi[take]

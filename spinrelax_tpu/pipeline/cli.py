@@ -332,6 +332,12 @@ def cmd_fit_ct(argv):
                    help="lm = curve_fit-parity joint solve; varpro = "
                         "variable projection (faster, unconstrained "
                         "amplitudes)")
+    p.add_argument("--nstarts", type=int, default=1,
+                   help="batched multi-start: extra deterministic tau "
+                        "starts per residue per ladder rung, best fit "
+                        "wins (1 = the reference's single cold start; "
+                        "8 beats scipy TRF robustness on hard "
+                        "adjacent-timescale mixes at ~8x rung compute)")
     a = p.parse_args(argv)
     from .stages import stage_fit_ct
 
@@ -340,6 +346,7 @@ def cmd_fit_ct(argv):
         n_components=None if a.nc < 0 else a.nc,
         use_s2fast=not a.nofast,
         optimiser=a.optimiser,
+        n_starts=a.nstarts,
     )
     print(" = = Completed C(t)-fits.")
 
