@@ -169,17 +169,20 @@ def fit_ct_ladder(
         start.  n_starts=1 (default) is the reference's single cold
         start; 8 beat scipy's TRF robustness on the hard-mix cohort at
         ~n_starts x the rung compute.  Not supported for "varpro".
-    warm_retry : before ending a residue's walk at a rung that failed its
-        checks or stopped halving chi, refit that rung ONCE from the
-        previous rung's accepted solution plus one fresh fast component
-        (per-rung default is the reference's cold initialiser).  scipy's
-        TRF escapes local minima the cold-started joint LM can fall into
-        (two components collapsing onto one timescale while a
+    warm_retry : before ending a residue's walk at a rung whose fit
+        FAILED ITS QUALITY CHECKS (collapsed components with
+        dParam > param, non-finite params — NOT the natural chi-stall
+        stop every walk ends with), refit that rung ONCE from the
+        previous rung's accepted solution plus one fresh fast component.
+        scipy's TRF escapes local minima the cold-started joint LM can
+        fall into (two components collapsing onto one timescale while a
         barely-sampled fast component goes unmodelled); the retry is
         adopted only if it passes the SAME gates the cold fit faced, so
         it converges our selection TOWARD the reference's on exactly the
-        rows where the optimisers disagreed.  ``False`` restores the
-        single-attempt walk.
+        rows where the optimisers disagreed, at zero cost on clean
+        workloads (quality failures are rare; chi-stall breaks are not
+        retried — measured ~10x ladder wall when they were).  ``False``
+        restores the single-attempt walk.
     early_stop : fit each rung only on the residues whose selection walk
         is still descending the ladder (exact reference semantics — a
         residue that has broken out never consults later rungs,
@@ -348,12 +351,24 @@ def fit_ct_ladder(
             unset = sel_idx[active] < 0
             brk = ~unset & (~ok | (chi >= sel_chi[active] * chisq_threshold))
             take = ok & ~brk
-            if warm_retry and i > 0 and np.any(brk) and rungs[i - 1][3] is not None:
-                # Second chance for the rows whose walk would end here:
-                # refit from the previous rung's solution (their sel_idx
-                # is i-1 by construction — a non-unset row only stays
-                # active by taking every rung since its first ok fit).
-                retry = active[brk]
+            # Warm-retry ONLY quality-failure breaks (~ok: the LM landed
+            # in a rejected configuration — collapsed components with
+            # dParam > param, non-finite params).  A chi-stall break is
+            # the ladder's NATURAL stop: every residue ends its walk
+            # with one, so retrying those would re-fit ~all residues one
+            # extra rung per walk (measured ~10x ladder wall through the
+            # relay: extra rung-sized LM dispatches + per-break-pattern
+            # bucket recompiles on fresh inputs) for retries that almost
+            # never halve chi — the cold fit already converged into the
+            # same basin it would restart near.
+            retriable = brk & ~ok
+            if warm_retry and i > 0 and np.any(retriable) \
+                    and rungs[i - 1][3] is not None:
+                # Second chance for quality-failed rows: refit from the
+                # previous rung's solution (their sel_idx is i-1 by
+                # construction — a non-unset row only stays active by
+                # taking every rung since its first ok fit).
+                retry = active[retriable]
                 K_p, s2f_p = specs[i - 1][1], specs[i - 1][2]
                 n_beg = min(10, dec_d.shape[1])
                 beg = np.zeros((B, n_beg))
@@ -390,7 +405,7 @@ def fit_ct_ladder(
                             v = v.copy()
                         v[rows_acc] = wfit[k][acc]
                         fit[k] = v
-                    pos = np.nonzero(brk)[0][acc]
+                    pos = np.nonzero(retriable)[0][acc]
                     brk[pos] = False
                     take[pos] = True
                     chi = chi.copy()
