@@ -19,7 +19,10 @@ optimisers drive it:
   Levenberg-Marquardt while_loop on the residual vector (chisq is a sum
   of squares), forward-mode jacobians over the log-space positive
   parameters.  No host<->device round-trip per iterate, which matters on
-  remote TPU links (~40 ms per scalar fetch).
+  remote TPU links (~40 ms per scalar fetch).  With rsCSA requested the
+  alternating loop fuses each global+local cycle (LM on the globals +
+  bracket-expanding golden-section over all residues' CSA) into ONE
+  dispatch and one packed fetch per cycle (_cycle_device).
 
 The rsCSA local stage is a *batched* golden-section over all residues at
 once (the chi-square separates per residue), replacing nResidues
@@ -280,8 +283,7 @@ class GlobalFitter:
 
             n_p = len(idx)
 
-            @jax.jit
-            def _solve_device(d0, a0, zeta0, csa0):
+            def _lm_core(d0, a0, zeta0, csa0):
                 # Levenberg-Marquardt on the residual vector, entirely
                 # inside one jitted while_loop: the chi-square is a sum
                 # of squares, so LM's J^T J curvature converges in ~10
@@ -336,7 +338,58 @@ class GlobalFitter:
                 z, _lam, f, _it, _mv = jax.lax.while_loop(cond, body, state)
                 return f, _unpack(z, d0, a0, zeta0, csa0)
 
-            self._solve_device = _solve_device
+            self._solve_device = jax.jit(_lm_core)
+
+            # Fused alternating cycle (method="device" with rsCSA): one
+            # dispatch per global+local cycle instead of the ~10 the
+            # host-driven loop pays (LM dispatch + up to 8 golden-section
+            # rounds each fetching their edge mask).  CSA cannot be a
+            # global here (CSA+rsCSA rejected above), so _unpack passes
+            # csa0 through and the local stage owns it.
+            if self.do_local:
+                covered_j = jnp.asarray(
+                    np.asarray(es_ref.coverage_counts()) > 0
+                )
+                _lw, _ln, _lx = 150e-6, 60, 8  # local_step defaults
+
+                def _cycle_core(d0, a0, zeta0, csa0):
+                    _f1, (d1, a1, z1, _c) = _lm_core(d0, a0, zeta0, csa0)
+
+                    def f(c):
+                        return chisq_per_residue(es_ref, d1, a1, z1, c)
+
+                    # Same walk as GlobalFitter.local_step: golden-section
+                    # per residue, re-centred at any bracket edge with the
+                    # half-width doubled, up to _lx rounds.
+                    def body(st):
+                        best, hw, it, _ = st
+                        lo = best - hw
+                        hi = best + hw
+                        nb = golden_vec(f, lo, hi, n_iter=_ln)
+                        at_edge = (
+                            jnp.minimum(nb - lo, hi - nb) < 0.01 * hw
+                        )
+                        cont = jnp.any(at_edge & covered_j)
+                        hw = jnp.where(at_edge, 2.0 * hw, hw)
+                        return nb, hw, it + 1, cont
+
+                    def cond(st):
+                        return st[3] & (st[2] < _lx)
+
+                    best, _hw, _it, _cn = jax.lax.while_loop(
+                        cond,
+                        body,
+                        (
+                            csa0,
+                            jnp.full_like(csa0, _lw),
+                            jnp.asarray(0),
+                            jnp.asarray(True),
+                        ),
+                    )
+                    csa1 = jnp.where(covered_j, best, csa0)
+                    return d1, a1, z1, csa1
+
+                self._cycle_device = jax.jit(_cycle_core)
 
     # -- parameter packing ---------------------------------------------
     def _get_globals(self) -> np.ndarray:
@@ -512,10 +565,29 @@ class GlobalFitter:
             self.local_step()
             self.state.chisq = self.chisq()
             return self.state
+        # method="device": the whole global+local cycle is ONE compiled
+        # dispatch and one packed fetch; the host only applies the
+        # reference's convergence checks between cycles.
+        fused = method == "device" and getattr(self, "_cycle_device", None)
         first = True
         for n in range(max_cycles):
             prev_glob = self._get_globals()
-            self.global_step(method)
+            if fused:
+                s = self.state
+                d1, a1, z1, csa1 = (
+                    np.asarray(x)
+                    for x in jax.device_get(
+                        self._cycle_device(
+                            s.diso, s.aniso, s.zeta, jnp.asarray(s.csa)
+                        )
+                    )
+                )
+                vals = {"Diso": d1, "Daniso": a1, "zeta": z1}
+                self._set_globals(
+                    np.array([vals[v] for v in self.global_vars])
+                )
+            else:
+                self.global_step(method)
             now_glob = self._get_globals()
             # atol=0: allclose's default atol=1e-8 would dominate rtol for
             # the small-magnitude parameters here (Diso ~4e-5 ps^-1,
@@ -524,7 +596,10 @@ class GlobalFitter:
             if not first and np.allclose(prev_glob, now_glob, rtol=tol, atol=0.0):
                 break
             prev_csa = self.state.csa.copy()
-            self.local_step()
+            if fused:
+                self.state.csa = np.asarray(csa1, dtype=float).copy()
+            else:
+                self.local_step()
             if not first and np.allclose(
                 prev_csa, self.state.csa, rtol=tol, atol=0.0
             ):

@@ -160,7 +160,12 @@ def test_rscsa_far_outside_initial_bracket(rng):
     )
 
 
-def test_alternating_diso_rscsa(rng):
+@pytest.mark.parametrize("method", ["powell", "device"])
+def test_alternating_diso_rscsa(rng, method):
+    """Host-driven (powell) and fused one-dispatch-per-cycle (device)
+    alternating loops both recover the truth; 'device' runs the global LM
+    and the bracket-expanding rsCSA golden-section inside ONE jitted cycle
+    (GlobalFitter._cycle_device)."""
     names, cts, diff, v, w = make_setup(rng, n_res=5, diso=4e-5)
     csa_true = rng.uniform(-185e-6, -155e-6, 5)
     expts = []
@@ -183,7 +188,7 @@ def test_alternating_diso_rscsa(rng):
     start = diff.with_diso(4.6e-5)
     es = ExperimentSet.build(expts, cts, start, vecs=v, weights=w)
     fitter = GlobalFitter(es, ["Diso", "rsCSA"])
-    state = fitter.run(max_cycles=10, tol=1e-8)
+    state = fitter.run(max_cycles=10, tol=1e-8, method=method)
     np.testing.assert_allclose(state.diso, 4e-5, rtol=1e-3)
     np.testing.assert_allclose(state.csa, csa_true, rtol=5e-3)
 
