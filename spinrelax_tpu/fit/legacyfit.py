@@ -107,7 +107,9 @@ def fit_legacy(
     """``method``: 'powell' reproduces the reference's optimiser (direction
     matrices included); 'gradient' minimises the same chi-square with
     L-BFGS-B driven by exact JAX gradients (the forward model is fully
-    differentiable)."""
+    differentiable); 'device' (mode='new' only) runs the ENTIRE
+    alternating Diso/per-residue-CSA fit as one jitted while_loop — a
+    single dispatch and one packed fetch, no host round-trip per cycle."""
     from scipy.optimize import fmin_powell
 
     n_res = cts.n_models
@@ -124,6 +126,17 @@ def fit_legacy(
     if method == "gradient" and mode in ("Diso", "DisoS2", "DisoCSA", "DisoS2CSA"):
         return _fit_legacy_gradient(
             mode, chisq_total, diso0, csa, csa_mean0, n_res, verbose
+        )
+
+    if method == "device":
+        if mode != "new":
+            raise ValueError(
+                "method='device' is implemented for mode='new' only "
+                "(the alternating fit; use 'powell' or 'gradient' for "
+                f"mode={mode!r})"
+            )
+        return _fit_legacy_new_device(
+            chisq_total, chisq_res, diso0, csa, max_cycles, tol
         )
 
     if mode == "Diso":
@@ -197,6 +210,82 @@ def fit_legacy(
         return LegacyFitResult(diso, 1.0, csa, chi, mode)
 
     raise ValueError(f"invalid optimisation mode {mode!r}")
+
+
+def _fit_legacy_new_device(
+    chisq_total, chisq_res, diso0, csa0, max_cycles, tol
+) -> LegacyFitResult:
+    """mode='new' as ONE device dispatch: a jitted while_loop alternating
+    a bracket-expanding golden-section on log(Diso) (derivative-free like
+    the reference's Powell, positivity structural) with the batched
+    per-residue CSA golden-section, replicating the host loop's
+    convergence flags (np.allclose semantics incl. its default atol) and
+    its break-before-local ordering."""
+    n_cyc = int(max_cycles)
+
+    def _close(a, b):
+        # np.allclose(a, b, rtol=tol): |a-b| <= atol + rtol*|b| with the
+        # default atol=1e-8 — the host path uses exactly this, so the
+        # fused path must too or it would iterate past the host's stop.
+        return jnp.abs(a - b) <= 1e-8 + tol * jnp.abs(b)
+
+    def _golden_diso(diso_c, csa):
+        # 1-D minimisation over z with diso = diso_c * e^z: z0 = 0 is the
+        # current value; bracket edges re-centre and double (the
+        # reference's Powell is unbounded, so clamping would be wrong).
+        def f(zv):
+            return chisq_total(diso_c * jnp.exp(zv[0]), 1.0, csa)[None]
+
+        def body(st):
+            best, hw, it, _ = st
+            lo = best - hw
+            hi = best + hw
+            nb = golden_vec(f, lo, hi)
+            at_edge = jnp.minimum(nb - lo, hi - nb) < 0.01 * hw
+            hw = jnp.where(at_edge, 2.0 * hw, hw)
+            return nb, hw, it + 1, jnp.any(at_edge)
+
+        def cond(st):
+            return st[3] & (st[2] < 8)
+
+        z0 = jnp.zeros(1)
+        best, _hw, _it, _c = jax.lax.while_loop(
+            cond, body, (z0, jnp.full(1, 0.2), jnp.asarray(0), jnp.asarray(True))
+        )
+        return diso_c * jnp.exp(best[0])
+
+    def _body(st):
+        diso, csa, diso_prev, first, _done, it = st
+        diso_new = _golden_diso(diso, csa)
+        g_conv = (~first) & _close(diso_new, diso_prev)
+        csa_new = golden_vec(
+            lambda c: chisq_res(diso_new, 1.0, c), csa - 150e-6, csa + 150e-6
+        )
+        c_conv = (~first) & jnp.all(_close(csa_new, csa))
+        # Host ordering: the global-convergence break happens BEFORE the
+        # local stage, so its csa update must be discarded on g_conv.
+        csa_out = jnp.where(g_conv, csa, csa_new)
+        done = g_conv | c_conv
+        return diso_new, csa_out, diso_new, jnp.asarray(False), done, it + 1
+
+    def _cond(st):
+        return (~st[4]) & (st[5] < n_cyc)
+
+    @jax.jit
+    def _solve(diso_j, csa_j):
+        st = (
+            diso_j, csa_j, diso_j, jnp.asarray(True), jnp.asarray(False),
+            jnp.asarray(0),
+        )
+        diso, csa, _p, _f, _d, _it = jax.lax.while_loop(_cond, _body, st)
+        return diso, csa, chisq_total(diso, 1.0, csa)
+
+    diso, csa, chi = jax.device_get(
+        _solve(jnp.asarray(float(diso0)), jnp.asarray(csa0))
+    )
+    return LegacyFitResult(
+        float(diso), 1.0, np.asarray(csa, dtype=float), float(chi), "new"
+    )
 
 
 def _fit_legacy_gradient(mode, chisq_total, diso0, csa, csa_mean0, n_res, verbose):

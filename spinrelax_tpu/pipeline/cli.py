@@ -394,11 +394,11 @@ def cmd_relax(argv):
                    choices=("Diso", "DisoS2", "DisoCSA", "DisoS2CSA", "new"))
     p.add_argument("--cycles", type=int, default=100)
     p.add_argument("--tol", type=float, default=1e-6)
-    p.add_argument("--method", choices=("powell", "gradient"),
+    p.add_argument("--method", choices=("powell", "gradient", "device"),
                    default="powell",
-                   help="optimiser: reference-parity Powell or exact-gradient "
-                   "L-BFGS (the one-dispatch device LM lives on the "
-                   "multifield surface)")
+                   help="optimiser: reference-parity Powell, exact-gradient "
+                   "L-BFGS, or (--opt new only) the whole alternating fit "
+                   "as ONE device dispatch")
     p.add_argument("--theoretical", action="store_true",
                    help="rigid-body baseline rates; exits after reporting")
     a = p.parse_args(argv)

@@ -74,15 +74,26 @@ def test_mode_diso_csa(setup):
     np.testing.assert_allclose(res.csa[0], csa_true, rtol=1e-3)
 
 
-def test_mode_new_alternating(setup, rng):
+@pytest.mark.parametrize("method", ["powell", "device"])
+def test_mode_new_alternating(setup, rng, method):
+    """'powell' is the host-driven reference alternation; 'device' runs the
+    whole alternating fit inside one jitted while_loop (one dispatch)."""
     pair, diff, cts, v, w = setup
     csa_true = rng.uniform(-190e-6, -150e-6, 6)
     exp, err = make_exp(pair, diff, cts, v, w, csa=csa_true)
     start = diff.with_diso(4.4e-5)
     res = fit_legacy("new", pair, start, cts, exp, err, vecs=v, weights=w,
-                     max_cycles=20, tol=1e-8)
+                     max_cycles=20, tol=1e-8, method=method)
     np.testing.assert_allclose(res.diso, 4e-5, rtol=2e-3)
     np.testing.assert_allclose(res.csa, csa_true, rtol=5e-3)
+
+
+def test_device_method_rejected_for_global_modes(setup):
+    pair, diff, cts, v, w = setup
+    exp, err = make_exp(pair, diff, cts, v, w, csa=np.full(6, -170e-6))
+    with pytest.raises(ValueError, match="device"):
+        fit_legacy("DisoCSA", pair, diff, cts, exp, err, vecs=v, weights=w,
+                   method="device")
 
 
 def test_gradient_method_matches_powell(setup):
