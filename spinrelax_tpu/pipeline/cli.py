@@ -482,6 +482,9 @@ def cmd_multifield(argv):
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--method", choices=("powell", "gradient", "device"),
                    default="powell")
+    p.add_argument("--devices", type=int, default=0, metavar="N",
+                   help="run the optimisation residue-sharded over an "
+                   "N-device mesh (requires --opt; exports are unchanged)")
     a = p.parse_args(argv)
     from ..io import fittedct as fctio
     from .stages import stage_multifield
@@ -498,11 +501,14 @@ def cmd_multifield(argv):
         names = fctio.read_fittedct(a.in_ct).names
         csa = _parse_csa(a.csa, names)
     opt = a.opt.split(",") if a.opt else None
+    if a.devices > 0 and opt is None:
+        sys.exit("= = = ERROR: --devices shards the optimisation; it "
+                 "requires --opt.")
     final = stage_multifield(
         a.in_ct, a.expFiles, a.outpref, diffusion,
         vec_file=a.distfn, zeta=a.zeta, csa=csa, opt_params=opt,
         max_cycles=a.cycles, tol=a.tol, method=a.method,
-        include_expt=opt is not None, ref_pdb=a.refpdb,
+        include_expt=opt is not None, ref_pdb=a.refpdb, devices=a.devices,
     )
     if final["chisq"] is not None:
         print(

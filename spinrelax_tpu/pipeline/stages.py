@@ -882,13 +882,20 @@ def stage_multifield(
     method: str = "powell",
     include_expt: bool = False,
     ref_pdb: Optional[str] = None,
+    devices: int = 0,
 ):
     """Fit global parameters against N experiments and export per-experiment
     xvg predictions (+ optimised CSA table when rsCSA is fitted).
 
     ``ref_pdb`` is the --refpdb alternative vector source (single X-H
     vector per residue straight from the structure,
-    calculate-relaxations-multi-field.py:126-129)."""
+    calculate-relaxations-multi-field.py:126-129).
+
+    ``devices``: when > 0 the OPTIMISATION runs residue-sharded over a
+    ``devices``-device mesh (parallel/fit.shard_experiment_set) — same
+    numbers, GSPMD splits the per-residue work.  The final evaluation /
+    export always runs on the unsharded set so artefacts stay
+    byte-identical to the single-device stage."""
     from ..fit.globalfit import (
         EXPORT_SCALING,
         EXPORT_UNITS,
@@ -915,12 +922,27 @@ def stage_multifield(
     )
 
     fitter = None
+    if devices and not opt_params:
+        raise ValueError(
+            "devices/--devices shards the optimisation: it requires "
+            "opt_params/--opt (the plain evaluation is a single cheap "
+            "dispatch)"
+        )
     if opt_params:
-        fitter = GlobalFitter(es, list(opt_params))
+        es_fit = es
+        if devices:
+            from ..parallel.fit import shard_experiment_set
+            from ..parallel.mesh import make_mesh
+
+            es_fit = shard_experiment_set(es, make_mesh(int(devices)))
+        fitter = GlobalFitter(es_fit, list(opt_params))
         state = fitter.run(max_cycles=max_cycles, tol=tol, method=method)
         final = dict(
             diso=state.diso, aniso=state.aniso, zeta=state.zeta,
-            csa=state.csa, chisq=state.chisq,
+            # padded residues (mask 0 everywhere) ride along in the
+            # sharded fit; drop them before export.
+            csa=np.asarray(state.csa)[: es.n_residues],
+            chisq=state.chisq,
         )
     else:
         csa0 = es.csa

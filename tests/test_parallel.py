@@ -222,3 +222,61 @@ def test_flagship_finish_accepts_scalar_csa(rng):
         diffusion=Diffusion.isotropic(diso=4e-5), csa=np.float64(-1.7e-4),
     )
     assert np.all(np.isfinite(np.asarray(out.R1)))
+
+
+def test_multifield_stage_devices_byte_identical(tmp_path, rng):
+    """`spinrelax multifield --devices N` (stage_multifield(devices=N)):
+    the residue-sharded optimisation must leave every exported artefact
+    byte-identical to the single-device stage (VERDICT r2 #6 surface,
+    extended from ct/run-all to the multifield fit)."""
+    from spinrelax_tpu.core import geometry
+    from spinrelax_tpu.io import fittedct as fctio
+    from spinrelax_tpu.io import vectors as vecio
+    from spinrelax_tpu.io.experiments import write_experiment
+    from spinrelax_tpu.models import Diffusion
+    from spinrelax_tpu.pipeline.stages import stage_multifield
+    from tests.test_globalfit import make_setup, synth_experiments
+
+    # 11 residues: NOT divisible by 8 -> exercises fit-side padding.
+    names, cts, diff, v, w = make_setup(rng, n_res=11, diso=4e-5, aniso=1.5)
+    vec_fn = str(tmp_path / "vecs.npz")
+    hist, ep, ec = geometry.lambert_histogram(jnp.asarray(v.reshape(11, -1, 3)), 24, 12)
+    vecio.save_histogram(vec_fn, names, np.asarray(hist), np.asarray(ep), np.asarray(ec))
+    _, v_used, w_used = vecio.load_vector_distribution(vec_fn)
+
+    expt_files = []
+    for i, e in enumerate(synth_experiments(names, cts, diff, v_used, w_used)):
+        fn = str(tmp_path / f"expt_{i}.dat")
+        write_experiment(fn, e)
+        expt_files.append(fn)
+    fitted_fn = str(tmp_path / "in_fittedCt.dat")
+    dt = np.arange(1.0, 50.0)
+    fctio.write_fittedct(fitted_fn, cts, dt=dt, targets=np.asarray(cts.eval(dt)))
+
+    start = Diffusion.axisymmetric(diso=4.6e-5, aniso=1.3)
+    outs = {}
+    for tag, ndev in (("plain", 0), ("mesh", 8)):
+        pref = str(tmp_path / tag)
+        final = stage_multifield(
+            fitted_fn, expt_files, pref, start, vec_file=vec_fn,
+            zeta=float(cts.zeta), opt_params=["Diso", "rsCSA"],
+            max_cycles=4, method="device",
+        ) if ndev == 0 else stage_multifield(
+            fitted_fn, expt_files, pref, start, vec_file=vec_fn,
+            zeta=float(cts.zeta), opt_params=["Diso", "rsCSA"],
+            max_cycles=4, method="device", devices=8,
+        )
+        assert len(final["csa"]) == 11
+        outs[tag] = sorted(p.name.split("_", 1)[1] for p in tmp_path.glob(tag + "_*"))
+    assert outs["plain"] == outs["mesh"] and outs["plain"]
+
+    for suffix in outs["plain"]:
+        a = (tmp_path / f"plain_{suffix}").read_bytes()
+        b = (tmp_path / f"mesh_{suffix}").read_bytes()
+        assert a == b, f"artefact {suffix} differs between --devices 0 and 8"
+
+    with pytest.raises(ValueError, match="devices"):
+        stage_multifield(
+            fitted_fn, expt_files, str(tmp_path / "bad"), start,
+            vec_file=vec_fn, zeta=float(cts.zeta), devices=8,
+        )
