@@ -103,9 +103,14 @@ class WorkflowConfig:
             raise ValueError(
                 "fit modes selected, but no experimental file has been given"
             )
-        if self.io.devices > 0 and self.io.stream_groups <= 0:
+        if (
+            self.io.devices > 0
+            and self.io.stream_groups <= 0
+            and not self.experiments.fit_modes
+        ):
             raise ValueError(
-                "-devices requires the streaming C(t) stage (-stream GROUPS)"
+                "-devices shards the streamed C(t) stage and/or the "
+                "multi-field fits: it requires -stream GROUPS or -fit MODE"
             )
         return self
 
@@ -130,9 +135,9 @@ _FLAG_TABLE = [
                 "(supports all -vecstorage modes)"}),
     ("-devices", (), "io", "devices", {
         "type": int, "metavar": "N",
-        "help": "with -stream: shard the C(t) accumulation over an "
-                "N-device ('rep','res') jax mesh (all local devices "
-                "participate; N must not exceed jax.device_count())"}),
+        "help": "shard the streamed C(t) accumulation (-stream) and the "
+                "multi-field fits (-fit) over an N-device ('rep','res') "
+                "jax mesh (N must not exceed jax.device_count())"}),
     ("-t_mem", (), "tumbling", "tau_mem", {"type": float, "help": "memory time [ps]"}),
     ("-num_chunks", (), "tumbling", "num_chunks", {"type": int}),
     ("-D_ext", (), "tumbling", "d_ext", {

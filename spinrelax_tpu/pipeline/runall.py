@@ -286,7 +286,7 @@ def run_workflow(cfg: WorkflowConfig):
                 outpref + "_fittedCt.dat", list(exp.exp_files),
                 f"{outpref}-opt{mode.replace(',', '_')}",
                 diffusion, vec_file=vec_file, zeta=phy.zeta, csa=csa,
-                opt_params=opt, include_expt=True,
+                opt_params=opt, include_expt=True, devices=io.devices,
             )
     print("= = run-all complete.")
 

@@ -52,6 +52,16 @@ def test_validation():
         ).validate()
     with pytest.raises(ValueError, match="vec_storage"):
         IOParams(vec_storage="bogus")
+    # -devices needs a shardable stage: streamed C(t) or multi-field fit.
+    with pytest.raises(ValueError, match="-devices"):
+        WorkflowConfig(io=IOParams(devices=4)).validate()
+    WorkflowConfig(io=IOParams(devices=4, stream_groups=2)).validate()
+    WorkflowConfig(
+        io=IOParams(devices=4),
+        experiments=ExperimentParams(
+            fit_modes=("Diso",), exp_files=("e.dat",)
+        ),
+    ).validate()
 
 
 def test_frozen():
