@@ -176,6 +176,10 @@ def iter_colvar_chunks(fn: str, chunk_frames: int = 65536):
                 continue
             if not line.strip() or line[0] in "@&":
                 continue  # '#@&' skip rules, matching read_colvar
+            if not seen_header:
+                # read_colvar errors on headerless files; the streamed
+                # reader must not silently guess column meanings instead.
+                raise ValueError(f"{fn}: data before any FIELDS header")
             rows.append(line)
             if len(rows) == chunk_frames:
                 yield field_names, np.loadtxt(rows, ndmin=2)

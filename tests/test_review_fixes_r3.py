@@ -52,6 +52,14 @@ def test_iter_colvar_chunks_header_semantics(tmp_path):
             fp.write(f"{i}.0 1.0\n")
     chunks = list(colvar.iter_colvar_chunks(fn1, chunk_frames=2))
     assert sum(c.shape[0] for _, c in chunks) == 5
+    # Data before any FIELDS header: hard error (read_colvar raises on
+    # headerless files; the streamed reader must not guess columns).
+    fn3 = str(tmp_path / "headerless.colvar")
+    with open(fn3, "w") as fp:
+        fp.write("0.0 1.0\n#! FIELDS time q.w\n1.0 0.9\n")
+    with pytest.raises(ValueError, match="before any FIELDS"):
+        for _ in colvar.iter_colvar_chunks(fn3, chunk_frames=64):
+            pass
 
 
 def test_manifest_nonstring_keys_stable(tmp_path):
