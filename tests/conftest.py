@@ -38,4 +38,10 @@ import pytest  # noqa: E402
 
 @pytest.fixture
 def rng():
-    return np.random.default_rng(20260816)
+    # Deterministic by default; SPINRELAX_TEST_SEED turns every
+    # rng-parameterised test (incl. the live-reference parity sweeps)
+    # into a fresh-seed fuzz harness: run the suite with a few random
+    # seeds to hunt for input-dependent disparities the pinned seed
+    # cannot see.
+    seed = int(os.environ.get("SPINRELAX_TEST_SEED", 20260816))
+    return np.random.default_rng(seed)
