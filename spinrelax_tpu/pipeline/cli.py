@@ -917,7 +917,13 @@ def main(argv=None):
 
     compile_cache.enable_default()
     t0 = time.time()
-    COMMANDS[cmd](argv[1:])
+    try:
+        COMMANDS[cmd](argv[1:])
+    except FileNotFoundError as exc:
+        # Reference-style bail (_BAIL, spectral_densities.py:1818-1823)
+        # instead of a raw traceback for the most common user error.
+        # Library callers (stages.*) still see the exception.
+        sys.exit(f"= = = ERROR: file not found: {exc.filename or exc}")
     print("= = Finished. Total seconds elapsed: %g" % (time.time() - t0))
     return 0
 

@@ -347,3 +347,22 @@ def test_plot_ct_flag_surface(tmp_path):
 
     plot_main(["-f", str(fn), "-o", str(tmp_path / "c.png"), "--noshift"])
     assert (tmp_path / "c.png").stat().st_size > 0
+
+
+def test_cli_missing_file_bails_reference_style(tmp_path):
+    """A missing input file must produce the reference's '= = = ERROR'
+    bail (spectral_densities.py:1818-1823 _BAIL convention), not a raw
+    FileNotFoundError traceback."""
+    import subprocess
+    import sys as _sys
+
+    r = subprocess.run(
+        [_sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "from spinrelax_tpu.pipeline.cli import main; main()",
+         "fit-ct", "-f", str(tmp_path / "nope_Ctint.dat"), "-o", "x"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode != 0
+    assert "= = = ERROR: file not found" in r.stderr
+    assert "Traceback" not in r.stderr
