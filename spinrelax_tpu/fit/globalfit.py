@@ -44,6 +44,11 @@ from ..models.experiments import ExperimentSet
 from ..ops import observables as obs
 from .scalar import golden_vec
 
+# (half_width [ppm-scale CSA units], n_iter, max_expand) shared by
+# GlobalFitter.local_step's signature and the fused _cycle_device program
+# — one home so the two rsCSA walks cannot drift apart.
+_LOCAL_STEP_DEFAULTS = (150e-6, 60, 8)
+
 ALLOWED_VARIABLES = ("Diso", "Daniso", "CSA", "zeta", "rsCSA")
 # Moment-collapsed ensemble statistics for the axisymmetric fit (exact;
 # see _eval_all).  Module-level so benchmarks can A/B the paths.
@@ -350,7 +355,7 @@ class GlobalFitter:
                 covered_j = jnp.asarray(
                     np.asarray(es_ref.coverage_counts()) > 0
                 )
-                _lw, _ln, _lx = 150e-6, 60, 8  # local_step defaults
+                _lw, _ln, _lx = _LOCAL_STEP_DEFAULTS
 
                 def _cycle_core(d0, a0, zeta0, csa0):
                     _f1, (d1, a1, z1, _c) = _lm_core(d0, a0, zeta0, csa0)
@@ -502,8 +507,9 @@ class GlobalFitter:
         self.state.chisq = float(fbest)
         return self.state.chisq
 
-    def local_step(self, half_width: float = 150e-6, n_iter: int = 60,
-                   max_expand: int = 8):
+    def local_step(self, half_width: float = _LOCAL_STEP_DEFAULTS[0],
+                   n_iter: int = _LOCAL_STEP_DEFAULTS[1],
+                   max_expand: int = _LOCAL_STEP_DEFAULTS[2]):
         """Batched rsCSA: golden-section over each residue's CSA in a
         bracket around the current value; residues decouple so one
         vectorised search replaces nRes sequential Powell fits.

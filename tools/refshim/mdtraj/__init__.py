@@ -116,6 +116,30 @@ class Trajectory:
         self.xyz = out
         return self
 
+    def save_pdb(self, fn):
+        """Write the trajectory as a (multi-MODEL) PDB, coordinates in
+        Angstrom (xyz is stored in nm, as mdtraj does).  Minimal standard
+        ATOM records — enough for parse-hydroNMR-results.py's rotate path
+        and for any PDB reader to recover the coordinates."""
+        top = self.topology
+        with open(fn, "w") as fp:
+            for m in range(self.n_frames):
+                if self.n_frames > 1:
+                    fp.write("MODEL     %4d\n" % (m + 1))
+                for i in range(self.n_atoms):
+                    a = top.atom(i)
+                    name = a.name if len(a.name) == 4 else " %-3s" % a.name
+                    x, y, z = self.xyz[m, i] * 10.0
+                    fp.write(
+                        "ATOM  %5d %4s %-4sA%4d    %8.3f%8.3f%8.3f"
+                        "%6.2f%6.2f\n"
+                        % (i + 1, name, a.residue.name, a.residue.resSeq,
+                           x, y, z, a.get_occupancy(), 0.0)
+                    )
+                if self.n_frames > 1:
+                    fp.write("ENDMDL\n")
+            fp.write("END\n")
+
 
 def _load_pdb(fn):
     names, res_seqs, res_names, occs = [], [], [], []
