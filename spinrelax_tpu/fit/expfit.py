@@ -59,8 +59,13 @@ def _packed_fit(fit_fn, dt_arr, dec, sig, K: int, s2_free: bool,
 
 
 def _unpack_fit(packed, K: int) -> dict:
-    """Host-side inverse of :func:`_packed_fit` (one fetch happens here)."""
-    a = np.asarray(packed)
+    """Host-side inverse of :func:`_packed_fit` (one fetch happens here).
+    ``fetch`` (not ``np.asarray``) so a mesh spanning several PROCESSES
+    (multi-host ladder, tools/multihost_worker.py --flagship) can gather
+    the rung results each process's selection walk needs."""
+    from ..parallel.mesh import fetch
+
+    a = fetch(packed)
     return {
         "C": a[:, :K],
         "tau": a[:, K:2 * K],
@@ -372,7 +377,9 @@ def fit_ct_ladder(
                 K_p, s2f_p = specs[i - 1][1], specs[i - 1][2]
                 n_beg = min(10, dec_d.shape[1])
                 beg = np.zeros((B, n_beg))
-                beg[retry] = np.asarray(dec_d[retry, :n_beg])
+                from ..parallel.mesh import fetch as _fetch
+
+                beg[retry] = _fetch(dec_d[retry, :n_beg])
                 C0, tau0, S20 = _warm_p0(
                     rungs[i - 1][3], retry, K_p, K, s2_free, beg,
                     float(np.mean(dt_arr[1:] - dt_arr[:-1])),

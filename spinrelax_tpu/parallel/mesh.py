@@ -96,6 +96,25 @@ def pad_and_shard(mesh: Mesh, arrays):
     return out, n_orig
 
 
+def fetch(a) -> np.ndarray:
+    """Host-fetch that also works on MULTI-PROCESS (multi-host) arrays.
+
+    ``np.asarray`` on a jax array whose shards live on other processes'
+    devices raises (the local process cannot address them); the
+    multi-host paths (tools/multihost_worker.py --flagship) instead
+    all-gather the shards over the distributed backend first.  On
+    single-process arrays — the common case — this IS ``np.asarray``,
+    with zero extra transfers.  Every process must call this on the
+    same array in the same order (it is a collective when the array is
+    not fully addressable), which holds because multi-host drivers run
+    identical host code in lockstep."""
+    if isinstance(a, jax.Array) and not a.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+    return np.asarray(a)
+
+
 def vecs_sharding(mesh: Mesh) -> NamedSharding:
     """(nRep, nFrames, nRes, 3): chunk axis over 'rep', residue over 'res'."""
     return NamedSharding(mesh, P("rep", None, "res", None))

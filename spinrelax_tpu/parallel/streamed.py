@@ -219,13 +219,15 @@ class ShardedCtStream:
     def finalize(self):
         """-> (Ct, dCt) of shape (nDeltas, nRes), identical statistics to
         ct_palmer over the concatenated stream."""
+        from .mesh import fetch
+
         acc_s, acc_s2, count = self.accumulators()
         mean, dct = autocorr.palmer_pooled_stats(
             jnp.asarray(acc_s)[: self.n_res],
             jnp.asarray(acc_s2)[: self.n_res],
             float(count),
         )
-        return np.asarray(mean).T, np.asarray(dct).T
+        return fetch(mean).T, fetch(dct).T
 
 
 class StreamedRates(NamedTuple):
@@ -340,15 +342,20 @@ def run_sharded_finish(
     """
     from ..fit.expfit import fit_ct_ladder
     from ..ops import observables as obs
+    from .mesh import fetch
 
     pair = pair or _default_pair()
 
     # 1. Pooled statistics, computed where the accumulators live.
+    # ``fetch`` (not np.asarray): on a mesh spanning several PROCESSES
+    # the pooled matrices are not locally addressable and must be
+    # all-gathered for the host-facing return (single-process: plain
+    # np.asarray, no extra transfer).
     mean, dct = _cached_jit(
         "pooled_stats", lambda: jax.jit(autocorr.palmer_pooled_stats)
     )(acc_s, acc_s2, count)
-    Ct = np.asarray(mean)[:n_res]
-    dCt = np.asarray(dct)[:n_res]
+    Ct = fetch(mean)[:n_res]
+    dCt = fetch(dct)[:n_res]
     n_deltas = Ct.shape[1]
     dt = (np.arange(n_deltas, dtype=Ct.dtype) + 1.0) * delta_t
 
@@ -420,7 +427,7 @@ def run_sharded_finish(
     )
     return FlagshipRates(
         Ct, dCt, cts,
-        *(None if x is None else np.asarray(x)[:n_res]
+        *(None if x is None else fetch(x)[:n_res]
           for x in (rates.R1, rates.R2, rates.NOE, rates.rho,
                     rates.dR1, rates.dR2, rates.dNOE, rates.drho)),
     )
