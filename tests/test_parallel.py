@@ -201,6 +201,24 @@ def test_pad_and_shard_rejects_scalars():
         pad_and_shard(mesh, [np.float64(1.7e-4)])
 
 
+def test_fetch_single_process(rng):
+    """parallel.mesh.fetch == np.asarray on every single-process form
+    (host numpy, device array, mesh-sharded array) — the multi-process
+    all-gather branch is pinned by test_multihost_process.py."""
+    from spinrelax_tpu.parallel.mesh import fetch, make_mesh
+
+    a = rng.normal(size=(16, 5))
+    np.testing.assert_array_equal(fetch(a), a)
+    np.testing.assert_array_equal(fetch(jnp.asarray(a)), a)
+    mesh = make_mesh(8)
+    sharded = jax.device_put(
+        a, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(("rep", "res"), None))
+    )
+    assert sharded.is_fully_addressable  # single-process: asarray branch
+    np.testing.assert_array_equal(fetch(sharded), a)
+
+
 def test_flagship_finish_accepts_scalar_csa(rng):
     """predict_rates documents csa as None/scalar/(nRes,); the sharded
     wrapper must accept the scalar form too (it previously died with an
