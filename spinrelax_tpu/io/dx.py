@@ -70,6 +70,12 @@ def read_dx(fn: str, units: str = "A"):
         raise ValueError(
             f"{fn}: no 'data follows' section found (truncated DX file?)"
         )
+    if count != ntot:
+        # A file cut off mid-data would otherwise return silently
+        # zero-padded densities.
+        raise ValueError(
+            f"{fn}: data section truncated ({count} of {ntot} values)"
+        )
     data = (1.0 / scale**3) * np.reshape(data, dims, order="C")
     return data, dims, orig, abc
 

@@ -105,8 +105,7 @@ def record_stage(
     }
     # Atomic replace: a crash mid-write must not leave a truncated
     # manifest (stage_is_current treats an unparseable manifest as
-    # "everything current" — the stale-reuse failure this module exists
-    # to prevent).
+    # stale and forces a spurious full re-run of every stage).
     tmp = mf + ".tmp"
     with open(tmp, "w") as fp:
         json.dump(data, fp, indent=1, sort_keys=True)

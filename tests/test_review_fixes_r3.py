@@ -778,6 +778,23 @@ def test_dx_surplus_values_raise(tmp_path):
         dxio.read_dx(fn2)
 
 
+def test_dx_truncated_data_raises(tmp_path):
+    """A DX file cut off mid-data-section must raise, not return
+    silently zero-padded densities."""
+    from spinrelax_tpu.io import dx as dxio
+
+    fn = str(tmp_path / "h.dx")
+    data = np.arange(27.0).reshape(3, 3, 3)
+    dxio.write_dx(fn, data, data.shape, np.zeros(3), np.eye(3))
+    lines = open(fn).read().splitlines()
+    follows = next(i for i, l in enumerate(lines) if "data follows" in l)
+    # keep the header + only the first two data rows
+    fn2 = str(tmp_path / "cut.dx")
+    open(fn2, "w").write("\n".join(lines[: follows + 3]) + "\n")
+    with pytest.raises(ValueError, match="truncated"):
+        dxio.read_dx(fn2)
+
+
 def test_fastio_exact_page_long_token(tmp_path):
     """A table whose file size is an exact page multiple, ending in a
     >=32-char numeric token with no trailing newline, must parse (not
