@@ -6,7 +6,9 @@ This rebuild's native formats are:
 - .npz  : {'xyz': (nFrames, nAtoms, 3) [nm], 'time': (nFrames,) [ps]}
           — the preferred fast path (bench/pipeline native format).
 - .pdb  : multi-MODEL coordinate files (io.pdb).
-- .xtc / .dcd / anything-mdtraj : available when mdtraj is installed
+- .trr / .xtc : native GROMACS codecs (io.gmx / io.native).
+- .dcd  : native CHARMM/NAMD/X-PLOR reader (io.dcd).
+- anything-mdtraj : available when mdtraj is installed
           (optional dependency, gated).
 
 All readers return (xyz, timestep_ps).
@@ -59,11 +61,17 @@ def load_trajectory(
         xyz, _boxes, times = native.read_xtc(fn)
         dt = float(times[1] - times[0]) if len(times) > 1 else 1.0
         return xyz, dt
+    if fn.endswith(".dcd"):
+        from . import dcd as dcdio
+
+        xyz, _boxes, times = dcdio.read_dcd(fn)
+        dt = float(times[1] - times[0]) if len(times) > 1 else 1.0
+        return xyz, dt
     if _md is not None:
         trj = _md.load(fn, top=top_fn)
         return np.asarray(trj.xyz), float(trj.timestep)
     raise ValueError(
-        f"cannot read {fn!r}: npz/npy/pdb/trr/xtc supported natively; "
+        f"cannot read {fn!r}: npz/npy/pdb/trr/xtc/dcd supported natively; "
         "install mdtraj for other formats"
     )
 
@@ -154,6 +162,17 @@ def iter_trajectory(
         else:
             dt_out = timestep  # single-frame file: no spacing to measure
         for xyz, _boxes, _times in itertools.chain(head, chunks):
+            yield xyz, dt_out
+        return
+    if fn.endswith(".dcd"):
+        from . import dcd as dcdio
+
+        # DCD headers carry the frame spacing directly (DELTA x NSAVC),
+        # so dt is right from the FIRST yield even at chunk_frames=1 (the
+        # stage_ct_streamed single-frame dt probe) — no lookahead needed;
+        # the caller's timestep is the fallback for unset-DELTA writers.
+        dt_out = dcdio.header_timestep_ps(fn) or timestep
+        for xyz, _boxes, _times in dcdio.iter_dcd(fn, chunk_frames):
             yield xyz, dt_out
         return
     if fn.endswith((".npz", ".pdb")):

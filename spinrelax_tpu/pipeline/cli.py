@@ -223,7 +223,9 @@ def cmd_ct(argv):
                         "(true streaming, replaces the reference's memory "
                         "workaround; all vector-storage modes supported)")
     p.add_argument("--timestep", type=float, default=None,
-                   help="frame spacing [ps] for bare .npy trajectories")
+                   help="frame spacing [ps]: required for bare .npy "
+                        "trajectories, overrides the file value otherwise "
+                        "(e.g. a DCD's float32-quantised DELTA)")
     p.add_argument("--devices", type=int, default=0, metavar="N",
                    help="with --split: shard the streamed C(t) "
                         "accumulation over an N-device ('rep','res') jax "
