@@ -618,7 +618,7 @@ def cmd_center(argv):
         "-pbc cluster -center on the solute, -pbc mol (native trjconv).",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
-    p.add_argument("-f", "--infn", required=True, help="trajectory (npz/xtc/trr/pdb)")
+    p.add_argument("-f", "--infn", required=True, help="trajectory (npz/xtc/trr/dcd/pdb)")
     p.add_argument("-s", "--topfn", required=True, help="topology PDB (molecule inference)")
     p.add_argument("-o", "--outfn", default="centered.npz", help="output (npz or xtc)")
     p.add_argument("--box", default=None,
@@ -668,6 +668,15 @@ def cmd_center(argv):
                     fs, bs, ts = [], [], []
             if fs:
                 yield np.stack(fs), _ortho_box(np.stack(bs)), np.asarray(ts)
+        elif a.infn.endswith(".dcd"):
+            from ..io import dcd as dcdio
+
+            for xyz_c, b33, t_c in dcdio.iter_dcd(a.infn, a.batch):
+                yield (
+                    xyz_c,
+                    None if b33 is None else _ortho_box(b33),
+                    t_c,
+                )
         elif a.infn.endswith(".npz"):
             # One archive read: load_trajectory would decode the same
             # multi-GB npz a second time just to drop the box.

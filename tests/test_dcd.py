@@ -187,6 +187,47 @@ def test_trajectory_layer_dispatch(tmp_path, rng):
     )
 
 
+def test_center_cli_streams_dcd(tmp_path, rng):
+    """spinrelax center accepts a DCD with crystal records through the
+    streamed branch and matches the npz-fed result."""
+    from spinrelax_tpu.io.pdb import Topology, write_pdb
+    from spinrelax_tpu.pipeline import cli
+
+    box = np.array([5.0, 5.0, 5.0])
+    chain = np.cumsum(rng.normal(scale=0.1, size=(12, 3)), axis=0) + 4.8
+    waters = np.concatenate(
+        [np.stack([o, o + [0.08, 0, 0], o + [0, 0.08, 0]])
+         for o in rng.uniform(0, 5, size=(4, 3))]
+    )
+    xyz = np.mod(np.concatenate([chain, waters]), box).astype(np.float32)
+    n = xyz.shape[0]
+    top = Topology(
+        atom_names=["CA"] * 12
+        + [a for _ in range(4) for a in ("OW", "HW1", "HW2")],
+        res_seqs=np.concatenate(
+            [np.arange(1, 13), np.repeat(np.arange(50, 54), 3)]
+        ),
+        res_names=["GLY"] * 12 + ["SOL"] * 12,
+        chain_ids=["A"] * 12 + ["W"] * 12,
+        occupancies=np.ones(n),
+        elements=[""] * n,
+    )
+    write_pdb(str(tmp_path / "top.pdb"), top, xyz[None])
+    frames = np.stack([xyz, xyz])
+    np.savez(tmp_path / "in.npz", xyz=frames,
+             time=np.array([0.0, 1.0]), box=np.stack([box, box]))
+    dcd.write_dcd(str(tmp_path / "in.dcd"), frames,
+                  boxes=np.repeat(np.diag(box)[None], 2, axis=0),
+                  timestep_ps=1.0)
+    for src, out in (("in.npz", "a.npz"), ("in.dcd", "b.npz")):
+        cli.main(["center", "-f", str(tmp_path / src),
+                  "-s", str(tmp_path / "top.pdb"),
+                  "-o", str(tmp_path / out), "--batch", "1"])
+    a = np.load(tmp_path / "a.npz")["xyz"]
+    b = np.load(tmp_path / "b.npz")["xyz"]
+    np.testing.assert_allclose(b, a, atol=1e-6)
+
+
 def test_unset_delta_falls_back_to_caller(tmp_path, rng):
     fn = str(tmp_path / "t.dcd")
     xyz = _rand_xyz(rng, n_frames=2)
