@@ -8,6 +8,7 @@ This rebuild's native formats are:
 - .pdb  : multi-MODEL coordinate files (io.pdb).
 - .trr / .xtc : native GROMACS codecs (io.gmx / io.native).
 - .dcd  : native CHARMM/NAMD/X-PLOR reader (io.dcd).
+- .nc   : Amber NetCDF via scipy's classic-NetCDF reader (io.amber).
 - anything-mdtraj : available when mdtraj is installed
           (optional dependency, gated).
 
@@ -67,11 +68,17 @@ def load_trajectory(
         xyz, _boxes, times = dcdio.read_dcd(fn)
         dt = float(times[1] - times[0]) if len(times) > 1 else 1.0
         return xyz, dt
+    if fn.endswith(".nc"):
+        from . import amber
+
+        xyz, _boxes, times = amber.read_nc(fn)
+        dt = float(times[1] - times[0]) if len(times) > 1 else 1.0
+        return xyz, dt
     if _md is not None:
         trj = _md.load(fn, top=top_fn)
         return np.asarray(trj.xyz), float(trj.timestep)
     raise ValueError(
-        f"cannot read {fn!r}: npz/npy/pdb/trr/xtc/dcd supported natively; "
+        f"cannot read {fn!r}: npz/npy/pdb/trr/xtc/dcd/nc supported natively; "
         "install mdtraj for other formats"
     )
 
@@ -173,6 +180,15 @@ def iter_trajectory(
         # the caller's timestep is the fallback for unset-DELTA writers.
         dt_out = dcdio.header_timestep_ps(fn) or timestep
         for xyz, _boxes, _times in dcdio.iter_dcd(fn, chunk_frames):
+            yield xyz, dt_out
+        return
+    if fn.endswith(".nc"):
+        from . import amber
+
+        # The time variable gives dt from the FIRST yield (same
+        # single-frame-probe contract as the .dcd branch above).
+        dt_out = amber.header_timestep_ps(fn) or timestep
+        for xyz, _boxes, _times in amber.iter_nc(fn, chunk_frames):
             yield xyz, dt_out
         return
     if fn.endswith((".npz", ".pdb")):
