@@ -128,14 +128,14 @@ def main(argv=None):
 
     from . import pdb as pdbio
 
-    top, xyz = pdbio.read_pdb(pdb_file)
+    top, xyz = pdbio.read_structure(pdb_file)
     # Rotate EVERY model about its own centre of geometry.  The
     # reference fills only model 0 and leaves the rest all-zero
     # (parse-hydroNMR-results.py: np.zeros_like + mol.xyz[0]) — a bug we
     # deliberately do not replicate (CLAUDE.md policy).
     cog = np.mean(xyz, axis=1, keepdims=True)
     rotated = (xyz - cog) @ mat.T + cog
-    pdbio.write_pdb(a.outPDB, top, rotated)
+    pdbio.write_structure(a.outPDB, top, rotated)
     print("= = = Done.")
 
 

@@ -219,6 +219,30 @@ def write_pdb(fn: str, top: Topology, xyz: np.ndarray):
         print("END", file=fp)
 
 
+def read_structure(fn: str) -> Tuple[Topology, np.ndarray]:
+    """Read a structure/topology file -> (Topology, xyz (nModels, nAtoms,
+    3) nm).  Dispatches on extension: .gro (io.gro) or PDB (default) —
+    every CLI surface that takes a reference/topology structure accepts
+    both (the reference's GROMACS deployments produce either,
+    create-reference-pdb.bash:63)."""
+    if fn.endswith(".gro"):
+        from . import gro
+
+        top, xyz, _boxes, _times = gro.read_gro(fn)
+        return top, xyz
+    return read_pdb(fn)
+
+
+def write_structure(fn: str, top: Topology, xyz: np.ndarray):
+    """Write a structure file, dispatching on extension (.gro or PDB)."""
+    if fn.endswith(".gro"):
+        from . import gro
+
+        gro.write_gro(fn, top, xyz)
+    else:
+        write_pdb(fn, top, xyz)
+
+
 def bond_indices(
     top: Topology,
     h_sel: str = "name H",

@@ -6,6 +6,7 @@ This rebuild's native formats are:
 - .npz  : {'xyz': (nFrames, nAtoms, 3) [nm], 'time': (nFrames,) [ps]}
           — the preferred fast path (bench/pipeline native format).
 - .pdb  : multi-MODEL coordinate files (io.pdb).
+- .gro  : (multi-frame) GROMACS coordinate files (io.gro).
 - .trr / .xtc : native GROMACS codecs (io.gmx / io.native).
 - .dcd  : native CHARMM/NAMD/X-PLOR reader (io.dcd).
 - .nc   : Amber NetCDF via scipy's classic-NetCDF reader (io.amber).
@@ -50,6 +51,16 @@ def load_trajectory(
     if fn.endswith(".pdb"):
         _, xyz = pdbio.read_pdb(fn)
         return xyz, 1.0
+    if fn.endswith(".gro"):
+        from . import gro
+
+        _, xyz, _boxes, times = gro.read_gro(fn)
+        dt = (
+            float(times[1] - times[0])
+            if times is not None and len(times) > 1
+            else 1.0
+        )
+        return xyz, dt if dt > 0 else 1.0
     if fn.endswith(".trr"):
         from . import gmx
 
@@ -78,8 +89,8 @@ def load_trajectory(
         trj = _md.load(fn, top=top_fn)
         return np.asarray(trj.xyz), float(trj.timestep)
     raise ValueError(
-        f"cannot read {fn!r}: npz/npy/pdb/trr/xtc/dcd/nc supported natively; "
-        "install mdtraj for other formats"
+        f"cannot read {fn!r}: npz/npy/pdb/gro/trr/xtc/dcd/nc supported "
+        "natively; install mdtraj for other formats"
     )
 
 
@@ -190,6 +201,22 @@ def iter_trajectory(
         dt_out = amber.header_timestep_ps(fn) or timestep
         for xyz, _boxes, _times in amber.iter_nc(fn, chunk_frames):
             yield xyz, dt_out
+        return
+    if fn.endswith(".gro"):
+        from . import gro
+
+        # Parsed once, then sliced (text format; convert to .npy for
+        # out-of-core trajectories).  dt from t= title stamps when
+        # present, else the caller's timestep (same contract as .npz).
+        _, xyz, _boxes, times = gro.read_gro(fn)
+        dt_file = (
+            float(times[1] - times[0])
+            if times is not None and len(times) > 1
+            else 0.0
+        )
+        dt_out = dt_file if dt_file > 0 else timestep
+        for start in range(0, xyz.shape[0], chunk_frames):
+            yield xyz[start : start + chunk_frames], dt_out
         return
     if fn.endswith((".npz", ".pdb")):
         xyz, dt = load_trajectory(fn, top_fn=top_fn)

@@ -586,12 +586,12 @@ def cmd_rotate(argv):
     from ..io import pdb as pdbio
 
     q_rot = np.array(_split_floats(a.qRot))
-    top, xyz = pdbio.read_pdb(a.fileInput)
+    top, xyz = pdbio.read_structure(a.fileInput)
     com = xyz.mean(axis=1, keepdims=True)
     rotated = np.asarray(
         qt.rotate_vector(jnp.asarray(xyz - com), jnp.asarray(q_rot))
     ) + com
-    pdbio.write_pdb(a.fileOutput, top, rotated)
+    pdbio.write_structure(a.fileOutput, top, rotated)
     print(f"= = = Done. Output file {a.fileOutput} has been written.")
 
 
@@ -618,8 +618,10 @@ def cmd_center(argv):
         "-pbc cluster -center on the solute, -pbc mol (native trjconv).",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
-    p.add_argument("-f", "--infn", required=True, help="trajectory (npz/xtc/trr/dcd/pdb)")
-    p.add_argument("-s", "--topfn", required=True, help="topology PDB (molecule inference)")
+    p.add_argument("-f", "--infn", required=True,
+                   help="trajectory (npz/xtc/trr/dcd/nc/gro/pdb)")
+    p.add_argument("-s", "--topfn", required=True,
+                   help="topology structure, .pdb or .gro (molecule inference)")
     p.add_argument("-o", "--outfn", default="centered.npz", help="output (npz or xtc)")
     p.add_argument("--box", default=None,
                    help='"x,y,z" box lengths [nm] when the file has none')
@@ -639,7 +641,7 @@ def cmd_center(argv):
     from ..io import trajectory as trjio
     from ..ops.pbc import center_solute, molecule_ids, apply_molecule_breaks
 
-    top, _ = pdbio.read_pdb(a.topfn)
+    top, _ = pdbio.read_structure(a.topfn)
     box_override = (
         np.asarray(_split_floats(a.box)) if a.box is not None else None
     )
@@ -677,6 +679,20 @@ def cmd_center(argv):
                     None if b33 is None else _ortho_box(b33),
                     t_c,
                 )
+        elif a.infn.endswith(".nc"):
+            from ..io import amber
+
+            for xyz_c, b33, t_c in amber.iter_nc(a.infn, a.batch):
+                yield (
+                    xyz_c,
+                    None if b33 is None else _ortho_box(b33),
+                    t_c,
+                )
+        elif a.infn.endswith(".gro"):
+            from ..io import gro
+
+            _gtop, xyz, b33, t = gro.read_gro(a.infn)
+            yield xyz, _ortho_box(b33), t
         elif a.infn.endswith(".npz"):
             # One archive read: load_trajectory would decode the same
             # multi-GB npz a second time just to drop the box.
@@ -819,10 +835,12 @@ def cmd_make_ref(argv):
     from ..io import pdb as pdbio
     from ..io import trajectory as trajio
 
-    top_fn = a.topfn or (a.infn if a.infn.endswith(".pdb") else None)
+    top_fn = a.topfn or (
+        a.infn if a.infn.endswith((".pdb", ".gro")) else None
+    )
     if top_fn is None:
         sys.exit("= = = ERROR: npz trajectories need a topology PDB (-s)")
-    top, _ = pdbio.read_pdb(top_fn)
+    top, _ = pdbio.read_structure(top_fn)
     xyz, _ = trajio.load_trajectory(a.infn, top_fn=top_fn)
     if not (-xyz.shape[0] <= a.frame < xyz.shape[0]):
         # An out-of-range slice is silently empty — it would "succeed"
@@ -838,7 +856,7 @@ def cmd_make_ref(argv):
         frame = np.asarray(unwrap_and_center(jnp.asarray(frame), jnp.asarray(a.box)))
     else:
         frame = frame - frame.mean(axis=1, keepdims=True)
-    pdbio.write_pdb(a.outfn, top, frame)
+    pdbio.write_structure(a.outfn, top, frame)
     print(f"= = Wrote {a.outfn} (frame {a.frame}, centred)")
 
 

@@ -68,7 +68,7 @@ def stage_orientation(
     run-all.bash:366 does with `cat`)."""
     if os.path.exists(out_colvar) and not force:
         return out_colvar
-    top, ref_xyz = pdbio.read_pdb(ref_pdb)
+    top, ref_xyz = pdbio.read_structure(ref_pdb)
     weights = _fit_weights(top, fit_sel)
     mode = "w"
     for fn in traj_files:
@@ -438,7 +438,7 @@ def stage_ct(
     delta_t = None
     vec_raw_list, vec_fit_list = [], []
     for trj_fn, ref_fn in zip(traj_files, ref_pdbs):
-        top, ref_xyz = pdbio.read_pdb(ref_fn)
+        top, ref_xyz = pdbio.read_structure(ref_fn)
         idx_h, idx_x, res_h = pdbio.bond_indices(top, h_sel, x_sel)
         w = _fit_weights(top, fit_sel)
         if timestep is None and trj_fn.endswith(".npy"):
@@ -721,7 +721,7 @@ def stage_relax(
             # (reference's extract_vectors_from_structure, :44-69 — left
             # unreachable there by a bug referencing an undefined `ref`;
             # implemented as intended here).
-            top, ref_xyz = pdbio.read_pdb(ref_pdb)
+            top, ref_xyz = pdbio.read_structure(ref_pdb)
             idx_h, idx_x, res_h = pdbio.bond_indices(top, ref_hsel, ref_xsel)
             if traj_file is not None:
                 xyz, _ = trajio.load_trajectory(traj_file, top_fn=ref_pdb)
@@ -910,7 +910,7 @@ def stage_multifield(
     if vec_file is not None:
         vec_names, vecs, weights = vecio.load_vector_distribution(vec_file)
     elif ref_pdb is not None:
-        top, ref_xyz = pdbio.read_pdb(ref_pdb)
+        top, ref_xyz = pdbio.read_structure(ref_pdb)
         idx_h, idx_x, res_h = pdbio.bond_indices(top)
         v = ref_xyz[0, idx_h, :] - ref_xyz[0, idx_x, :]
         vecs = v / np.linalg.norm(v, axis=-1, keepdims=True)
@@ -1269,7 +1269,7 @@ def stage_ct_streamed(
         n_chunks_total += g
 
     for trj_fn, ref_fn in zip(traj_files, ref_pdbs):
-        top, ref_xyz = pdbio.read_pdb(ref_fn)
+        top, ref_xyz = pdbio.read_structure(ref_fn)
         idx_h, idx_x, res_h = pdbio.bond_indices(top, h_sel, x_sel)
         w = _fit_weights(top, fit_sel)
         ref0 = ref_xyz[0]
