@@ -626,7 +626,15 @@ def cmd_center(argv):
     p.add_argument("--box", default=None,
                    help='"x,y,z" box lengths [nm] when the file has none')
     p.add_argument("--solute", default=None,
-                   help="solute selection expr (default: not water/ions)")
+                   help="solute selection expr (default: not water/ions); "
+                        "with --ndx, the name of an index group instead")
+    p.add_argument("--ndx", default=None,
+                   help="GROMACS index file; --solute names a group in it "
+                        "(the reference feeds trjconv the auto-generated "
+                        "solute.ndx this way)")
+    p.add_argument("--write-ndx", default=None, metavar="FILE",
+                   help="also write the solute group as a .ndx index file "
+                        "(interop with real GROMACS tooling)")
     p.add_argument("--output-group", choices=["system", "solute"],
                    default="system",
                    help="atoms written out (the reference keeps Solute)")
@@ -731,10 +739,29 @@ def cmd_center(argv):
             yield xyz, None, np.arange(xyz.shape[0]) * dt_
 
     solute = None
-    if a.solute is not None:
+    if a.ndx is not None:
+        from ..io import ndx as ndxio
+
+        try:
+            groups = ndxio.read_ndx(a.ndx)
+            solute = ndxio.group_mask(
+                groups, a.solute or "Solute", top.n_atoms
+            )
+        except ndxio.NdxError as e:
+            raise SystemExit(f"= = Bad index file {a.ndx!r}: {e}")
+    elif a.solute is not None:
         mask = np.zeros(top.n_atoms, dtype=bool)
         mask[top.select(a.solute)] = True
         solute = mask
+    if a.write_ndx is not None:
+        from ..io import ndx as ndxio
+        from ..ops.pbc import solute_mask as _smask2
+
+        sol = solute if solute is not None else _smask2(top)
+        ndxio.write_ndx(
+            a.write_ndx, {"Solute": np.where(np.asarray(sol))[0]}
+        )
+        print(f"= = Wrote index file {a.write_ndx}")
     mol_id = None
     if a.mol_breaks is not None:
         # Specs stay strings: apply_molecule_breaks accepts both plain

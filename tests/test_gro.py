@@ -165,6 +165,48 @@ def test_trajectory_loader_and_stream(tmp_path):
     assert dt2 == pytest.approx(7.0)
 
 
+def test_ct_stage_accepts_gro(tmp_path):
+    """`spinrelax ct -f traj.gro -s ref.gro` == the npz/pdb path at the
+    .gro coordinate quantisation (pins the read_structure wiring in
+    pipeline/stages.py)."""
+    from spinrelax_tpu.pipeline import cli
+
+    rng = np.random.default_rng(5)
+    names, rs = [], []
+    for r in range(1, 5):
+        names += ["N", "H"]
+        rs += [r, r]
+    n = len(names)
+    top = pdbio.Topology(
+        atom_names=names, res_seqs=np.array(rs), res_names=["ALA"] * n,
+        chain_ids=[""] * n, occupancies=np.ones(n),
+        elements=[nm[0] for nm in names],
+    )
+    base = rng.uniform(0, 3, (n, 3))
+    xyz = base[None] + rng.normal(0, 0.01, (24, n, 3))
+    gro_fn = str(tmp_path / "traj.gro")
+    groio.write_gro(gro_fn, top, xyz, times=np.arange(24) * 2.0)
+    groio.write_gro(str(tmp_path / "ref.gro"), top, base[None])
+    pdbio.write_pdb(str(tmp_path / "ref.pdb"), top, base[None])
+    np.savez(str(tmp_path / "traj.npz"), xyz=xyz, time=np.arange(24) * 2.0)
+    for tag, traj, ref in (
+        ("g", "traj.gro", "ref.gro"), ("p", "traj.npz", "ref.pdb")
+    ):
+        cli.cmd_ct([
+            "-f", str(tmp_path / traj), "-s", str(tmp_path / ref),
+            "-o", str(tmp_path / tag), "-t", "16", "--Ct", "--S2",
+        ])
+    for suff in ("_Ctint.dat", "_S2.dat"):
+        rows = []
+        for tag in ("g", "p"):
+            rows.append(np.array([
+                [float(x) for x in l.split()]
+                for l in open(str(tmp_path / tag) + suff)
+                if l.strip() and not l.startswith(("#", "@", "&"))
+            ]))
+        np.testing.assert_allclose(rows[0], rows[1], atol=1e-5)
+
+
 def test_rotate_cli_accepts_gro(tmp_path, monkeypatch):
     from spinrelax_tpu.pipeline import cli
 
