@@ -203,6 +203,13 @@ def write_gro(
         raise ValueError(
             f"xyz has {xyz.shape[1]} atoms, topology has {top.n_atoms}"
         )
+    if xyz.size and (xyz.min() <= -1000.0 or xyz.max() >= 10000.0):
+        # -1000.000 needs 9 characters: the %8.3f field overflows and
+        # every later column shifts — readers then misparse silently.
+        raise ValueError(
+            f"{fn}: coordinates outside the .gro %8.3f field "
+            f"(-1000, 10000) nm: [{xyz.min():g}, {xyz.max():g}]"
+        )
     if boxes is not None:
         boxes = np.asarray(boxes)
         if boxes.ndim == 2:

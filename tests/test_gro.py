@@ -125,6 +125,14 @@ def test_errors(tmp_path):
         groio.read_gro(_write(tmp_path, bad, "mismatch.gro"))
 
 
+def test_write_rejects_field_overflow(tmp_path):
+    top = _toy_top(1)
+    with pytest.raises(ValueError, match="%8.3f field"):
+        groio.write_gro(
+            str(tmp_path / "o.gro"), top, np.full((1, 1, 3), -1234.0)
+        )
+
+
 def test_structure_dispatch_matches_pdb(tmp_path):
     rng = np.random.default_rng(3)
     top = _toy_top()
