@@ -340,15 +340,24 @@ def cmd_fit_ct(argv):
                         "wins (1 = the reference's single cold start; "
                         "8 beats scipy TRF robustness on hard "
                         "adjacent-timescale mixes at ~8x rung compute)")
+    p.add_argument("--devices", type=int, default=0, metavar="N",
+                   help="shard the batched ladder fits over the first N "
+                        "local devices (0 = single-device)")
     a = p.parse_args(argv)
     from .stages import stage_fit_ct
 
+    mesh = None
+    if a.devices > 0:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(a.devices)
     stage_fit_ct(
         a.infn, a.outpref,
         n_components=None if a.nc < 0 else a.nc,
         use_s2fast=not a.nofast,
         optimiser=a.optimiser,
         n_starts=a.nstarts,
+        mesh=mesh,
     )
     print(" = = Completed C(t)-fits.")
 

@@ -602,6 +602,7 @@ def stage_fit_ct(
     force: bool = False,
     optimiser: str = "lm",
     n_starts: int = 1,
+    mesh=None,
 ) -> CtModelSet:
     out_fn = out_prefix + "_fittedCt.dat"
     legs, dts, cts, dcts = xvg.load_sxydylist(ct_files[0], "legend")
@@ -650,6 +651,7 @@ def stage_fit_ct(
         n_components=n_components,
         optimiser=optimiser,
         n_starts=n_starts,
+        mesh=mesh,
     )
     fctio.write_fittedct(out_fn, model, dt=dt, targets=decays)
     return model

@@ -298,3 +298,36 @@ def test_multifield_stage_devices_byte_identical(tmp_path, rng):
             fitted_fn, expt_files, str(tmp_path / "bad"), start,
             vec_file=vec_fn, zeta=float(cts.zeta), devices=8,
         )
+
+
+def test_fitct_cli_devices_byte_identical(tmp_path, rng):
+    """`spinrelax fit-ct --devices N`: the residue-sharded DoF ladder
+    must write a byte-identical _fittedCt.dat (completes the CLI mesh
+    surface: ct/run-all/multifield already have it)."""
+    from spinrelax_tpu.io import xvg
+    from spinrelax_tpu.pipeline import cli
+
+    # 11 residues (not divisible by 8 -> padding) with two-timescale
+    # decays so the ladder actually walks past the first rung.
+    dt = np.arange(0.0, 120.0, 2.0)
+    n = 11
+    tau1 = rng.uniform(3.0, 8.0, n)
+    tau2 = rng.uniform(30.0, 60.0, n)
+    s2 = rng.uniform(0.7, 0.85, n)
+    c1 = rng.uniform(0.05, 0.12, n)
+    y = (
+        s2[:, None]
+        + c1[:, None] * np.exp(-dt[None] / tau1[:, None])
+        + (1.0 - s2 - c1)[:, None] * np.exp(-dt[None] / tau2[:, None])
+    )
+    y += rng.normal(0.0, 4e-4, y.shape)
+    dy = np.full_like(y, 4e-4)
+    names = [str(i + 1) for i in range(n)]
+    ct_fn = str(tmp_path / "in_Ctint.dat")
+    xvg.print_sxylist(ct_fn, names, dt, np.stack([y, dy], axis=-1))
+
+    for tag, extra in (("one", []), ("mesh", ["--devices", "8"])):
+        cli.cmd_fit_ct(["-f", ct_fn, "-o", str(tmp_path / tag)] + extra)
+    a = (tmp_path / "one_fittedCt.dat").read_bytes()
+    b = (tmp_path / "mesh_fittedCt.dat").read_bytes()
+    assert a == b and a
