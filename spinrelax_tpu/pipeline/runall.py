@@ -225,7 +225,13 @@ def run_workflow(cfg: WorkflowConfig):
     if cfg.force or not stage_is_current(
         outpref, "fit-ct", [outpref + "_Ctint.dat"], [outpref + "_fittedCt.dat"]
     ):
-        stages.stage_fit_ct([outpref + "_Ctint.dat"], outpref)
+        fit_mesh = None
+        if io.devices > 0:
+            from ..parallel.mesh import make_mesh
+
+            fit_mesh = make_mesh(io.devices)
+        stages.stage_fit_ct([outpref + "_Ctint.dat"], outpref,
+                            mesh=fit_mesh)
         record_stage(outpref, "fit-ct", [outpref + "_Ctint.dat"])
     else:
         print(" = = = Note: Pre-existing fitted-Ct file found, skipping.")
