@@ -134,6 +134,7 @@ def write_nc(
     xyz: np.ndarray,
     boxes: Optional[np.ndarray] = None,
     timestep_ps: float = 1.0,
+    times: Optional[np.ndarray] = None,
 ):
     """Write (nFrames, nAtoms, 3) nm coordinates as an AMBER-conventions
     NetCDF trajectory (orthorhombic boxes only — the cell_angles are
@@ -156,9 +157,12 @@ def write_nc(
         nc.createDimension("spatial", 3)
         v_t = nc.createVariable("time", "f", ("frame",))
         v_t.units = "picosecond"
-        v_t[:] = np.arange(n_frames, dtype=np.float32) * np.float32(
-            timestep_ps
-        )
+        if times is not None:
+            v_t[:] = np.asarray(times, dtype=np.float32)
+        else:
+            v_t[:] = np.arange(n_frames, dtype=np.float32) * np.float32(
+                timestep_ps
+            )
         v_c = nc.createVariable("coordinates", "f", ("frame", "atom", "spatial"))
         v_c.units = "angstrom"
         v_c[:] = np.asarray(xyz, dtype=np.float32) * np.float32(10.0)

@@ -217,14 +217,46 @@ def write_dcd(
     boxes: Optional[np.ndarray] = None,
     timestep_ps: float = 1.0,
     nsavc: int = 1,
+    append: bool = False,
 ):
     """Write (nFrames, nAtoms, 3) nm coordinates as a little-endian
     CHARMM-format DCD (crystal records when ``boxes`` is given —
-    orthorhombic boxes write exact 90-degree cosines)."""
+    orthorhombic boxes write exact 90-degree cosines).
+
+    ``append=True`` extends a DCD this function previously wrote and
+    patches the header frame counts in place — the streaming-writer
+    path for >RAM conversions.  The appended chunk must match the
+    file's natoms and crystal-record layout."""
     xyz = np.asarray(xyz)
     if xyz.ndim != 3 or xyz.shape[2] != 3:
         raise ValueError(f"xyz must be (nFrames, nAtoms, 3), got {xyz.shape}")
     n_frames, natoms = xyz.shape[:2]
+    if append and os.path.exists(fn):
+        with open(fn, "r+b") as fp:
+            h = _read_header(fp)
+            if h.endian != "<":
+                raise DcdError(f"{fn}: can only append to little-endian DCD")
+            if h.natoms != natoms:
+                raise DcdError(
+                    f"{fn}: appending {natoms}-atom frames to a "
+                    f"{h.natoms}-atom DCD"
+                )
+            if h.has_cell != (boxes is not None):
+                raise DcdError(
+                    f"{fn}: crystal-record layout mismatch on append "
+                    f"(file has_cell={h.has_cell}, chunk "
+                    f"boxes={'set' if boxes is not None else 'None'})"
+                )
+            fp.seek(0, os.SEEK_END)
+            _write_frames(fp, xyz, boxes)
+            total = h.n_frames + n_frames
+            # icntrl[0] (NSET) sits at byte 8 (marker + 'CORD'),
+            # icntrl[3] (NSTEP) at byte 20.
+            fp.seek(8)
+            fp.write(struct.pack("<i", total))
+            fp.seek(8 + 3 * 4)
+            fp.write(struct.pack("<i", total * max(h.nsavc, 1)))
+        return
     delta = float(timestep_ps) / (AKMA_PS * max(int(nsavc), 1))
     icntrl = [0] * 20
     icntrl[0] = n_frames
@@ -234,32 +266,37 @@ def write_dcd(
     icntrl[10] = 1 if boxes is not None else 0
     icntrl[19] = 24  # CHARMM version -> float32 DELTA + cell records
 
-    def rec(body: bytes) -> bytes:
-        return struct.pack("<i", len(body)) + body + struct.pack("<i", len(body))
-
     with open(fn, "wb") as fp:
         blk = b"CORD"
         blk += struct.pack("<9i", *icntrl[:9])
         blk += struct.pack("<f", delta)
         blk += struct.pack("<10i", *icntrl[10:])
-        fp.write(rec(blk))
+        fp.write(_rec(blk))
         title = b"REMARKS written by spinrelax_tpu".ljust(80)[:80]
-        fp.write(rec(struct.pack("<i", 1) + title))
-        fp.write(rec(struct.pack("<i", natoms)))
-        for f in range(n_frames):
-            if boxes is not None:
-                bx = np.asarray(boxes[f], dtype=np.float64) * 10.0  # nm -> A
-                if bx.ndim == 1:
-                    a, b, c = bx[:3]
-                    ca = cb = cg = 0.0
-                else:
-                    a = float(np.linalg.norm(bx[0]))
-                    b = float(np.linalg.norm(bx[1]))
-                    c = float(np.linalg.norm(bx[2]))
-                    ca = float(bx[1] @ bx[2] / (b * c)) if b * c else 0.0
-                    cb = float(bx[0] @ bx[2] / (a * c)) if a * c else 0.0
-                    cg = float(bx[0] @ bx[1] / (a * b)) if a * b else 0.0
-                fp.write(rec(struct.pack("<6d", a, cg, b, cb, ca, c)))
-            frame = np.asarray(xyz[f], dtype=np.float32) * np.float32(10.0)
-            for k in range(3):
-                fp.write(rec(np.ascontiguousarray(frame[:, k]).tobytes()))
+        fp.write(_rec(struct.pack("<i", 1) + title))
+        fp.write(_rec(struct.pack("<i", natoms)))
+        _write_frames(fp, xyz, boxes)
+
+
+def _rec(body: bytes) -> bytes:
+    return struct.pack("<i", len(body)) + body + struct.pack("<i", len(body))
+
+
+def _write_frames(fp, xyz: np.ndarray, boxes: Optional[np.ndarray]):
+    for f in range(xyz.shape[0]):
+        if boxes is not None:
+            bx = np.asarray(boxes[f], dtype=np.float64) * 10.0  # nm -> A
+            if bx.ndim == 1:
+                a, b, c = bx[:3]
+                ca = cb = cg = 0.0
+            else:
+                a = float(np.linalg.norm(bx[0]))
+                b = float(np.linalg.norm(bx[1]))
+                c = float(np.linalg.norm(bx[2]))
+                ca = float(bx[1] @ bx[2] / (b * c)) if b * c else 0.0
+                cb = float(bx[0] @ bx[2] / (a * c)) if a * c else 0.0
+                cg = float(bx[0] @ bx[1] / (a * b)) if a * b else 0.0
+            fp.write(_rec(struct.pack("<6d", a, cg, b, cb, ca, c)))
+        frame = np.asarray(xyz[f], dtype=np.float32) * np.float32(10.0)
+        for k in range(3):
+            fp.write(_rec(np.ascontiguousarray(frame[:, k]).tobytes()))

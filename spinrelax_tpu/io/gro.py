@@ -189,11 +189,14 @@ def write_gro(
     boxes: Optional[np.ndarray] = None,
     times: Optional[np.ndarray] = None,
     title: str = "written by spinrelax_tpu",
+    append: bool = False,
 ):
     """Write (nFrames, nAtoms, 3) nm coordinates as a (multi-frame) .gro.
 
     Residue/atom numbers wrap at 100000 (the format's %5d fields, same
-    convention GROMACS uses for large systems)."""
+    convention GROMACS uses for large systems).  ``append=True`` adds
+    frames to an existing file (concatenated frames are the format's
+    trajectory convention)."""
     xyz = np.asarray(xyz)
     if xyz.ndim == 2:
         xyz = xyz[None]
@@ -214,7 +217,7 @@ def write_gro(
         boxes = np.asarray(boxes)
         if boxes.ndim == 2:
             boxes = np.broadcast_to(boxes, (xyz.shape[0], 3, 3))
-    with open(fn, "w") as fp:
+    with open(fn, "a" if append else "w") as fp:
         for m in range(xyz.shape[0]):
             t = f" t= {float(times[m]):.5f}" if times is not None else ""
             print(f"{title}{t}", file=fp)

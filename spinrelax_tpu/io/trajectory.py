@@ -240,3 +240,106 @@ def iter_trajectory(
             yield np.asarray(trj.xyz), float(trj.timestep)
         return
     raise ValueError(f"cannot stream {fn!r}")
+
+
+def _npz_boxes(obj, n_frames: int) -> Optional[np.ndarray]:
+    """Normalise an npz 'box' entry to (nFrames, 3, 3) matrices.
+    Accepted layouts: (nF,3,3), (3,3) shared, (nF,3) per-frame lengths,
+    (3,) shared lengths."""
+    if "box" not in obj:
+        return None
+    box = np.asarray(obj["box"])
+    if box.ndim == 3:
+        return box
+    if box.shape == (3, 3):
+        return np.broadcast_to(box, (n_frames, 3, 3)).copy()
+    if box.ndim == 2 and box.shape[1] == 3:
+        out = np.zeros((n_frames, 3, 3), dtype=box.dtype)
+        out[:, [0, 1, 2], [0, 1, 2]] = box
+        return out
+    if box.shape == (3,):
+        return np.broadcast_to(np.diag(box), (n_frames, 3, 3)).copy()
+    raise ValueError(f"unrecognised npz box shape {box.shape}")
+
+
+def iter_trajectory_full(
+    fn: str,
+    chunk_frames: int,
+    top_fn: Optional[str] = None,
+    io_threads: int = 0,
+):
+    """Like :func:`iter_trajectory`, but keeps the per-frame metadata:
+    yields (xyz (c, nAtoms, 3) nm, boxes (c, 3, 3) nm or None,
+    times (c,) ps or None).  The format-conversion path — readers that
+    stream natively (xtc/trr/dcd/nc) stay constant-memory."""
+    if fn.endswith(".xtc"):
+        from . import native
+
+        yield from native.iter_xtc(fn, chunk_frames, threads=io_threads)
+        return
+    if fn.endswith(".trr"):
+        from . import gmx
+
+        fs, bs, ts = [], [], []
+        for x, b, t in gmx.iter_trr(fn):
+            fs.append(x)
+            bs.append(b)
+            ts.append(t)
+            if len(fs) == chunk_frames:
+                boxes = None if any(b is None for b in bs) else np.stack(bs)
+                yield np.stack(fs), boxes, np.asarray(ts, dtype=float)
+                fs, bs, ts = [], [], []
+        if fs:
+            boxes = None if any(b is None for b in bs) else np.stack(bs)
+            yield np.stack(fs), boxes, np.asarray(ts, dtype=float)
+        return
+    if fn.endswith(".dcd"):
+        from . import dcd as dcdio
+
+        yield from dcdio.iter_dcd(fn, chunk_frames)
+        return
+    if fn.endswith(".nc"):
+        from . import amber
+
+        yield from amber.iter_nc(fn, chunk_frames)
+        return
+    if fn.endswith(".gro"):
+        from . import gro
+
+        _top, xyz, boxes, times = gro.read_gro(fn)
+        if not np.any(boxes):
+            boxes = None  # zero box lines = no box information
+        for lo in range(0, xyz.shape[0], chunk_frames):
+            sel = slice(lo, lo + chunk_frames)
+            yield (xyz[sel], None if boxes is None else boxes[sel],
+                   None if times is None else times[sel])
+        return
+    if fn.endswith(".npz"):
+        obj = np.load(fn)
+        xyz = np.asarray(obj["xyz"])
+        n = xyz.shape[0]
+        boxes = _npz_boxes(obj, n)
+        if "time" in obj:
+            times = np.asarray(obj["time"], dtype=float)
+        elif "timestep" in obj:
+            times = np.arange(n, dtype=float) * float(obj["timestep"])
+        else:
+            times = None
+        for lo in range(0, n, chunk_frames):
+            sel = slice(lo, lo + chunk_frames)
+            yield (xyz[sel], None if boxes is None else boxes[sel],
+                   None if times is None else times[sel])
+        return
+    if fn.endswith(".npy"):
+        arr = np.load(fn, mmap_mode="r")
+        for lo in range(0, arr.shape[0], chunk_frames):
+            yield np.asarray(arr[lo : lo + chunk_frames]), None, None
+        return
+    if fn.endswith(".pdb"):
+        _, xyz = pdbio.read_pdb(fn)
+        for lo in range(0, xyz.shape[0], chunk_frames):
+            yield xyz[lo : lo + chunk_frames], None, None
+        return
+    raise ValueError(
+        f"cannot stream {fn!r}: npz/npy/pdb/gro/trr/xtc/dcd/nc supported"
+    )

@@ -946,8 +946,201 @@ def cmd_check(argv):
         sys.exit(1)
 
 
+def cmd_convert(argv):
+    """Native trjconv-style trajectory conversion: any supported input
+    format -> npz/xtc/trr/dcd/nc/gro/pdb, with optional atom selection
+    (expression or index group) and frame range/stride.  Streaming
+    (constant-memory) wherever both codecs allow — xtc/dcd/gro outputs
+    append chunk by chunk; npz/trr/nc/pdb outputs buffer in RAM."""
+    p = argparse.ArgumentParser(
+        prog="spinrelax convert",
+        description="Convert trajectories between the native formats "
+        "(npz/npy/pdb/gro/trr/xtc/dcd/nc in; npz/xtc/trr/dcd/nc/gro/pdb "
+        "out), with atom selection and frame ranges — the trjconv "
+        "conversions the reference workflow shells out for.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("-f", "--infn", required=True)
+    p.add_argument("-o", "--outfn", required=True)
+    p.add_argument("-s", "--topfn", default=None,
+                   help="topology (.pdb/.gro); required for pdb/gro "
+                        "output and for --select/--ndx")
+    p.add_argument("--select", default=None,
+                   help="atom selection expression (io.pdb DSL)")
+    p.add_argument("--ndx", default=None, help="GROMACS index file")
+    p.add_argument("--group", default=None,
+                   help="index group to keep (with --ndx)")
+    p.add_argument("-b", "--begin", type=float, default=None,
+                   help="first frame time [ps]")
+    p.add_argument("-e", "--end", type=float, default=None,
+                   help="last frame time [ps]")
+    p.add_argument("--skip", type=int, default=1,
+                   help="write every N-th in-range frame")
+    p.add_argument("--timestep", type=float, default=1.0,
+                   help="frame spacing [ps] when the input stores none")
+    p.add_argument("--batch", type=int, default=1000,
+                   help="frames per streamed chunk")
+    p.add_argument("--precision", type=float, default=1000.0,
+                   help=".xtc output quantisation (1000 = 0.001 nm)")
+    a = p.parse_args(argv)
+    from ..io import pdb as pdbio
+    from ..io import trajectory as trjio
+
+    out_ext = a.outfn.rsplit(".", 1)[-1] if "." in a.outfn else ""
+    if out_ext not in ("npz", "xtc", "trr", "dcd", "nc", "gro", "pdb"):
+        sys.exit(f"= = = ERROR: unsupported output format {a.outfn!r} "
+                 "(npz/xtc/trr/dcd/nc/gro/pdb)")
+    if a.skip < 1:
+        sys.exit("= = = ERROR: --skip must be >= 1")
+
+    top = None
+    if a.topfn is not None:
+        top, _ = pdbio.read_structure(a.topfn)
+    sel_idx = None
+    if a.ndx is not None:
+        from ..io import ndx as ndxio
+
+        if top is None:
+            sys.exit("= = = ERROR: --ndx needs a topology (-s)")
+        try:
+            groups = ndxio.read_ndx(a.ndx)
+            mask = ndxio.group_mask(groups, a.group or "Solute", top.n_atoms)
+        except ndxio.NdxError as e:
+            sys.exit(f"= = = ERROR: bad index file {a.ndx!r}: {e}")
+        sel_idx = np.where(mask)[0]
+    elif a.select is not None:
+        if top is None:
+            sys.exit("= = = ERROR: --select needs a topology (-s)")
+        sel_idx = top.select(a.select)
+        if len(sel_idx) == 0:
+            sys.exit(f"= = = ERROR: selection {a.select!r} matches no atoms")
+    if out_ext in ("gro", "pdb") and top is None:
+        sys.exit(f"= = = ERROR: .{out_ext} output needs a topology (-s)")
+
+    top_out = top
+    if sel_idx is not None and top is not None:
+        top_out = pdbio.Topology(
+            atom_names=[top.atom_names[i] for i in sel_idx],
+            res_seqs=np.asarray(top.res_seqs)[sel_idx],
+            res_names=[top.res_names[i] for i in sel_idx],
+            chain_ids=[top.chain_ids[i] for i in sel_idx],
+            occupancies=np.asarray(top.occupancies)[sel_idx],
+            elements=[top.elements[i] for i in sel_idx],
+        )
+
+    streaming = out_ext in ("xtc", "dcd", "gro")
+    buf_xyz, buf_box, buf_t = [], [], []
+    n_in = n_written = 0
+    kept = 0  # in-window frames seen (stride counter)
+    dt_out = a.timestep * a.skip
+    dt_fixed = False
+    prev_last_t = None  # last written timestamp (spans chunk boundaries)
+    any_box = None  # None = unknown yet; the writers need a consistent layout
+    for xyz_c, boxes_c, times_c in trjio.iter_trajectory_full(
+        a.infn, a.batch, top_fn=a.topfn
+    ):
+        c = xyz_c.shape[0]
+        if n_in == 0:
+            if top is not None and xyz_c.shape[1] != top.n_atoms:
+                sys.exit(
+                    f"= = = ERROR: trajectory has {xyz_c.shape[1]} atoms, "
+                    f"topology has {top.n_atoms}"
+                )
+            any_box = boxes_c is not None
+        if (boxes_c is not None) != any_box:
+            sys.exit("= = = ERROR: box records appear/disappear mid-file")
+        t_c = (
+            np.asarray(times_c, dtype=float)
+            if times_c is not None
+            else (n_in + np.arange(c, dtype=float)) * a.timestep
+        )
+        n_in += c
+        window = np.ones(c, dtype=bool)
+        if a.begin is not None:
+            window &= t_c >= a.begin
+        if a.end is not None:
+            window &= t_c <= a.end
+        in_win = np.where(window)[0]
+        pick = in_win[(kept + np.arange(len(in_win))) % a.skip == 0]
+        kept += len(in_win)
+        if len(pick) == 0:
+            continue
+        xyz_m = xyz_c[pick]
+        if sel_idx is not None:
+            xyz_m = xyz_m[:, sel_idx]
+        box_m = boxes_c[pick] if boxes_c is not None else None
+        t_m = t_c[pick]
+        if not dt_fixed:
+            # output spacing from the first two written timestamps
+            pair = (
+                np.concatenate([[prev_last_t], t_m])
+                if prev_last_t is not None else t_m
+            )
+            if len(pair) > 1:
+                dt_out = float(pair[1] - pair[0])
+                dt_fixed = True
+        prev_last_t = float(t_m[-1])
+        if streaming:
+            if out_ext == "xtc":
+                from ..io import native
+
+                native.write_xtc(
+                    a.outfn, xyz_m, times=t_m.astype(np.float32),
+                    boxes=None if box_m is None
+                    else np.asarray(box_m, dtype=np.float32),
+                    precision=a.precision,
+                    append=n_written > 0, step0=n_written,
+                )
+            elif out_ext == "dcd":
+                from ..io import dcd as dcdio
+
+                dcdio.write_dcd(
+                    a.outfn, xyz_m, boxes=box_m, timestep_ps=dt_out,
+                    append=n_written > 0,
+                )
+            else:  # gro
+                from ..io import gro as groio
+
+                groio.write_gro(
+                    a.outfn, top_out, xyz_m,
+                    boxes=box_m, times=t_m, append=n_written > 0,
+                )
+        else:
+            buf_xyz.append(xyz_m)
+            if box_m is not None:
+                buf_box.append(box_m)
+            buf_t.append(t_m)
+        n_written += len(pick)
+    if n_written == 0:
+        sys.exit("= = = ERROR: no frames selected (empty input or "
+                 "begin/end window excludes everything).")
+    if not streaming:
+        xyz_all = np.concatenate(buf_xyz)
+        t_all = np.concatenate(buf_t)
+        box_all = np.concatenate(buf_box) if buf_box else None
+        if out_ext == "npz":
+            payload = {"xyz": xyz_all, "time": t_all, "timestep": dt_out}
+            if box_all is not None:
+                payload["box"] = box_all
+            np.savez_compressed(a.outfn, **payload)
+        elif out_ext == "trr":
+            from ..io import gmx
+
+            gmx.write_trr(a.outfn, xyz_all, times=t_all, box=box_all)
+        elif out_ext == "nc":
+            from ..io import amber
+
+            amber.write_nc(a.outfn, xyz_all, boxes=box_all,
+                           timestep_ps=dt_out, times=t_all)
+        else:  # pdb
+            pdbio.write_pdb(a.outfn, top_out, xyz_all)
+    print(f"= = Wrote {a.outfn}: {n_written}/{n_in} frames"
+          + (f", {len(sel_idx)} atoms" if sel_idx is not None else ""))
+
+
 COMMANDS = {
     "center": cmd_center,
+    "convert": cmd_convert,
     "orient": cmd_orient,
     "dq": cmd_dq,
     "ct": cmd_ct,
