@@ -161,6 +161,22 @@ def header_timestep_ps(fn: str) -> float:
         return _timestep_ps(_read_header(fp))
 
 
+def info_dcd(fn: str) -> Tuple[int, int, float]:
+    """Header-only inspection -> (n frames, natoms, timestep ps or 0.0).
+    The frame count comes from the file size (fixed frame stride), not
+    the header's advisory NSET; a trailing partial frame errors."""
+    with open(fn, "rb") as fp:
+        h = _read_header(fp)
+        size = os.fstat(fp.fileno()).st_size
+        payload = size - h.frame0_off
+        if payload % h.frame_bytes:
+            raise DcdError(
+                f"{fn}: {payload % h.frame_bytes} trailing bytes "
+                "(truncated frame?)"
+            )
+        return payload // h.frame_bytes, h.natoms, _timestep_ps(h)
+
+
 def read_dcd(fn: str) -> Tuple[np.ndarray, Optional[np.ndarray], np.ndarray]:
     """Read a whole DCD -> (xyz (nFrames, nAtoms, 3) nm,
     boxes (nFrames, 3, 3) nm or None, times (nFrames,) ps).

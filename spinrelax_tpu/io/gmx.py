@@ -117,6 +117,40 @@ def iter_trr(fn: str) -> Iterator[Tuple[np.ndarray, np.ndarray, float]]:
             yield x.astype(np.float32), box, float(h.time)
 
 
+def info_trr(fn: str) -> Tuple[int, int, List[float]]:
+    """Header-hop scan (payloads fseek'd past, not read) ->
+    (n coordinate frames, natoms, first <=2 frame times [ps])."""
+    import os
+
+    n, natoms = 0, 0
+    times: List[float] = []
+    with open(fn, "rb") as fp:
+        size = os.fstat(fp.fileno()).st_size
+        while True:
+            h = _read_frame_header(fp)
+            if h is None:
+                break
+            if h.ir_size or h.e_size or h.top_size or h.sym_size:
+                raise ValueError(
+                    f"{fn}: unsupported legacy TRR blocks "
+                    f"(ir={h.ir_size}, e={h.e_size}, top={h.top_size}, "
+                    f"sym={h.sym_size})"
+                )
+            fp.seek(
+                h.box_size + h.vir_size + h.pres_size
+                + h.x_size + h.v_size + h.f_size,
+                1,
+            )
+            if fp.tell() > size:
+                raise ValueError(f"{fn}: truncated TRR (frame payload cut)")
+            if h.x_size:
+                n += 1
+                natoms = h.natoms
+                if len(times) < 2:
+                    times.append(float(h.time))
+    return n, natoms, times
+
+
 def read_trr(fn: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """-> (xyz (nFrames, nAtoms, 3) [nm], boxes (nFrames, 3, 3), times)."""
     xs: List[np.ndarray] = []

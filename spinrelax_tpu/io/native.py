@@ -257,6 +257,20 @@ def xtc_available() -> bool:
     return _load_xtc() is not None
 
 
+def info_xtc(fn: str) -> tuple:
+    """Header-scan inspection (payloads fseek'd past, no decode) ->
+    (n frames, natoms)."""
+    lib = _load_xtc()
+    if lib is None:
+        raise OSError("native XTC codec unavailable (no compiler?)")
+    n_frames = ctypes.c_long()
+    natoms = ctypes.c_int()
+    rc = lib.xtc_info(fn.encode(), ctypes.byref(n_frames), ctypes.byref(natoms))
+    if rc != 0:
+        raise OSError(f"xtc_info failed on {fn!r} (code {rc})")
+    return n_frames.value, natoms.value
+
+
 def read_xtc(fn: str, threads: int = 1):
     """-> (xyz (nFrames, nAtoms, 3) [nm] float32, boxes (nFrames, 3, 3),
     times (nFrames,)).

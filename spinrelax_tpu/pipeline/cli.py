@@ -982,6 +982,14 @@ def cmd_convert(argv):
                    help="frames per streamed chunk")
     p.add_argument("--precision", type=float, default=1000.0,
                    help=".xtc output quantisation (1000 = 0.001 nm)")
+    p.add_argument("--superpose", default=None, metavar="REF",
+                   help="least-squares fit every frame onto this "
+                        "reference structure (.pdb/.gro) before writing "
+                        "(trjconv -fit rot+trans; boxes pass through "
+                        "unchanged, as trjconv's do)")
+    p.add_argument("--fitsel", default="occupancy > 0",
+                   help="atoms the --superpose fit uses (reference's "
+                        "occupancy-flag convention)")
     a = p.parse_args(argv)
     from ..io import pdb as pdbio
     from ..io import trajectory as trjio
@@ -992,6 +1000,8 @@ def cmd_convert(argv):
                  "(npz/xtc/trr/dcd/nc/gro/pdb)")
     if a.skip < 1:
         sys.exit("= = = ERROR: --skip must be >= 1")
+    if a.batch < 1:
+        sys.exit("= = = ERROR: --batch must be >= 1")
 
     top = None
     if a.topfn is not None:
@@ -1027,6 +1037,17 @@ def cmd_convert(argv):
             occupancies=np.asarray(top.occupancies)[sel_idx],
             elements=[top.elements[i] for i in sel_idx],
         )
+
+    sup_ref = sup_w = None
+    if a.superpose is not None:
+        rtop, rxyz = pdbio.read_structure(a.superpose)
+        fit_idx = rtop.select(a.fitsel)
+        if len(fit_idx) == 0:
+            sys.exit(f"= = = ERROR: --fitsel {a.fitsel!r} matches no atoms "
+                     f"of {a.superpose!r}")
+        sup_w = np.zeros(rtop.n_atoms)
+        sup_w[fit_idx] = 1.0
+        sup_ref = rxyz[0]
 
     streaming = out_ext in ("xtc", "dcd", "gro")
     buf_xyz, buf_box, buf_t = [], [], []
@@ -1066,6 +1087,15 @@ def cmd_convert(argv):
         if len(pick) == 0:
             continue
         xyz_m = xyz_c[pick]
+        if sup_ref is not None:
+            if xyz_m.shape[1] != sup_ref.shape[0]:
+                sys.exit(
+                    f"= = = ERROR: --superpose reference has "
+                    f"{sup_ref.shape[0]} atoms, trajectory {xyz_m.shape[1]}"
+                )
+            from ..ops.orient import superpose as _superpose
+
+            xyz_m = np.asarray(_superpose(xyz_m, sup_ref, sup_w))
         if sel_idx is not None:
             xyz_m = xyz_m[:, sel_idx]
         box_m = boxes_c[pick] if boxes_c is not None else None
@@ -1138,9 +1168,127 @@ def cmd_convert(argv):
           + (f", {len(sel_idx)} atoms" if sel_idx is not None else ""))
 
 
+def _traj_info(fn: str):
+    """-> dict(frames, atoms, dt [ps or None], t0, box (3,) lengths or
+    None) using header-only scans where the format allows."""
+    import os
+
+    rec = {"frames": None, "atoms": None, "dt": None, "t0": None,
+           "box": None, "size": os.path.getsize(fn)}
+
+    def first_chunk(n=2):
+        from ..io import trajectory as trjio
+
+        return next(trjio.iter_trajectory_full(fn, n))
+
+    if fn.endswith(".xtc"):
+        from ..io import native
+
+        rec["frames"], rec["atoms"] = native.info_xtc(fn)
+        if rec["frames"]:
+            xyz, boxes, times = first_chunk()
+            rec["t0"] = float(times[0])
+            if len(times) > 1:
+                rec["dt"] = float(times[1] - times[0])
+            rec["box"] = np.diag(boxes[0]) if np.any(boxes[0]) else None
+    elif fn.endswith(".trr"):
+        from ..io import gmx
+
+        rec["frames"], rec["atoms"], times = gmx.info_trr(fn)
+        if times:
+            rec["t0"] = times[0]
+            if len(times) > 1:
+                rec["dt"] = times[1] - times[0]
+        if rec["frames"]:
+            _, boxes, _ = first_chunk(1)
+            if boxes is not None and np.any(boxes[0]):
+                rec["box"] = np.diag(boxes[0])
+    elif fn.endswith(".dcd"):
+        from ..io import dcd as dcdio
+
+        rec["frames"], rec["atoms"], dt = dcdio.info_dcd(fn)
+        rec["dt"] = dt or None
+        rec["t0"] = 0.0
+        if rec["frames"]:
+            _, boxes, _ = first_chunk(1)
+            if boxes is not None:
+                rec["box"] = np.diag(boxes[0])
+    elif fn.endswith(".nc"):
+        from ..io import amber
+
+        nc = amber._open(fn)
+        try:
+            shape = nc.variables["coordinates"].shape
+            rec["frames"], rec["atoms"] = int(shape[0]), int(shape[1])
+            if "time" in nc.variables and shape[0]:
+                t = np.array(nc.variables["time"][:2], dtype=float)
+                rec["t0"] = float(t[0])
+                if len(t) > 1:
+                    rec["dt"] = float(t[1] - t[0])
+            if shape[0]:
+                boxes = amber._boxes_from(nc, slice(0, 1))
+                if boxes is not None:
+                    rec["box"] = np.diag(boxes[0])
+        finally:
+            nc.close()
+    else:
+        from ..io import trajectory as trjio
+
+        n = 0
+        for xyz, boxes, times in trjio.iter_trajectory_full(fn, 1024):
+            if n == 0:
+                rec["atoms"] = xyz.shape[1]
+                if times is not None:
+                    rec["t0"] = float(times[0])
+                    if len(times) > 1:
+                        rec["dt"] = float(times[1] - times[0])
+                if boxes is not None and np.any(boxes[0]):
+                    rec["box"] = np.diag(boxes[0])
+            n += xyz.shape[0]
+        rec["frames"] = n
+    return rec
+
+
+def cmd_info(argv):
+    """Inspect trajectory files (gmx check equivalent: frame/atom counts,
+    timestep, duration, box) using header-only scans where possible."""
+    p = argparse.ArgumentParser(
+        prog="spinrelax info",
+        description="Print frames, atoms, timestep, duration and box of "
+        "trajectory files (npz/npy/pdb/gro/trr/xtc/dcd/nc).",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("files", nargs="+")
+    a = p.parse_args(argv)
+    bad = 0
+    for fn in a.files:
+        try:
+            r = _traj_info(fn)
+        except Exception as e:
+            print(f"{fn}: ERROR: {e}")
+            bad += 1
+            continue
+        parts = [f"{r['frames']} frames x {r['atoms']} atoms"]
+        if r["dt"]:
+            dur = (r["frames"] - 1) * r["dt"]
+            t0 = r["t0"] or 0.0
+            parts.append(f"dt {r['dt']:g} ps, t {t0:g}..{t0 + dur:g} ps")
+        else:
+            parts.append("no timestep recorded")
+        if r["box"] is not None:
+            parts.append(
+                "box " + "x".join(f"{v:.4g}" for v in r["box"]) + " nm"
+            )
+        parts.append(f"{r['size'] / 1e6:.6g} MB")
+        print(f"{fn}: " + ", ".join(parts))
+    if bad:
+        sys.exit(1)
+
+
 COMMANDS = {
     "center": cmd_center,
     "convert": cmd_convert,
+    "info": cmd_info,
     "orient": cmd_orient,
     "dq": cmd_dq,
     "ct": cmd_ct,

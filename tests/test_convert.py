@@ -156,6 +156,65 @@ def test_errors(fixture, tmp_path):
                          "--skip", "0"])
 
 
+def test_superpose(fixture):
+    """--superpose: rotated/translated frames land back on the
+    reference (trjconv -fit rot+trans semantics)."""
+    from spinrelax_tpu.core import quaternion as qt
+    import jax.numpy as jnp
+
+    import jax
+
+    tmp_path, top, top_fn, in_fn, xyz, times, boxes = fixture
+    base = xyz[0]
+    rng = np.random.default_rng(4)
+    qs = qt.random_quats(jax.random.PRNGKey(4), 6, dtype=jnp.float32)
+    frames = np.asarray(
+        qt.rotate_vector(jnp.asarray(np.broadcast_to(
+            base - base.mean(0), (6,) + base.shape).copy()),
+            jnp.asarray(qs)[:, None, :])
+    ) + rng.uniform(-2, 2, (6, 1, 3))
+    mov = str(tmp_path / "mov.npz")
+    np.savez(mov, xyz=frames, time=np.arange(6.0))
+    ref_fn = str(tmp_path / "fitref.pdb")
+    pdbio.write_pdb(ref_fn, top, (base - base.mean(0))[None])
+    out = str(tmp_path / "fit.npz")
+    cli.cmd_convert(["-f", mov, "-o", out, "-s", top_fn,
+                     "--superpose", ref_fn])
+    x2, _, _ = _read_full(out)
+    # every frame superposed onto the centred reference
+    np.testing.assert_allclose(
+        x2, np.broadcast_to(base - base.mean(0), x2.shape), atol=2e-4
+    )
+
+
+def test_info_command(fixture, capsys):
+    tmp_path, top, top_fn, in_fn, xyz, times, boxes = fixture
+    outs = {}
+    for ext in ("xtc", "trr", "dcd", "nc", "gro"):
+        out = str(tmp_path / f"i.{ext}")
+        cli.cmd_convert(["-f", in_fn, "-o", out, "-s", top_fn])
+        outs[ext] = out
+    capsys.readouterr()  # drop the converters' own output
+    cli.cmd_info([in_fn] + list(outs.values()))
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 6
+    for line in lines:
+        assert "17 frames x 12 atoms" in line, line
+        assert "dt 2 ps" in line, line
+        assert "t 0..32 ps" in line, line
+    # box shown for the box-carrying formats
+    for ext in ("xtc", "trr", "nc", "gro"):
+        line = [l for l in lines if outs[ext] in l][0]
+        assert "box 5x5x5 nm" in line or "box 5.0" in line.replace("x5", " 5"), line
+    # corrupt file -> nonzero exit, per-file error line
+    bad = str(tmp_path / "bad.xtc")
+    with open(bad, "wb") as fp:
+        fp.write(b"\x00" * 10)
+    with pytest.raises(SystemExit):
+        cli.cmd_info([bad])
+    assert "ERROR" in capsys.readouterr().out
+
+
 def test_boxless_input_chain(fixture):
     """npy (no boxes, no times) -> xtc -> dcd keeps coordinates."""
     tmp_path, top, top_fn, in_fn, xyz, *_ = fixture
