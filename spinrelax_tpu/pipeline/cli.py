@@ -1012,12 +1012,19 @@ def cmd_convert(argv):
 
         if top is None:
             sys.exit("= = = ERROR: --ndx needs a topology (-s)")
+        gname = a.group or "Solute"
         try:
             groups = ndxio.read_ndx(a.ndx)
-            mask = ndxio.group_mask(groups, a.group or "Solute", top.n_atoms)
+            ndxio.group_mask(groups, gname, top.n_atoms)  # name+bounds
         except ndxio.NdxError as e:
             sys.exit(f"= = = ERROR: bad index file {a.ndx!r}: {e}")
-        sel_idx = np.where(mask)[0]
+        # keep the group's own atom ORDER (trjconv -n writes atoms in
+        # group order, which users rely on to reorder systems)
+        sel_idx = groups[gname]
+        if len(np.unique(sel_idx)) != len(sel_idx):
+            sys.exit(f"= = = ERROR: group {gname!r} lists atoms twice")
+    elif a.group is not None:
+        sys.exit("= = = ERROR: --group needs --ndx")
     elif a.select is not None:
         if top is None:
             sys.exit("= = = ERROR: --select needs a topology (-s)")

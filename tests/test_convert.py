@@ -103,6 +103,22 @@ def test_selection_and_ndx(fixture):
     assert top2.atom_names == [top.atom_names[i] for i in sel]
     np.testing.assert_allclose(x3, xyz[:, sel], atol=5.1e-4)
 
+    # index groups preserve their own atom ORDER (trjconv -n semantics)
+    rev = sel[::-1]
+    ndxio.write_ndx(ndx_fn, {"NH": rev})
+    out3 = str(tmp_path / "rev.npz")
+    cli.cmd_convert(["-f", in_fn, "-o", out3, "-s", top_fn,
+                     "--ndx", ndx_fn, "--group", "NH"])
+    x4, _, _ = _read_full(out3)
+    np.testing.assert_array_equal(x4, xyz[:, rev])
+    with pytest.raises(SystemExit, match="needs --ndx"):
+        cli.cmd_convert(["-f", in_fn, "-o", out3, "-s", top_fn,
+                         "--group", "NH"])
+    ndxio.write_ndx(ndx_fn, {"NH": np.array([1, 1, 2])})
+    with pytest.raises(SystemExit, match="twice"):
+        cli.cmd_convert(["-f", in_fn, "-o", out3, "-s", top_fn,
+                         "--ndx", ndx_fn, "--group", "NH"])
+
 
 def test_window_and_skip(fixture):
     tmp_path, top, top_fn, in_fn, xyz, times, _ = fixture
