@@ -234,3 +234,42 @@ def test_unset_delta_falls_back_to_caller(tmp_path, rng):
     dcd.write_dcd(fn, xyz, timestep_ps=0.0)  # writer leaves DELTA unset
     chunks = list(iter_trajectory(fn, 2, timestep=7.0))
     assert chunks[0][1] == pytest.approx(7.0)
+
+
+def test_append_matches_single_write(tmp_path, rng):
+    """write_dcd(append=True) extends the file and patches the header
+    counts: chunked writes must be byte-identical to one write, and the
+    layout/atom-count guards must fire."""
+    xyz = _rand_xyz(rng, n_frames=7)
+    boxes = np.broadcast_to(np.diag([4.0, 5.0, 6.0]), (7, 3, 3)).copy()
+    one = str(tmp_path / "one.dcd")
+    many = str(tmp_path / "many.dcd")
+    dcd.write_dcd(one, xyz, boxes=boxes, timestep_ps=2.0)
+    dcd.write_dcd(many, xyz[:3], boxes=boxes[:3], timestep_ps=2.0)
+    dcd.write_dcd(many, xyz[3:5], boxes=boxes[3:5], append=True)
+    dcd.write_dcd(many, xyz[5:], boxes=boxes[5:], append=True)
+    a = open(one, "rb").read()
+    b = open(many, "rb").read()
+    # header NSET/NSTEP patched to the full count -> files byte-equal
+    # except NSAVC-dependent fields written from the first chunk
+    assert a == b
+    nf, na, dt = dcd.info_dcd(many)
+    assert (nf, na) == (7, xyz.shape[1])
+    assert dt == pytest.approx(2.0, rel=1e-4)
+
+    with pytest.raises(dcd.DcdError, match="atom"):
+        dcd.write_dcd(many, xyz[:, :2], boxes=boxes[:1], append=True)
+    with pytest.raises(dcd.DcdError, match="crystal-record"):
+        dcd.write_dcd(many, xyz[:1], append=True)  # boxes=None mismatch
+
+
+def test_info_dcd_truncation(tmp_path, rng):
+    fn = str(tmp_path / "t.dcd")
+    dcd.write_dcd(fn, _rand_xyz(rng, n_frames=3), timestep_ps=1.0)
+    nf, _, _ = dcd.info_dcd(fn)
+    assert nf == 3
+    data = open(fn, "rb").read()
+    with open(fn, "wb") as fp:
+        fp.write(data[:-10])  # cut mid-frame
+    with pytest.raises(dcd.DcdError, match="trailing"):
+        dcd.info_dcd(fn)

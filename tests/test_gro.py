@@ -103,6 +103,35 @@ def test_wide_ndec_fields(tmp_path):
     np.testing.assert_allclose(xyz[0, 0], [1.23456, -2.34567, 3.45678])
 
 
+def test_random_ndec_round_trip(tmp_path):
+    """Differential fuzz across gmx -ndec widths: atom lines are built
+    directly at the format grammar (width = ndec+5, right-aligned,
+    possibly touching) and must parse back exactly."""
+    rng = np.random.default_rng(
+        int(__import__("os").environ.get("SPINRELAX_TEST_SEED", "20260820"))
+    )
+    for _case in range(25):
+        ndec = int(rng.integers(3, 9))
+        w = ndec + 5
+        n = int(rng.integers(1, 7))
+        vel = bool(rng.integers(0, 2))
+        xyz = np.round(rng.uniform(-99, 99, (n, 3)), ndec)
+        vels = np.round(rng.uniform(-9, 9, (n, 3)), ndec + 1)
+        lines = [f"fuzz ndec={ndec}", f"{n:5d}"]
+        for i in range(n):
+            pre = "%5d%-5s%5s%5d" % (i + 1, "ALA", "CA", i + 1)
+            f = f"%{w}.{ndec}f"
+            body = "".join(f % v for v in xyz[i])
+            if vel:
+                fv = f"%{w}.{ndec + 1}f"
+                body += "".join(fv % v for v in vels[i])
+            lines.append(pre + body)
+        lines.append("   5.0 5.0 5.0")
+        fn = _write(tmp_path, "\n".join(lines) + "\n", f"f{_case}.gro")
+        _, got, _, _ = groio.read_gro(fn)
+        np.testing.assert_allclose(got[0], xyz, atol=10.0 ** (-ndec) / 2)
+
+
 def test_errors(tmp_path):
     with pytest.raises(GroError, match="no frames"):
         groio.read_gro(_write(tmp_path, "", "empty.gro"))
