@@ -230,7 +230,26 @@ def read_structure(fn: str) -> Tuple[Topology, np.ndarray]:
 
         top, xyz, _boxes, _times = gro.read_gro(fn)
         return top, xyz
+    if fn.endswith(".psf"):
+        raise ValueError(
+            f"{fn}: a PSF carries no coordinates — pass a .pdb/.gro here "
+            "(PSF topologies work where only atom metadata is needed: "
+            "spinrelax center/convert)"
+        )
     return read_pdb(fn)
+
+
+def read_topology(fn: str) -> Topology:
+    """Read just the Topology from any structure/topology format:
+    .psf (coordinate-less CHARMM/NAMD topology, io.psf), .gro, or PDB.
+    For surfaces that also need coordinates use read_structure (which
+    rejects .psf with a clear message)."""
+    if fn.endswith(".psf"):
+        from . import psf
+
+        top, _bonds = psf.read_psf(fn)
+        return top
+    return read_structure(fn)[0]
 
 
 def write_structure(fn: str, top: Topology, xyz: np.ndarray):

@@ -630,7 +630,8 @@ def cmd_center(argv):
     p.add_argument("-f", "--infn", required=True,
                    help="trajectory (npz/xtc/trr/dcd/nc/gro/pdb)")
     p.add_argument("-s", "--topfn", required=True,
-                   help="topology structure, .pdb or .gro (molecule inference)")
+                   help="topology structure: .pdb/.gro, or .psf (exact "
+                        "bond-graph molecule decomposition)")
     p.add_argument("-o", "--outfn", default="centered.npz", help="output (npz or xtc)")
     p.add_argument("--box", default=None,
                    help='"x,y,z" box lengths [nm] when the file has none')
@@ -658,7 +659,18 @@ def cmd_center(argv):
     from ..io import trajectory as trjio
     from ..ops.pbc import center_solute, molecule_ids, apply_molecule_breaks
 
-    top, _ = pdbio.read_structure(a.topfn)
+    psf_mol_id = None
+    if a.topfn.endswith(".psf"):
+        # PSF topologies carry the bond table: molecule decomposition is
+        # EXACT (connected components) — no residue-contiguity heuristic,
+        # no --mol-breaks needed for ligands.
+        from ..io import psf as psfio
+
+        top, bonds = psfio.read_psf(a.topfn)
+        if bonds.size:
+            psf_mol_id = psfio.molecule_ids_from_bonds(top.n_atoms, bonds)
+    else:
+        top, _ = pdbio.read_structure(a.topfn)
     box_override = (
         np.asarray(_split_floats(a.box)) if a.box is not None else None
     )
@@ -771,13 +783,16 @@ def cmd_center(argv):
             a.write_ndx, {"Solute": np.where(np.asarray(sol))[0]}
         )
         print(f"= = Wrote index file {a.write_ndx}")
-    mol_id = None
+    mol_id = psf_mol_id  # exact bond-graph molecules when -s was a PSF
     if a.mol_breaks is not None:
         # Specs stay strings: apply_molecule_breaks accepts both plain
         # residue numbers and chain-qualified "A:200" forms.
         breaks = [x.strip() for x in a.mol_breaks.split(",") if x.strip()]
         try:
-            mol_id = apply_molecule_breaks(molecule_ids(top), top, breaks)
+            mol_id = apply_molecule_breaks(
+                molecule_ids(top) if mol_id is None else mol_id,
+                top, breaks,
+            )
         except ValueError as e:
             raise SystemExit(
                 f"= = Bad --mol-breaks spec {a.mol_breaks!r} "
@@ -963,7 +978,7 @@ def cmd_convert(argv):
     p.add_argument("-f", "--infn", required=True)
     p.add_argument("-o", "--outfn", required=True)
     p.add_argument("-s", "--topfn", default=None,
-                   help="topology (.pdb/.gro); required for pdb/gro "
+                   help="topology (.pdb/.gro/.psf); required for pdb/gro "
                         "output and for --select/--ndx")
     p.add_argument("--select", default=None,
                    help="atom selection expression (io.pdb DSL)")
@@ -1005,7 +1020,7 @@ def cmd_convert(argv):
 
     top = None
     if a.topfn is not None:
-        top, _ = pdbio.read_structure(a.topfn)
+        top = pdbio.read_topology(a.topfn)
     sel_idx = None
     if a.ndx is not None:
         from ..io import ndx as ndxio
