@@ -230,11 +230,11 @@ def read_structure(fn: str) -> Tuple[Topology, np.ndarray]:
 
         top, xyz, _boxes, _times = gro.read_gro(fn)
         return top, xyz
-    if fn.endswith(".psf"):
+    if fn.endswith((".psf", ".prmtop", ".parm7")):
         raise ValueError(
-            f"{fn}: a PSF carries no coordinates — pass a .pdb/.gro here "
-            "(PSF topologies work where only atom metadata is needed: "
-            "spinrelax center/convert)"
+            f"{fn}: this topology format carries no coordinates — pass a "
+            ".pdb/.gro here (PSF/prmtop topologies work where only atom "
+            "metadata is needed: spinrelax center/convert)"
         )
     return read_pdb(fn)
 
@@ -248,6 +248,11 @@ def read_topology(fn: str) -> Topology:
         from . import psf
 
         top, _bonds = psf.read_psf(fn)
+        return top
+    if fn.endswith((".prmtop", ".parm7")):
+        from . import prmtop
+
+        top, _bonds = prmtop.read_prmtop(fn)
         return top
     return read_structure(fn)[0]
 

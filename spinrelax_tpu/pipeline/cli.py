@@ -660,13 +660,18 @@ def cmd_center(argv):
     from ..ops.pbc import center_solute, molecule_ids, apply_molecule_breaks
 
     psf_mol_id = None
-    if a.topfn.endswith(".psf"):
-        # PSF topologies carry the bond table: molecule decomposition is
-        # EXACT (connected components) — no residue-contiguity heuristic,
-        # no --mol-breaks needed for ligands.
+    if a.topfn.endswith((".psf", ".prmtop", ".parm7")):
+        # PSF/prmtop topologies carry the bond table: molecule
+        # decomposition is EXACT (connected components) — no residue-
+        # contiguity heuristic, no --mol-breaks needed for ligands.
         from ..io import psf as psfio
 
-        top, bonds = psfio.read_psf(a.topfn)
+        if a.topfn.endswith(".psf"):
+            top, bonds = psfio.read_psf(a.topfn)
+        else:
+            from ..io import prmtop as prmio
+
+            top, bonds = prmio.read_prmtop(a.topfn)
         if bonds.size:
             psf_mol_id = psfio.molecule_ids_from_bonds(top.n_atoms, bonds)
     else:
