@@ -1015,9 +1015,10 @@ def cmd_convert(argv):
     from ..io import trajectory as trjio
 
     out_ext = a.outfn.rsplit(".", 1)[-1] if "." in a.outfn else ""
-    if out_ext not in ("npz", "xtc", "trr", "dcd", "nc", "gro", "pdb"):
+    if out_ext not in ("npz", "npy", "xtc", "trr", "dcd", "nc", "gro",
+                       "pdb"):
         sys.exit(f"= = = ERROR: unsupported output format {a.outfn!r} "
-                 "(npz/xtc/trr/dcd/nc/gro/pdb)")
+                 "(npz/npy/xtc/trr/dcd/nc/gro/pdb)")
     if a.skip < 1:
         sys.exit("= = = ERROR: --skip must be >= 1")
     if a.batch < 1:
@@ -1180,6 +1181,13 @@ def cmd_convert(argv):
             if box_all is not None:
                 payload["box"] = box_all
             np.savez_compressed(a.outfn, **payload)
+        elif out_ext == "npy":
+            # bare array: the memmap out-of-core ingest format
+            # (iter_trajectory .npy branch) — no time axis, so echo the
+            # spacing for the downstream --timestep flag
+            np.save(a.outfn, xyz_all)
+            print(f"= = .npy carries no times: pass --timestep {dt_out:g} "
+                  "downstream")
         elif out_ext == "trr":
             from ..io import gmx
 

@@ -243,3 +243,12 @@ def test_boxless_input_chain(fixture):
     x2, b2, t2 = _read_full(out)
     np.testing.assert_allclose(x2, xyz, atol=5.2e-4)
     np.testing.assert_allclose(t2, np.arange(len(xyz)) * 3.0, atol=1e-3)
+
+
+def test_npy_output(fixture, capsys):
+    tmp_path, top, top_fn, in_fn, xyz, times, boxes = fixture
+    out = str(tmp_path / "o.npy")
+    cli.cmd_convert(["-f", in_fn, "-o", out])
+    got = np.load(out)
+    np.testing.assert_array_equal(got, xyz)
+    assert "--timestep 2" in capsys.readouterr().out
