@@ -1010,6 +1010,10 @@ def cmd_convert(argv):
     p.add_argument("--fitsel", default="occupancy > 0",
                    help="atoms the --superpose fit uses (reference's "
                         "occupancy-flag convention)")
+    p.add_argument("--out-top", default=None, metavar="FILE",
+                   help="also write the (selected) topology as a "
+                        ".pdb/.gro structure using the first output "
+                        "frame's coordinates (needs -s)")
     a = p.parse_args(argv)
     from ..io import pdb as pdbio
     from ..io import trajectory as trjio
@@ -1066,6 +1070,9 @@ def cmd_convert(argv):
             elements=[top.elements[i] for i in sel_idx],
         )
 
+    if a.out_top is not None and top is None:
+        sys.exit("= = = ERROR: --out-top needs a topology (-s)")
+
     sup_ref = sup_w = None
     if a.superpose is not None:
         rtop, rxyz = pdbio.read_structure(a.superpose)
@@ -1079,6 +1086,7 @@ def cmd_convert(argv):
 
     streaming = out_ext in ("xtc", "dcd", "gro")
     buf_xyz, buf_box, buf_t = [], [], []
+    first_frame = None  # first written frame (--out-top coordinates)
     n_in = n_written = 0
     kept = 0  # in-window frames seen (stride counter)
     dt_out = a.timestep * a.skip
@@ -1168,6 +1176,8 @@ def cmd_convert(argv):
             if box_m is not None:
                 buf_box.append(box_m)
             buf_t.append(t_m)
+        if first_frame is None:
+            first_frame = np.asarray(xyz_m[0])
         n_written += len(pick)
     if n_written == 0:
         sys.exit("= = = ERROR: no frames selected (empty input or "
@@ -1199,6 +1209,9 @@ def cmd_convert(argv):
                            timestep_ps=dt_out, times=t_all)
         else:  # pdb
             pdbio.write_pdb(a.outfn, top_out, xyz_all)
+    if a.out_top is not None:
+        pdbio.write_structure(a.out_top, top_out, first_frame[None])
+        print(f"= = Wrote topology {a.out_top}")
     print(f"= = Wrote {a.outfn}: {n_written}/{n_in} frames"
           + (f", {len(sel_idx)} atoms" if sel_idx is not None else ""))
 

@@ -252,3 +252,19 @@ def test_npy_output(fixture, capsys):
     got = np.load(out)
     np.testing.assert_array_equal(got, xyz)
     assert "--timestep 2" in capsys.readouterr().out
+
+
+def test_out_top(fixture):
+    tmp_path, top, top_fn, in_fn, xyz, *_ = fixture
+    out = str(tmp_path / "sub.dcd")
+    sub_top = str(tmp_path / "sub.gro")
+    cli.cmd_convert(["-f", in_fn, "-o", out, "-s", top_fn,
+                     "--select", "name CA", "--out-top", sub_top])
+    from spinrelax_tpu.io import gro as groio
+
+    t2, x2, _, _ = groio.read_gro(sub_top)
+    sel = top.select("name CA")
+    assert t2.atom_names == [top.atom_names[i] for i in sel]
+    np.testing.assert_allclose(x2[0], xyz[0, sel], atol=5.1e-4)
+    with pytest.raises(SystemExit, match="needs a topology"):
+        cli.cmd_convert(["-f", in_fn, "-o", out, "--out-top", sub_top])
