@@ -129,6 +129,106 @@ def header_timestep_ps(fn: str) -> float:
         nc.close()
 
 
+def read_mdcrd(
+    fn: str, natoms: int, has_box: Optional[bool] = None
+) -> Tuple[np.ndarray, Optional[np.ndarray], None]:
+    """Read an Amber ASCII trajectory (.mdcrd/.crd: title line, then
+    10F8.3 coordinate fields in Angstrom, frames back-to-back, an
+    optional 3-value box line after each frame).
+
+    The format is headerless, so ``natoms`` must come from the paired
+    topology.  ``has_box=None`` auto-detects from the total value count;
+    genuinely ambiguous files (divisible both ways) must say."""
+    if natoms <= 0:
+        raise AmberNcError(f"{fn}: natoms must be positive, got {natoms}")
+    vals: list = []
+    with open(fn) as fp:
+        fp.readline()  # title
+        for line in fp:
+            line = line.rstrip("\n")
+            # fixed 8-char fields (values can touch at full width)
+            for off in range(0, len(line), 8):
+                piece = line[off : off + 8]
+                if piece.strip():
+                    try:
+                        vals.append(float(piece))
+                    except ValueError:
+                        raise AmberNcError(
+                            f"{fn}: unparseable field {piece!r}"
+                        )
+    total = len(vals)
+    per_plain, per_box = 3 * natoms, 3 * natoms + 3
+    if total == 0:
+        raise AmberNcError(f"{fn}: no coordinate data")
+    if has_box is None:
+        div_plain = total % per_plain == 0
+        div_box = total % per_box == 0
+        if div_plain and div_box:
+            raise AmberNcError(
+                f"{fn}: frame layout ambiguous at natoms={natoms} "
+                f"({total} values divide both with and without a box "
+                "line) — pass has_box explicitly"
+            )
+        if div_plain:
+            has_box = False
+        elif div_box:
+            has_box = True
+        else:
+            raise AmberNcError(
+                f"{fn}: {total} values is not a whole number of "
+                f"{natoms}-atom frames (with or without box lines)"
+            )
+    per = per_box if has_box else per_plain
+    if total % per:
+        raise AmberNcError(
+            f"{fn}: {total} values is not a whole number of frames "
+            f"at natoms={natoms}, has_box={has_box}"
+        )
+    arr = np.asarray(vals).reshape(total // per, per)
+    xyz = (
+        arr[:, : 3 * natoms].reshape(-1, natoms, 3).astype(np.float32)
+        * np.float32(0.1)
+    )
+    boxes = None
+    if has_box:
+        lengths = arr[:, 3 * natoms :] / 10.0
+        boxes = np.zeros((arr.shape[0], 3, 3))
+        boxes[:, [0, 1, 2], [0, 1, 2]] = lengths
+    return xyz, boxes, None  # the format records no times
+
+
+def write_mdcrd(
+    fn: str,
+    xyz: np.ndarray,
+    boxes: Optional[np.ndarray] = None,
+    title: str = "written by spinrelax_tpu",
+):
+    """Write (nFrames, nAtoms, 3) nm coordinates as Amber ASCII
+    (10F8.3, Angstrom; orthorhombic box lengths per frame when given)."""
+    xyz = np.asarray(xyz)
+    if xyz.ndim != 3 or xyz.shape[2] != 3:
+        raise ValueError(f"xyz must be (nFrames, nAtoms, 3), got {xyz.shape}")
+    ang = xyz * 10.0
+    if np.abs(ang).max(initial=0.0) >= 10000.0 or ang.min(initial=0.0) <= -1000.0:
+        raise ValueError(
+            f"{fn}: coordinates overflow the 10F8.3 field in Angstrom"
+        )
+
+    def rows(flat):
+        for off in range(0, len(flat), 10):
+            yield "".join("%8.3f" % v for v in flat[off : off + 10])
+
+    with open(fn, "w") as fp:
+        print(title, file=fp)
+        for f in range(xyz.shape[0]):
+            for row in rows(ang[f].reshape(-1)):
+                print(row, file=fp)
+            if boxes is not None:
+                b = np.asarray(boxes[f])
+                lens = np.diag(b) if b.ndim == 2 else b[:3]
+                print("".join("%8.3f" % (v * 10.0) for v in lens), file=fp)
+
+
 def write_nc(
     fn: str,
     xyz: np.ndarray,

@@ -10,6 +10,7 @@ This rebuild's native formats are:
 - .trr / .xtc : native GROMACS codecs (io.gmx / io.native).
 - .dcd  : native CHARMM/NAMD/X-PLOR reader (io.dcd).
 - .nc   : Amber NetCDF via scipy's classic-NetCDF reader (io.amber).
+- .mdcrd/.crd : Amber ASCII (needs the topology for the atom count).
 - anything-mdtraj : available when mdtraj is installed
           (optional dependency, gated).
 
@@ -85,11 +86,16 @@ def load_trajectory(
         xyz, _boxes, times = amber.read_nc(fn)
         dt = float(times[1] - times[0]) if len(times) > 1 else 1.0
         return xyz, dt
+    if fn.endswith((".mdcrd", ".crd")):
+        from . import amber
+
+        xyz, _boxes, _times = amber.read_mdcrd(fn, _mdcrd_natoms(fn, top_fn))
+        return xyz, 1.0  # the ASCII format records no times
     if _md is not None:
         trj = _md.load(fn, top=top_fn)
         return np.asarray(trj.xyz), float(trj.timestep)
     raise ValueError(
-        f"cannot read {fn!r}: npz/npy/pdb/gro/trr/xtc/dcd/nc supported "
+        f"cannot read {fn!r}: npz/npy/pdb/gro/trr/xtc/dcd/nc/mdcrd supported "
         "natively; install mdtraj for other formats"
     )
 
@@ -218,6 +224,14 @@ def iter_trajectory(
         for start in range(0, xyz.shape[0], chunk_frames):
             yield xyz[start : start + chunk_frames], dt_out
         return
+    if fn.endswith((".mdcrd", ".crd")):
+        from . import amber
+
+        # no time axis in the ASCII format: the caller's timestep wins
+        xyz, _boxes, _t = amber.read_mdcrd(fn, _mdcrd_natoms(fn, top_fn))
+        for start in range(0, xyz.shape[0], chunk_frames):
+            yield xyz[start : start + chunk_frames], timestep
+        return
     if fn.endswith((".npz", ".pdb")):
         xyz, dt = load_trajectory(fn, top_fn=top_fn)
         # Honour the caller's explicit timestep when the FILE carries no
@@ -240,6 +254,17 @@ def iter_trajectory(
             yield np.asarray(trj.xyz), float(trj.timestep)
         return
     raise ValueError(f"cannot stream {fn!r}")
+
+
+def _mdcrd_natoms(fn: str, top_fn: Optional[str]) -> int:
+    """Amber ASCII trajectories are headerless: the paired topology
+    supplies the atom count."""
+    if top_fn is None:
+        raise ValueError(
+            f"{fn}: Amber ASCII trajectories carry no atom count — pass "
+            "the topology (top_fn/-s, e.g. the .prmtop)"
+        )
+    return pdbio.read_topology(top_fn).n_atoms
 
 
 def _npz_boxes(obj, n_frames: int) -> Optional[np.ndarray]:
@@ -314,6 +339,16 @@ def iter_trajectory_full(
             yield (xyz[sel], None if boxes is None else boxes[sel],
                    None if times is None else times[sel])
         return
+    if fn.endswith((".mdcrd", ".crd")):
+        from . import amber
+
+        # text format: parsed once, sliced (convert to .npy/.nc for
+        # out-of-core); no times recorded.
+        xyz, boxes, _ = amber.read_mdcrd(fn, _mdcrd_natoms(fn, top_fn))
+        for lo in range(0, xyz.shape[0], chunk_frames):
+            sel = slice(lo, lo + chunk_frames)
+            yield (xyz[sel], None if boxes is None else boxes[sel], None)
+        return
     if fn.endswith(".npz"):
         obj = np.load(fn)
         xyz = np.asarray(obj["xyz"])
@@ -341,5 +376,5 @@ def iter_trajectory_full(
             yield xyz[lo : lo + chunk_frames], None, None
         return
     raise ValueError(
-        f"cannot stream {fn!r}: npz/npy/pdb/gro/trr/xtc/dcd/nc supported"
+        f"cannot stream {fn!r}: npz/npy/pdb/gro/trr/xtc/dcd/nc/mdcrd supported"
     )

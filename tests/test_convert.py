@@ -268,3 +268,19 @@ def test_out_top(fixture):
     np.testing.assert_allclose(x2[0], xyz[0, sel], atol=5.1e-4)
     with pytest.raises(SystemExit, match="needs a topology"):
         cli.cmd_convert(["-f", in_fn, "-o", out, "--out-top", sub_top])
+
+
+def test_format_chain(fixture, tmp_path):
+    """npz -> trr -> dcd -> nc -> gro -> npz: coordinates/boxes/times
+    survive the full format chain within the coarsest quantisation."""
+    tmp_path_, top, top_fn, in_fn, xyz, times, boxes = fixture
+    chain = ["c1.trr", "c2.dcd", "c3.nc", "c4.gro", "c5.npz"]
+    src = in_fn
+    for name in chain:
+        dst = str(tmp_path_ / name)
+        cli.cmd_convert(["-f", src, "-o", dst, "-s", top_fn])
+        src = dst
+    x2, b2, t2 = _read_full(src)
+    np.testing.assert_allclose(x2, xyz, atol=6e-4)   # gro %8.3f nm
+    np.testing.assert_allclose(b2, boxes, atol=1e-4)
+    np.testing.assert_allclose(t2, times, atol=1e-3)
