@@ -1216,7 +1216,7 @@ def cmd_convert(argv):
           + (f", {len(sel_idx)} atoms" if sel_idx is not None else ""))
 
 
-def _traj_info(fn: str):
+def _traj_info(fn: str, top_fn=None):
     """-> dict(frames, atoms, dt [ps or None], t0, box (3,) lengths or
     None) using header-only scans where the format allows."""
     import os
@@ -1227,7 +1227,7 @@ def _traj_info(fn: str):
     def first_chunk(n=2):
         from ..io import trajectory as trjio
 
-        return next(trjio.iter_trajectory_full(fn, n))
+        return next(trjio.iter_trajectory_full(fn, n, top_fn=top_fn))
 
     if fn.endswith(".xtc"):
         from ..io import native
@@ -1283,7 +1283,9 @@ def _traj_info(fn: str):
         from ..io import trajectory as trjio
 
         n = 0
-        for xyz, boxes, times in trjio.iter_trajectory_full(fn, 1024):
+        for xyz, boxes, times in trjio.iter_trajectory_full(
+            fn, 1024, top_fn=top_fn
+        ):
             if n == 0:
                 rec["atoms"] = xyz.shape[1]
                 if times is not None:
@@ -1307,11 +1309,13 @@ def cmd_info(argv):
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
     p.add_argument("files", nargs="+")
+    p.add_argument("-s", "--topfn", default=None,
+                   help="topology (needed for headerless .mdcrd/.crd)")
     a = p.parse_args(argv)
     bad = 0
     for fn in a.files:
         try:
-            r = _traj_info(fn)
+            r = _traj_info(fn, top_fn=a.topfn)
         except Exception as e:
             print(f"{fn}: ERROR: {e}")
             bad += 1

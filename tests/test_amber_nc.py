@@ -207,3 +207,23 @@ class TestMdcrd:
         np.testing.assert_allclose(x2, xyz, atol=5.1e-5)
         np.testing.assert_allclose(b2, boxes, atol=5.1e-5)
         np.testing.assert_allclose(t2, np.arange(4) * 4.0)
+
+
+    def test_info_mdcrd(self, tmp_path, rng, capsys):
+        from spinrelax_tpu.io import amber
+        from spinrelax_tpu.io import pdb as pdbio
+        from spinrelax_tpu.pipeline import cli
+
+        xyz = rng.uniform(0, 4, (5, 3, 3)).astype(np.float32)
+        fn = str(tmp_path / "t.mdcrd")
+        amber.write_mdcrd(fn, xyz)
+        top = pdbio.Topology(
+            atom_names=["N", "H", "CA"], res_seqs=np.array([1, 1, 1]),
+            res_names=["ALA"] * 3, chain_ids=[""] * 3,
+            occupancies=np.ones(3), elements=["N", "H", "C"],
+        )
+        top_fn = str(tmp_path / "top.pdb")
+        pdbio.write_pdb(top_fn, top, xyz[:1])
+        cli.cmd_info([fn, "-s", top_fn])
+        out = capsys.readouterr().out
+        assert "5 frames x 3 atoms" in out and "no timestep" in out
