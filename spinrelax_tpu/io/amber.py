@@ -20,6 +20,8 @@ from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
+from .zopen import topen
+
 
 class AmberNcError(ValueError):
     pass
@@ -142,7 +144,7 @@ def read_mdcrd(
     if natoms <= 0:
         raise AmberNcError(f"{fn}: natoms must be positive, got {natoms}")
     vals: list = []
-    with open(fn) as fp:
+    with topen(fn) as fp:
         fp.readline()  # title
         for line in fp:
             line = line.rstrip("\n")
@@ -218,7 +220,7 @@ def write_mdcrd(
         for off in range(0, len(flat), 10):
             yield "".join("%8.3f" % v for v in flat[off : off + 10])
 
-    with open(fn, "w") as fp:
+    with topen(fn, "w") as fp:
         print(title, file=fp)
         for f in range(xyz.shape[0]):
             for row in rows(ang[f].reshape(-1)):

@@ -20,6 +20,8 @@ from typing import List, Tuple
 
 import numpy as np
 
+from .zopen import is_gz, topen
+
 
 def _read_field_names(fn: str) -> List[str]:
     """FIELDS header from the file top.  Stops at the first data row: a
@@ -27,7 +29,7 @@ def _read_field_names(fn: str) -> List[str]:
     the real aggregate-file misuse anyway (repeated IDENTICAL headers
     pass silently) — aggregate handling lives in read_colvar_multi."""
     field_names: List[str] = []
-    with open(fn) as fp:
+    with topen(fn) as fp:
         for line in fp:
             if line.startswith("#"):
                 parts = line.split()
@@ -52,10 +54,13 @@ def read_colvar(fn: str) -> Tuple[List[str], np.ndarray]:
     # Fast path: native mmap+strtod parser (spinrelax_tpu/native/fastio.cpp)
     from . import native
 
-    table = native.load_table(fn, skip_chars="#@&") if native.available() else None
+    # (the native mmap parser needs a plain file; gz falls back to the
+    # Python path below, which reads through the gzip stream)
+    use_native = native.available() and not is_gz(fn)
+    table = native.load_table(fn, skip_chars="#@&") if use_native else None
     if table is None:
         rows: List[str] = []
-        with open(fn) as fp:
+        with topen(fn) as fp:
             for line in fp:
                 # Same skip rules as the native fast path (skip_chars
                 # '#@&'): environment (compiler or not) must not change
@@ -82,7 +87,7 @@ def read_colvar_multi(fn: str) -> Tuple[List[List[str]], np.ndarray]:
     field_names: List[List[str]] = []
     chunks: List[List[str]] = []
     cur: List[str] = []
-    with open(fn) as fp:
+    with topen(fn) as fp:
         for line in fp:
             if not line.strip() or line[0] in "@&":
                 continue  # '#@&' skip rules, matching read_colvar
@@ -112,7 +117,7 @@ def write_colvar(fn: str, field_names: List[str], data: np.ndarray):
     data = np.asarray(data)
     if data.shape[0] != len(field_names):
         raise ValueError("field count mismatch")
-    with open(fn, "w") as fp:
+    with topen(fn, "w") as fp:
         print("#! FIELDS " + " ".join(field_names), file=fp)
         for i in range(data.shape[1]):
             print(" ".join("%8f" % data[j][i] for j in range(data.shape[0])), file=fp)
@@ -125,7 +130,7 @@ def count_colvar_rows(fn: str) -> int:
     reference's sub-chunk blocking is defined on the TOTAL length
     (calculate-dq-distribution.py:128-144)."""
     n = 0
-    with open(fn) as fp:
+    with topen(fn) as fp:
         for line in fp:
             # '#@&' skip rules, matching read_colvar's both paths.
             if not line.strip() or line[0] in "#@&":
@@ -148,7 +153,7 @@ def iter_colvar_chunks(fn: str, chunk_frames: int = 65536):
     field_names: List[str] = []
     seen_header = False
     rows: List[str] = []
-    with open(fn) as fp:
+    with topen(fn) as fp:
         for line in fp:
             if line.startswith("#"):
                 parts = line.split()

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .zopen import topen
+
 
 def read_dx(fn: str, units: str = "A"):
     scale = 0.1 if units == "A" else 1.0
@@ -20,7 +22,7 @@ def read_dx(fn: str, units: str = "A"):
     data = None
     count = 0
     ntot = 0
-    with open(fn) as fp:
+    with topen(fn) as fp:
         header = True
         for line in fp:
             if not line.strip() or line[0] == "#":
@@ -91,7 +93,7 @@ def write_dx(fn: str, data, dims, orig, abc, units: str = "A", scale_data: bool 
     if out_abc.ndim == 1:
         out_abc = np.diag(out_abc)
     out_orig = scale * np.asarray(orig, dtype=float)
-    with open(fn, "w") as fp:
+    with topen(fn, "w") as fp:
         print("#DX-file written by spinrelax_tpu", file=fp)
         print("object 1 class gridpositions counts %i %i %i" % tuple(dims), file=fp)
         print("origin %g %g %g" % tuple(out_orig), file=fp)

@@ -19,6 +19,8 @@ from typing import List, Optional
 
 import numpy as np
 
+from .zopen import topen
+
 
 @dataclasses.dataclass
 class ExperimentData:
@@ -41,7 +43,7 @@ def read_experiment(fn: str) -> ExperimentData:
     names: List[str] = []
     values: List[float] = []
     errors: List[Optional[float]] = []
-    with open(fn) as fp:
+    with topen(fn) as fp:
         for line in fp:
             parts = line.split()
             if not parts:
@@ -95,7 +97,7 @@ def read_experiment(fn: str) -> ExperimentData:
 
 
 def write_experiment(fn: str, expt: ExperimentData):
-    with open(fn, "w") as fp:
+    with topen(fn, "w") as fp:
         print("# Type %s" % expt.expt_type, file=fp)
         print("# NucleiA %s" % expt.nuclei_a, file=fp)
         print("# NucleiB %s" % expt.nuclei_b, file=fp)

@@ -21,6 +21,8 @@ from typing import Optional
 
 import numpy as np
 
+from .zopen import topen
+
 from ..models.ctmodel import CtModelSet
 
 GREEK = ["a", "b", "g", "d", "e", "z", "h"]
@@ -51,7 +53,7 @@ def read_fittedct(fn: str) -> CtModelSet:
         chis.append(cur["chi"])
         cur = None
 
-    with open(fn) as fp:
+    with topen(fn) as fp:
         for line in fp:
             if line.startswith("#"):
                 parts = line.split()
@@ -127,7 +129,7 @@ def write_fittedct(
     s2fast_vals = np.asarray(cts.s2_fast())
     curves = None if dt is None else np.asarray(cts.eval(dt))
 
-    with open(fn, "w") as fp:
+    with topen(fn, "w") as fp:
         s = 0
         for i, name in enumerate(cts.names):
             has_fit = cts_np["chisq"] is not None and np.isfinite(cts_np["chisq"][i])

@@ -27,6 +27,8 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
+from .zopen import topen
+
 from .pdb import Topology
 
 
@@ -103,7 +105,7 @@ def read_gro(
     boxes: List[np.ndarray] = []
     times: List[float] = []
     top: Optional[Topology] = None
-    with open(fn) as fp:
+    with topen(fn) as fp:
         lineno = 0
         while True:
             title = fp.readline()
@@ -217,7 +219,7 @@ def write_gro(
         boxes = np.asarray(boxes)
         if boxes.ndim == 2:
             boxes = np.broadcast_to(boxes, (xyz.shape[0], 3, 3))
-    with open(fn, "a" if append else "w") as fp:
+    with topen(fn, "a" if append else "w") as fp:
         for m in range(xyz.shape[0]):
             t = f" t= {float(times[m]):.5f}" if times is not None else ""
             print(f"{title}{t}", file=fp)

@@ -14,6 +14,8 @@ from typing import Tuple
 
 import numpy as np
 
+from .zopen import topen
+
 _ROTS = {
     "x90": np.array([[1.0, 0, 0], [0, 0, -1], [0, 1, 0]]),
     "y90": np.array([[0.0, 0, 1], [0, 1, 0], [-1, 0, 0]]),
@@ -51,7 +53,7 @@ def read_hydronmr_results(fn: str):
     D = np.zeros(3)
     mat = np.zeros((3, 3))
     pdb_file = None
-    with open(fn) as fp:
+    with topen(fn) as fp:
         for line in fp:
             parts = line.split()
             if not parts:

@@ -22,6 +22,8 @@ from typing import Dict, Mapping, Sequence
 
 import numpy as np
 
+from .zopen import topen
+
 
 class NdxError(ValueError):
     pass
@@ -39,7 +41,7 @@ def read_ndx(fn: str) -> "OrderedDict[str, np.ndarray]":
     groups: "OrderedDict[str, list]" = OrderedDict()
     counts: Dict[str, int] = {}
     current = None
-    with open(fn) as fp:
+    with topen(fn) as fp:
         for lineno, raw in enumerate(fp, 1):
             line = raw.split(";", 1)[0].strip()
             if not line:
@@ -81,7 +83,7 @@ def read_ndx(fn: str) -> "OrderedDict[str, np.ndarray]":
 def write_ndx(fn: str, groups: Mapping[str, Sequence[int]]):
     """Write {group name: 0-based atom indices} as a .ndx file
     (1-based, 15 numbers per line like GROMACS)."""
-    with open(fn, "w") as fp:
+    with topen(fn, "w") as fp:
         for name, idx in groups.items():
             idx = np.asarray(idx, dtype=int)
             if idx.size and idx.min() < 0:

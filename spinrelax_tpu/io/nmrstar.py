@@ -13,6 +13,8 @@ import re
 import shlex
 from typing import Dict, List, Optional
 
+from .zopen import topen
+
 
 @dataclasses.dataclass
 class Loop:
@@ -189,5 +191,5 @@ def parse(text: str) -> Entry:
 
 
 def parse_file(fn: str) -> Entry:
-    with open(fn) as fp:
+    with topen(fn) as fp:
         return parse(fp.read())

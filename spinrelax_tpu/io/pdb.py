@@ -19,6 +19,8 @@ from typing import List, Tuple
 
 import numpy as np
 
+from .zopen import fmt_name, topen
+
 
 @dataclasses.dataclass
 class Topology:
@@ -118,7 +120,7 @@ def read_pdb(fn: str) -> Tuple[Topology, np.ndarray]:
     models: List[List[Tuple[float, float, float]]] = []
     cur: List[Tuple[float, float, float]] = []
     first_model = True
-    with open(fn) as fp:
+    with topen(fn) as fp:
         for line in fp:
             rec = line[:6]
             if rec in ("ATOM  ", "HETATM"):
@@ -185,7 +187,7 @@ def write_pdb(fn: str, top: Topology, xyz: np.ndarray):
             f"{fn}: {top.n_atoms} atoms overflow the PDB %5d serial field"
         )
     multi = xyz.shape[0] > 1
-    with open(fn, "w") as fp:
+    with topen(fn, "w") as fp:
         for m in range(xyz.shape[0]):
             if multi:
                 print("MODEL     %4d" % (m + 1), file=fp)
@@ -225,12 +227,12 @@ def read_structure(fn: str) -> Tuple[Topology, np.ndarray]:
     every CLI surface that takes a reference/topology structure accepts
     both (the reference's GROMACS deployments produce either,
     create-reference-pdb.bash:63)."""
-    if fn.endswith(".gro"):
+    if fmt_name(fn).endswith(".gro"):
         from . import gro
 
         top, xyz, _boxes, _times = gro.read_gro(fn)
         return top, xyz
-    if fn.endswith((".psf", ".prmtop", ".parm7")):
+    if fmt_name(fn).endswith((".psf", ".prmtop", ".parm7")):
         raise ValueError(
             f"{fn}: this topology format carries no coordinates — pass a "
             ".pdb/.gro here (PSF/prmtop topologies work where only atom "
@@ -244,12 +246,12 @@ def read_topology(fn: str) -> Topology:
     .psf (coordinate-less CHARMM/NAMD topology, io.psf), .gro, or PDB.
     For surfaces that also need coordinates use read_structure (which
     rejects .psf with a clear message)."""
-    if fn.endswith(".psf"):
+    if fmt_name(fn).endswith(".psf"):
         from . import psf
 
         top, _bonds = psf.read_psf(fn)
         return top
-    if fn.endswith((".prmtop", ".parm7")):
+    if fmt_name(fn).endswith((".prmtop", ".parm7")):
         from . import prmtop
 
         top, _bonds = prmtop.read_prmtop(fn)
@@ -259,7 +261,7 @@ def read_topology(fn: str) -> Topology:
 
 def write_structure(fn: str, top: Topology, xyz: np.ndarray):
     """Write a structure file, dispatching on extension (.gro or PDB)."""
-    if fn.endswith(".gro"):
+    if fmt_name(fn).endswith(".gro"):
         from . import gro
 
         gro.write_gro(fn, top, xyz)

@@ -23,6 +23,7 @@ import numpy as np
 
 from .pdb import Topology
 from .psf import _element_from_mass
+from .zopen import topen
 
 
 class PrmtopError(ValueError):
@@ -37,7 +38,7 @@ def _parse_sections(fn: str) -> Dict[str, Tuple[str, int, List[str]]]:
     sections: Dict[str, Tuple[str, int, List[str]]] = {}
     flag = None
     kind, width = "a", 4
-    with open(fn) as fp:
+    with topen(fn) as fp:
         first = fp.readline()
         if not first.startswith("%VERSION"):
             raise PrmtopError(f"{fn}: not a prmtop (missing %VERSION)")

@@ -23,6 +23,7 @@ from typing import List, Tuple
 import numpy as np
 
 from .pdb import Topology
+from .zopen import topen
 
 
 class PsfError(ValueError):
@@ -61,7 +62,7 @@ def read_psf(fn: str) -> Tuple[Topology, np.ndarray]:
     Topology conventions: chain_ids = segment names, occupancies 1.0
     (so 'occupancy > 0' selections keep every atom), elements guessed
     from the per-atom masses."""
-    with open(fn) as fp:
+    with topen(fn) as fp:
         first = fp.readline()
         if "PSF" not in first.upper():
             raise PsfError(f"{fn}: not a PSF file (missing PSF header)")

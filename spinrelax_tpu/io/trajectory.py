@@ -24,6 +24,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 from . import pdb as pdbio
+from .zopen import fmt_name, is_gz
 
 try:  # optional
     import mdtraj as _md
@@ -31,12 +32,31 @@ except Exception:  # pragma: no cover - absent in this image
     _md = None
 
 
+_BINARY_EXTS = (".npz", ".npy", ".trr", ".xtc", ".dcd", ".nc")
+
+
+def _dispatch_name(fn: str) -> str:
+    """Extension-dispatch name: looks through a trailing .gz for the TEXT
+    formats (whose readers gunzip transparently, io.zopen); rejects .gz on
+    the binary formats up front — their readers need seek/mmap, and .xtc
+    is already compressed."""
+    base = fmt_name(fn)
+    if is_gz(fn) and base.endswith(_BINARY_EXTS):
+        raise ValueError(
+            f"{fn!r}: gzip-compressed binary trajectories are not "
+            "supported (binary readers need seek/mmap) — gunzip first; "
+            "text formats (.pdb/.gro/.mdcrd/.crd) read .gz transparently"
+        )
+    return base
+
+
 def load_trajectory(
     fn: str, top_fn: Optional[str] = None
 ) -> Tuple[np.ndarray, float]:
     """Load any supported trajectory -> (xyz (nFrames, nAtoms, 3) nm,
     timestep ps)."""
-    if fn.endswith(".npz"):
+    disp = _dispatch_name(fn)
+    if disp.endswith(".npz"):
         obj = np.load(fn)
         xyz = np.asarray(obj["xyz"])
         if "time" in obj and len(obj["time"]) > 1:
@@ -44,15 +64,15 @@ def load_trajectory(
         else:
             dt = float(obj.get("timestep", 1.0))
         return xyz, dt
-    if fn.endswith(".npy"):
+    if disp.endswith(".npy"):
         # bare array, no time axis (the out-of-core streaming format
         # iter_trajectory documents) — callers pass dt separately.
         xyz = np.load(fn, mmap_mode="r")
         return np.asarray(xyz), 1.0
-    if fn.endswith(".pdb"):
+    if disp.endswith(".pdb"):
         _, xyz = pdbio.read_pdb(fn)
         return xyz, 1.0
-    if fn.endswith(".gro"):
+    if disp.endswith(".gro"):
         from . import gro
 
         _, xyz, _boxes, times = gro.read_gro(fn)
@@ -62,31 +82,31 @@ def load_trajectory(
             else 1.0
         )
         return xyz, dt if dt > 0 else 1.0
-    if fn.endswith(".trr"):
+    if disp.endswith(".trr"):
         from . import gmx
 
         xyz, _boxes, times = gmx.read_trr(fn)
         dt = float(times[1] - times[0]) if len(times) > 1 else 1.0
         return xyz, dt
-    if fn.endswith(".xtc"):
+    if disp.endswith(".xtc"):
         from . import native
 
         xyz, _boxes, times = native.read_xtc(fn)
         dt = float(times[1] - times[0]) if len(times) > 1 else 1.0
         return xyz, dt
-    if fn.endswith(".dcd"):
+    if disp.endswith(".dcd"):
         from . import dcd as dcdio
 
         xyz, _boxes, times = dcdio.read_dcd(fn)
         dt = float(times[1] - times[0]) if len(times) > 1 else 1.0
         return xyz, dt
-    if fn.endswith(".nc"):
+    if disp.endswith(".nc"):
         from . import amber
 
         xyz, _boxes, times = amber.read_nc(fn)
         dt = float(times[1] - times[0]) if len(times) > 1 else 1.0
         return xyz, dt
-    if fn.endswith((".mdcrd", ".crd")):
+    if disp.endswith((".mdcrd", ".crd")):
         from . import amber
 
         xyz, _boxes, _times = amber.read_mdcrd(fn, _mdcrd_natoms(fn, top_fn))
@@ -128,12 +148,13 @@ def iter_trajectory(
 
     Yields (xyz_chunk (c, nAtoms, 3), timestep_ps).
     """
-    if fn.endswith(".npy"):
+    disp = _dispatch_name(fn)
+    if disp.endswith(".npy"):
         arr = np.load(fn, mmap_mode="r")
         for start in range(0, arr.shape[0], chunk_frames):
             yield np.asarray(arr[start : start + chunk_frames]), timestep
         return
-    if fn.endswith(".trr"):
+    if disp.endswith(".trr"):
         from . import gmx
 
         # Two-frame lookahead: the timestep must be right from the FIRST
@@ -165,7 +186,7 @@ def iter_trajectory(
         if buf:
             yield np.array(buf), dt_out
         return
-    if fn.endswith(".xtc"):
+    if disp.endswith(".xtc"):
         import itertools
 
         from . import native
@@ -188,7 +209,7 @@ def iter_trajectory(
         for xyz, _boxes, _times in itertools.chain(head, chunks):
             yield xyz, dt_out
         return
-    if fn.endswith(".dcd"):
+    if disp.endswith(".dcd"):
         from . import dcd as dcdio
 
         # DCD headers carry the frame spacing directly (DELTA x NSAVC),
@@ -199,7 +220,7 @@ def iter_trajectory(
         for xyz, _boxes, _times in dcdio.iter_dcd(fn, chunk_frames):
             yield xyz, dt_out
         return
-    if fn.endswith(".nc"):
+    if disp.endswith(".nc"):
         from . import amber
 
         # The time variable gives dt from the FIRST yield (same
@@ -208,7 +229,7 @@ def iter_trajectory(
         for xyz, _boxes, _times in amber.iter_nc(fn, chunk_frames):
             yield xyz, dt_out
         return
-    if fn.endswith(".gro"):
+    if disp.endswith(".gro"):
         from . import gro
 
         # Parsed once, then sliced (text format; convert to .npy for
@@ -224,7 +245,7 @@ def iter_trajectory(
         for start in range(0, xyz.shape[0], chunk_frames):
             yield xyz[start : start + chunk_frames], dt_out
         return
-    if fn.endswith((".mdcrd", ".crd")):
+    if disp.endswith((".mdcrd", ".crd")):
         from . import amber
 
         # no time axis in the ASCII format: the caller's timestep wins
@@ -232,14 +253,14 @@ def iter_trajectory(
         for start in range(0, xyz.shape[0], chunk_frames):
             yield xyz[start : start + chunk_frames], timestep
         return
-    if fn.endswith((".npz", ".pdb")):
+    if disp.endswith((".npz", ".pdb")):
         xyz, dt = load_trajectory(fn, top_fn=top_fn)
         # Honour the caller's explicit timestep when the FILE carries no
         # time information (a .pdb never does; an .npz only when it has a
         # time/timestep entry) — matching the .npy/.trr/.xtc branches'
         # contract instead of silently yielding the 1.0 default.
         has_file_time = False
-        if fn.endswith(".npz"):
+        if disp.endswith(".npz"):
             with np.load(fn) as obj:
                 has_file_time = (
                     ("time" in obj and len(obj["time"]) > 1)
@@ -297,12 +318,13 @@ def iter_trajectory_full(
     yields (xyz (c, nAtoms, 3) nm, boxes (c, 3, 3) nm or None,
     times (c,) ps or None).  The format-conversion path — readers that
     stream natively (xtc/trr/dcd/nc) stay constant-memory."""
-    if fn.endswith(".xtc"):
+    disp = _dispatch_name(fn)
+    if disp.endswith(".xtc"):
         from . import native
 
         yield from native.iter_xtc(fn, chunk_frames, threads=io_threads)
         return
-    if fn.endswith(".trr"):
+    if disp.endswith(".trr"):
         from . import gmx
 
         fs, bs, ts = [], [], []
@@ -318,17 +340,17 @@ def iter_trajectory_full(
             boxes = None if any(b is None for b in bs) else np.stack(bs)
             yield np.stack(fs), boxes, np.asarray(ts, dtype=float)
         return
-    if fn.endswith(".dcd"):
+    if disp.endswith(".dcd"):
         from . import dcd as dcdio
 
         yield from dcdio.iter_dcd(fn, chunk_frames)
         return
-    if fn.endswith(".nc"):
+    if disp.endswith(".nc"):
         from . import amber
 
         yield from amber.iter_nc(fn, chunk_frames)
         return
-    if fn.endswith(".gro"):
+    if disp.endswith(".gro"):
         from . import gro
 
         _top, xyz, boxes, times = gro.read_gro(fn)
@@ -339,7 +361,7 @@ def iter_trajectory_full(
             yield (xyz[sel], None if boxes is None else boxes[sel],
                    None if times is None else times[sel])
         return
-    if fn.endswith((".mdcrd", ".crd")):
+    if disp.endswith((".mdcrd", ".crd")):
         from . import amber
 
         # text format: parsed once, sliced (convert to .npy/.nc for
@@ -349,7 +371,7 @@ def iter_trajectory_full(
             sel = slice(lo, lo + chunk_frames)
             yield (xyz[sel], None if boxes is None else boxes[sel], None)
         return
-    if fn.endswith(".npz"):
+    if disp.endswith(".npz"):
         obj = np.load(fn)
         xyz = np.asarray(obj["xyz"])
         n = xyz.shape[0]
@@ -365,12 +387,12 @@ def iter_trajectory_full(
             yield (xyz[sel], None if boxes is None else boxes[sel],
                    None if times is None else times[sel])
         return
-    if fn.endswith(".npy"):
+    if disp.endswith(".npy"):
         arr = np.load(fn, mmap_mode="r")
         for lo in range(0, arr.shape[0], chunk_frames):
             yield np.asarray(arr[lo : lo + chunk_frames]), None, None
         return
-    if fn.endswith(".pdb"):
+    if disp.endswith(".pdb"):
         _, xyz = pdbio.read_pdb(fn)
         for lo in range(0, xyz.shape[0], chunk_frames):
             yield xyz[lo : lo + chunk_frames], None, None

@@ -14,12 +14,14 @@ import csv
 
 import numpy as np
 
+from .zopen import topen
+
 
 _COMMENT = ("#", "@")
 
 
 def _data_lines(fn: str):
-    with open(fn) as fp:
+    with topen(fn) as fp:
         for line in fp:
             if not line.strip():
                 continue
@@ -107,7 +109,7 @@ def load_sxydylist(fn: str, key: str = "legend"):
 
 def print_xy(fn: str, x, y, dy=None, header: str = ""):
     """(general_scripts.py:231-241); python str() rendering to match."""
-    with open(fn, "w") as fp:
+    with topen(fn, "w") as fp:
         if header:
             print(header, file=fp)
         if dy is None or len(dy) == 0:
@@ -125,7 +127,7 @@ def print_xydy(fn: str, x, y, dy, header: str = ""):
 def print_xylist(fn: str, x, ylist, cols: bool = False, header: str = ""):
     """(general_scripts.py:246-273)."""
     ylist = np.asarray(ylist)
-    with open(fn, "w") as fp:
+    with topen(fn, "w") as fp:
         if header:
             print(header, file=fp)
         if ylist.ndim == 1:
@@ -178,7 +180,7 @@ def print_sxylist(fn: str, legend, x, ylist, header: Sequence[str] = ()):
         from . import native
 
         fast = native.format_sxy  # resolved once; None lib -> row fallback
-    with open(fn, "w") as fp:
+    with topen(fn, "w") as fp:
         for line in header:
             print(line, file=fp)
         for i in range(ylist.shape[0]):
@@ -203,7 +205,7 @@ def print_gplot_hist(fn: str, hist, edges, header: str = "", sphere: bool = Fals
     hist = np.asarray(hist)
     nbins = hist.shape
     dim = len(nbins)
-    with open(fn, "w") as fp:
+    with topen(fn, "w") as fp:
         if header:
             print(header, file=fp)
         print("# DIMENSIONS: %i" % dim, file=fp)
@@ -275,7 +277,7 @@ def load_block_as_numpy(fn: str, ignores: str = "#@", newblock: str = "&"):
     if alpha:
         ignores = ignores.replace("alpha", "")
     out3d, out2d = [], []
-    with open(fn) as fp:
+    with topen(fn) as fp:
         for line in fp:
             if not line.strip():
                 if not newblock and out2d:
@@ -303,7 +305,7 @@ def load_xylist(fn: str):
     """'&'-separated list of xy sets (general_scripts.py:145-160)."""
     xs, ys = [], []
     x, y = [], []
-    with open(fn) as fp:
+    with topen(fn) as fp:
         for line in fp:
             if not line.strip() or line[0] in "#@":
                 continue
@@ -325,7 +327,7 @@ def load_xydylist(fn: str):
     """'&'-separated list of xydy sets (general_scripts.py:162-180)."""
     xs, ys, dys = [], [], []
     x, y, dy = [], [], []
-    with open(fn) as fp:
+    with topen(fn) as fp:
         for line in fp:
             if not line.strip() or line[0] in "#@":
                 continue
@@ -352,7 +354,7 @@ def print_R_hist(fn: str, hist, edges, header: str = ""):
     hist = np.asarray(hist)
     nbins = hist.shape
     dim = len(nbins)
-    with open(fn, "w") as fp:
+    with topen(fn, "w") as fp:
         if header:
             print(header, file=fp)
         print("# DIMENSIONS: %i" % dim, file=fp)
@@ -375,7 +377,7 @@ def print_gplot_4d(fn: str, datablock, x, y, z, header: str = ""):
     datablock = np.asarray(datablock)
     if datablock.ndim != 3:
         raise ValueError("print_gplot_4d requires 3D data")
-    with open(fn, "w") as fp:
+    with topen(fn, "w") as fp:
         if header:
             print(header, file=fp)
         for i in range(datablock.shape[0]):
@@ -394,7 +396,7 @@ def print_numpy_block(fn: str, data, header: str = "", delim: str = "&", axis: i
         raise ValueError("axis must be 0 or -1")
     if data.ndim > 3:
         raise ValueError("cannot deal with 4+ dimensional arrays")
-    with open(fn, "w") as fp:
+    with topen(fn, "w") as fp:
         if header:
             print(header, file=fp)
         if data.ndim == 2:

@@ -659,14 +659,16 @@ def cmd_center(argv):
     from ..io import trajectory as trjio
     from ..ops.pbc import center_solute, molecule_ids, apply_molecule_breaks
 
+    from ..io.zopen import fmt_name
+
     psf_mol_id = None
-    if a.topfn.endswith((".psf", ".prmtop", ".parm7")):
+    if fmt_name(a.topfn).endswith((".psf", ".prmtop", ".parm7")):
         # PSF/prmtop topologies carry the bond table: molecule
         # decomposition is EXACT (connected components) — no residue-
         # contiguity heuristic, no --mol-breaks needed for ligands.
         from ..io import psf as psfio
 
-        if a.topfn.endswith(".psf"):
+        if fmt_name(a.topfn).endswith(".psf"):
             top, bonds = psfio.read_psf(a.topfn)
         else:
             from ..io import prmtop as prmio
@@ -722,7 +724,7 @@ def cmd_center(argv):
                     None if b33 is None else _ortho_box(b33),
                     t_c,
                 )
-        elif a.infn.endswith(".gro"):
+        elif a.infn.endswith((".gro", ".gro.gz")):
             from ..io import gro
 
             _gtop, xyz, b33, t = gro.read_gro(a.infn)
@@ -891,8 +893,12 @@ def cmd_make_ref(argv):
     from ..io import pdb as pdbio
     from ..io import trajectory as trajio
 
+    from ..io.zopen import fmt_name
+
     top_fn = a.topfn or (
-        a.infn if a.infn.endswith((".pdb", ".gro")) else None
+        a.infn
+        if fmt_name(a.infn).endswith((".pdb", ".gro"))
+        else None
     )
     if top_fn is None:
         sys.exit("= = = ERROR: npz trajectories need a topology PDB (-s)")

@@ -244,7 +244,7 @@ def stage_dq(
         """(delta_t, q (N,4)) from a PLUMED colvar or a GROMACS
         ``gmx rotmat`` .xvg (rotation matrices -> INVERSE quaternions,
         calculate-dq-distribution.py:389-407,490-495)."""
-        if fn.endswith(".xvg"):
+        if fn.endswith((".xvg", ".xvg.gz")):
             t, ys = xvg.load_xys(fn)
             R = np.asarray(ys, dtype=np.float64).reshape(len(t), 3, 3)
             q = np.asarray(qt.qconj(qt.mat_to_quat(jnp.asarray(R))))
@@ -256,7 +256,7 @@ def stage_dq(
         if multi:
             raise ValueError("stream_chunk is incompatible with multi")
         n_total = None
-        if colvar_file.endswith(".xvg"):
+        if colvar_file.endswith((".xvg", ".xvg.gz")):
             delta_t, q_all = _load_q(colvar_file)
             n_total = q_all.shape[0]
 
