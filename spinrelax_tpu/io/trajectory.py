@@ -11,6 +11,7 @@ This rebuild's native formats are:
 - .dcd  : native CHARMM/NAMD/X-PLOR reader (io.dcd).
 - .nc   : Amber NetCDF via scipy's classic-NetCDF reader (io.amber).
 - .mdcrd/.crd : Amber ASCII (needs the topology for the atom count).
+- .xyz  : XMol multi-frame (io.xyz; Angstrom on disk -> nm).
 - anything-mdtraj : available when mdtraj is installed
           (optional dependency, gated).
 
@@ -106,6 +107,11 @@ def load_trajectory(
         xyz, _boxes, times = amber.read_nc(fn)
         dt = float(times[1] - times[0]) if len(times) > 1 else 1.0
         return xyz, dt
+    if disp.endswith(".xyz"):
+        from . import xyz as xyzio
+
+        _el, xyz = xyzio.read_xyz(fn)
+        return xyz, 1.0  # the format records no times
     if disp.endswith((".mdcrd", ".crd")):
         from . import amber
 
@@ -115,7 +121,7 @@ def load_trajectory(
         trj = _md.load(fn, top=top_fn)
         return np.asarray(trj.xyz), float(trj.timestep)
     raise ValueError(
-        f"cannot read {fn!r}: npz/npy/pdb/gro/trr/xtc/dcd/nc/mdcrd supported "
+        f"cannot read {fn!r}: npz/npy/pdb/gro/trr/xtc/dcd/nc/mdcrd/xyz supported "
         "natively; install mdtraj for other formats"
     )
 
@@ -245,6 +251,15 @@ def iter_trajectory(
         for start in range(0, xyz.shape[0], chunk_frames):
             yield xyz[start : start + chunk_frames], dt_out
         return
+    if disp.endswith(".xyz"):
+        from . import xyz as xyzio
+
+        # text format, no time axis: parsed once, sliced; the caller's
+        # timestep wins (same contract as .mdcrd)
+        _el, xyz = xyzio.read_xyz(fn)
+        for start in range(0, xyz.shape[0], chunk_frames):
+            yield xyz[start : start + chunk_frames], timestep
+        return
     if disp.endswith((".mdcrd", ".crd")):
         from . import amber
 
@@ -361,6 +376,14 @@ def iter_trajectory_full(
             yield (xyz[sel], None if boxes is None else boxes[sel],
                    None if times is None else times[sel])
         return
+    if disp.endswith(".xyz"):
+        from . import xyz as xyzio
+
+        # text format: parsed once, sliced; no box or time metadata
+        _el, xyz = xyzio.read_xyz(fn)
+        for lo in range(0, xyz.shape[0], chunk_frames):
+            yield xyz[lo : lo + chunk_frames], None, None
+        return
     if disp.endswith((".mdcrd", ".crd")):
         from . import amber
 
@@ -398,5 +421,5 @@ def iter_trajectory_full(
             yield xyz[lo : lo + chunk_frames], None, None
         return
     raise ValueError(
-        f"cannot stream {fn!r}: npz/npy/pdb/gro/trr/xtc/dcd/nc/mdcrd supported"
+        f"cannot stream {fn!r}: npz/npy/pdb/gro/trr/xtc/dcd/nc/mdcrd/xyz supported"
     )

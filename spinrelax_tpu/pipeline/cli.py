@@ -981,8 +981,8 @@ def cmd_convert(argv):
     p = argparse.ArgumentParser(
         prog="spinrelax convert",
         description="Convert trajectories between the native formats "
-        "(npz/npy/pdb/gro/trr/xtc/dcd/nc in; npz/xtc/trr/dcd/nc/gro/pdb "
-        "out), with atom selection and frame ranges — the trjconv "
+        "(npz/npy/pdb/gro/trr/xtc/dcd/nc/mdcrd/xyz in; "
+        "npz/npy/xtc/trr/dcd/nc/gro/pdb/xyz out), with atom selection and frame ranges — the trjconv "
         "conversions the reference workflow shells out for.",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
@@ -1026,9 +1026,9 @@ def cmd_convert(argv):
 
     out_ext = a.outfn.rsplit(".", 1)[-1] if "." in a.outfn else ""
     if out_ext not in ("npz", "npy", "xtc", "trr", "dcd", "nc", "gro",
-                       "pdb"):
+                       "pdb", "xyz"):
         sys.exit(f"= = = ERROR: unsupported output format {a.outfn!r} "
-                 "(npz/npy/xtc/trr/dcd/nc/gro/pdb)")
+                 "(npz/npy/xtc/trr/dcd/nc/gro/pdb/xyz)")
     if a.skip < 1:
         sys.exit("= = = ERROR: --skip must be >= 1")
     if a.batch < 1:
@@ -1090,7 +1090,7 @@ def cmd_convert(argv):
         sup_w[fit_idx] = 1.0
         sup_ref = rxyz[0]
 
-    streaming = out_ext in ("xtc", "dcd", "gro")
+    streaming = out_ext in ("xtc", "dcd", "gro", "xyz")
     buf_xyz, buf_box, buf_t = [], [], []
     first_frame = None  # first written frame (--out-top coordinates)
     n_in = n_written = 0
@@ -1168,6 +1168,17 @@ def cmd_convert(argv):
 
                 dcdio.write_dcd(
                     a.outfn, xyz_m, boxes=box_m, timestep_ps=dt_out,
+                    append=n_written > 0,
+                )
+            elif out_ext == "xyz":
+                from ..io import xyz as xyzio
+
+                xyzio.write_xyz(
+                    a.outfn, xyz_m,
+                    elements=(
+                        top_out.elements if top_out is not None else None
+                    ),
+                    comments=[f"t= {t:g} ps" for t in t_m],
                     append=n_written > 0,
                 )
             else:  # gro

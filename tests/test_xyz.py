@@ -1,0 +1,110 @@
+"""XMol .xyz trajectory I/O (io.xyz): round-trips, A<->nm units,
+dispatch through io.trajectory and `spinrelax convert`, gzip, and
+malformed-file errors."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from spinrelax_tpu.io import trajectory as trjio
+from spinrelax_tpu.io import xyz as xyzio
+
+
+def test_roundtrip_and_units(tmp_path):
+    rng = np.random.default_rng(0)
+    xyz = rng.normal(size=(3, 5, 3))
+    el = ["N", "H", "CA", "C", "O"]
+    fn = str(tmp_path / "t.xyz")
+    xyzio.write_xyz(fn, xyz, elements=el)
+    el2, x2 = xyzio.read_xyz(fn)
+    assert el2 == el
+    np.testing.assert_allclose(x2, xyz, atol=1e-9)
+    # disk is Angstrom: first coordinate field is 10x the nm value
+    first = open(fn).read().splitlines()[2].split()
+    assert abs(float(first[1]) - xyz[0, 0, 0] * 10.0) < 1e-7
+
+
+def test_append_equals_single_write(tmp_path):
+    rng = np.random.default_rng(1)
+    xyz = rng.normal(size=(4, 2, 3))
+    one = str(tmp_path / "one.xyz")
+    two = str(tmp_path / "two.xyz")
+    comments = [f"frame {i}" for i in range(4)]
+    xyzio.write_xyz(one, xyz, comments=comments)
+    xyzio.write_xyz(two, xyz[:2], comments=comments[:2])
+    xyzio.write_xyz(two, xyz[2:], comments=comments[2:], append=True)
+    assert open(one).read() == open(two).read()
+
+
+def test_trajectory_dispatch(tmp_path):
+    rng = np.random.default_rng(2)
+    xyz = rng.normal(size=(5, 3, 3))
+    fn = str(tmp_path / "t.xyz")
+    xyzio.write_xyz(fn, xyz)
+    xa, _dt = trjio.load_trajectory(fn)
+    np.testing.assert_allclose(xa, xyz, atol=1e-9)
+    chunks = [c for c, dt in trjio.iter_trajectory(fn, 2, timestep=0.5)]
+    assert [c.shape[0] for c in chunks] == [2, 2, 1]
+    dts = {dt for _c, dt in trjio.iter_trajectory(fn, 2, timestep=0.5)}
+    assert dts == {0.5}
+    full = list(trjio.iter_trajectory_full(fn, 3))
+    assert full[0][1] is None and full[0][2] is None
+    np.testing.assert_allclose(
+        np.concatenate([c for c, _b, _t in full]), xyz, atol=1e-9
+    )
+
+
+def test_gz(tmp_path):
+    xyz = np.arange(12, dtype=float).reshape(2, 2, 3) / 17.0
+    plain = str(tmp_path / "t.xyz")
+    xyzio.write_xyz(plain, xyz)
+    gz = plain + ".gz"
+    with open(plain, "rb") as fi, gzip.open(gz, "wb") as fo:
+        fo.write(fi.read())
+    _el, x1 = xyzio.read_xyz(gz)
+    np.testing.assert_allclose(x1, xyz, atol=1e-9)
+    x2, _ = trjio.load_trajectory(gz)
+    np.testing.assert_allclose(x2, xyz, atol=1e-9)
+
+
+def test_convert_npz_to_xyz_and_back(tmp_path):
+    from spinrelax_tpu.pipeline import cli
+
+    rng = np.random.default_rng(3)
+    xyz = rng.normal(size=(6, 4, 3))
+    src = str(tmp_path / "in.npz")
+    np.savez(src, xyz=xyz, time=np.arange(6) * 2.0)
+    out = str(tmp_path / "out.xyz")
+    cli.main(["convert", "-f", src, "-o", out, "--batch", "2"])
+    _el, x1 = xyzio.read_xyz(out)
+    np.testing.assert_allclose(x1, xyz, atol=1e-8)
+    back = str(tmp_path / "back.npz")
+    cli.main(["convert", "-f", out, "-o", back, "--timestep", "2"])
+    obj = np.load(back)
+    np.testing.assert_allclose(obj["xyz"], xyz, atol=1e-8)
+    assert float(obj["timestep"]) == 2.0
+
+
+def test_malformed(tmp_path):
+    fn = str(tmp_path / "bad.xyz")
+    with open(fn, "w") as fp:
+        fp.write("nonsense\n")
+    with pytest.raises(xyzio.XyzError, match="atom count"):
+        xyzio.read_xyz(fn)
+    with open(fn, "w") as fp:
+        fp.write("3\ncomment\nC 0 0 0\nC 1 1 1\n")  # truncated frame
+    with pytest.raises(xyzio.XyzError, match="truncated"):
+        xyzio.read_xyz(fn)
+    with open(fn, "w") as fp:
+        fp.write("1\nc\nC 0 0 0\n2\nc\nC 0 0 0\nC 1 1 1\n")
+    with pytest.raises(xyzio.XyzError, match="atoms"):
+        xyzio.read_xyz(fn)
+    with open(fn, "w") as fp:
+        fp.write("1\nc\nC 0 zero 0\n")
+    with pytest.raises(xyzio.XyzError, match="non-numeric"):
+        xyzio.read_xyz(fn)
+    with open(fn, "w") as fp:
+        fp.write("")
+    with pytest.raises(xyzio.XyzError, match="no frames"):
+        xyzio.read_xyz(fn)
