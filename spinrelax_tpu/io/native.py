@@ -92,9 +92,11 @@ def available() -> bool:
 
 def load_table(fn: str, skip_chars: str = "#@&") -> Optional[np.ndarray]:
     """Parse a numeric text table -> (nRows, nCols) float64, or None when
-    the native library is unavailable (caller falls back to numpy)."""
+    the native library is unavailable (caller falls back to numpy).
+    .gz paths return None too: the mmap parser reads raw bytes, and the
+    Python fallbacks gunzip transparently (io.zopen)."""
     lib = _load()
-    if lib is None:
+    if lib is None or str(fn).endswith(".gz"):
         return None
     rows = ctypes.c_long()
     cols = ctypes.c_long()
@@ -156,9 +158,11 @@ def format_sxy(x, y) -> Optional[bytes]:
 def write_table(fn: str, data, append: bool = False) -> bool:
     """Bulk-write a 2D array as "%16g"-joined rows (the PLUMED colvar
     row format).  Returns True when the native writer handled it; the
-    caller should fall back to np.savetxt on False."""
+    caller should fall back to np.savetxt on False.  .gz paths return
+    False: the C writer emits raw bytes, which would silently produce a
+    plain-text file under a .gz name."""
     lib = _load()
-    if lib is None:
+    if lib is None or str(fn).endswith(".gz"):
         return False
     arr = np.ascontiguousarray(data, dtype=np.float64)
     if arr.ndim != 2:

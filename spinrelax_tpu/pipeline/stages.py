@@ -80,7 +80,9 @@ def stage_orientation(
         )
         t = np.arange(q.shape[0]) * dt
         data = np.concatenate([t[:, None], q], axis=1)
-        with open(out_colvar, mode) as fp:
+        from ..io.zopen import topen
+
+        with topen(out_colvar, mode) as fp:
             print("#! FIELDS time q.w q.x q.y q.z", file=fp)
         # One bulk write: per-frame Python formatting dominates the
         # stage at 10^6 frames.  The native buffered snprintf writer
@@ -89,7 +91,7 @@ def stage_orientation(
         from ..io import native as fastio
 
         if not fastio.write_table(out_colvar, data, append=True):
-            with open(out_colvar, "a") as fp:
+            with topen(out_colvar, "a") as fp:
                 np.savetxt(fp, data, fmt="%16g", delimiter=" ")
         mode = "a"
     return out_colvar
