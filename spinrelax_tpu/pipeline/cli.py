@@ -974,7 +974,8 @@ def cmd_check(argv):
 
 def cmd_convert(argv):
     """Native trjconv-style trajectory conversion: any supported input
-    format -> npz/xtc/trr/dcd/nc/gro/pdb, with optional atom selection
+    format -> npz/npy/xtc/trr/dcd/nc/gro/pdb/xyz, with optional atom
+    selection
     (expression or index group) and frame range/stride.  Streaming
     (constant-memory) wherever both codecs allow — xtc/dcd/gro outputs
     append chunk by chunk; npz/trr/nc/pdb outputs buffer in RAM."""
