@@ -628,7 +628,7 @@ def cmd_center(argv):
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
     p.add_argument("-f", "--infn", required=True,
-                   help="trajectory (npz/xtc/trr/dcd/nc/gro/pdb)")
+                   help="trajectory (npz/npy/xtc/trr/dcd/nc/gro/pdb/mdcrd/xyz)")
     p.add_argument("-s", "--topfn", required=True,
                    help="topology structure: .pdb/.gro, or .psf (exact "
                         "bond-graph molecule decomposition)")
@@ -1323,7 +1323,7 @@ def cmd_info(argv):
     p = argparse.ArgumentParser(
         prog="spinrelax info",
         description="Print frames, atoms, timestep, duration and box of "
-        "trajectory files (npz/npy/pdb/gro/trr/xtc/dcd/nc).",
+        "trajectory files (npz/npy/pdb/gro/trr/xtc/dcd/nc/mdcrd/xyz).",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
     p.add_argument("files", nargs="+")
