@@ -1025,11 +1025,18 @@ def cmd_convert(argv):
     from ..io import pdb as pdbio
     from ..io import trajectory as trjio
 
-    out_ext = a.outfn.rsplit(".", 1)[-1] if "." in a.outfn else ""
+    from ..io.zopen import fmt_name as _fmt_name
+
+    out_base = _fmt_name(a.outfn)  # text writers gzip a .gz suffix
+    out_ext = out_base.rsplit(".", 1)[-1] if "." in out_base else ""
     if out_ext not in ("npz", "npy", "xtc", "trr", "dcd", "nc", "gro",
                        "pdb", "xyz"):
         sys.exit(f"= = = ERROR: unsupported output format {a.outfn!r} "
-                 "(npz/npy/xtc/trr/dcd/nc/gro/pdb/xyz)")
+                 "(npz/npy/xtc/trr/dcd/nc/gro/pdb/xyz; text formats may "
+                 "add .gz)")
+    if a.outfn != out_base and out_ext not in ("gro", "pdb", "xyz"):
+        sys.exit(f"= = = ERROR: cannot gzip binary output {a.outfn!r} "
+                 "(only gro/pdb/xyz support a .gz suffix)")
     if a.skip < 1:
         sys.exit("= = = ERROR: --skip must be >= 1")
     if a.batch < 1:

@@ -192,3 +192,24 @@ def test_dq_cli_on_gz_colvar(tmp_path):
     assert os.path.exists(fa) and os.path.exists(fb)
     with open(fa, "rb") as f1, open(fb, "rb") as f2:
         assert f1.read() == f2.read()
+
+
+def test_convert_gz_text_outputs(tmp_path):
+    """`convert -o out.pdb.gz/.xyz.gz/.gro.gz` writes real gzip (streamed
+    outputs as multi-member gzip) that reads back; .gz on binary outputs
+    is rejected with a clear error."""
+    from spinrelax_tpu.io import xyz as xyzio
+    from spinrelax_tpu.pipeline import cli
+
+    rng = np.random.default_rng(5)
+    xyz = rng.normal(size=(5, 3, 3))
+    src = str(tmp_path / "in.npz")
+    np.savez(src, xyz=xyz, time=np.arange(5.0))
+    out = str(tmp_path / "o.xyz.gz")
+    cli.main(["convert", "-f", src, "-o", out, "--batch", "2"])
+    with open(out, "rb") as fp:
+        assert fp.read(2) == b"\x1f\x8b"
+    _el, x1 = xyzio.read_xyz(out)
+    np.testing.assert_allclose(x1, xyz, atol=1e-7)
+    with pytest.raises(SystemExit, match="gzip binary"):
+        cli.main(["convert", "-f", src, "-o", str(tmp_path / "o.xtc.gz")])
