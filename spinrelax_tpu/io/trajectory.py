@@ -35,6 +35,16 @@ except Exception:  # pragma: no cover - absent in this image
 
 _BINARY_EXTS = (".npz", ".npy", ".trr", ".xtc", ".dcd", ".nc")
 
+# Formats that record NO time axis: load/iter echo the caller's timestep
+# (or 1.0) back.  Stages that scale physics by dt must refuse these
+# without an explicit timestep instead of silently assuming 1 ps.
+TIMELESS_EXTS = (".npy", ".mdcrd", ".crd", ".xyz")
+
+
+def is_timeless(fn: str) -> bool:
+    """True when the format carries no frame times (looks through .gz)."""
+    return fmt_name(fn).endswith(TIMELESS_EXTS)
+
 
 def _dispatch_name(fn: str) -> str:
     """Extension-dispatch name: looks through a trailing .gz for the TEXT

@@ -443,9 +443,9 @@ def stage_ct(
         top, ref_xyz = pdbio.read_structure(ref_fn)
         idx_h, idx_x, res_h = pdbio.bond_indices(top, h_sel, x_sel)
         w = _fit_weights(top, fit_sel)
-        if timestep is None and trj_fn.endswith(".npy"):
+        if timestep is None and trajio.is_timeless(trj_fn):
             raise ValueError(
-                f"{trj_fn!r}: bare .npy carries no time axis — pass "
+                f"{trj_fn!r}: this format carries no time axis — pass "
                 "timestep explicitly"
             )
         xyz, dt = trajio.load_trajectory(trj_fn, top_fn=ref_fn)
@@ -1278,11 +1278,11 @@ def stage_ct_streamed(
         w = _fit_weights(top, fit_sel)
         ref0 = ref_xyz[0]
 
-        if timestep is None and trj_fn.endswith(".npy"):
-            # A bare .npy has no time axis: iter_trajectory would echo a
+        if timestep is None and trajio.is_timeless(trj_fn):
+            # No time axis in the file: iter_trajectory would echo a
             # silent 1.0 ps back, mis-scaling fpc and every lag time.
             raise ValueError(
-                f"{trj_fn!r}: bare .npy carries no time axis — pass "
+                f"{trj_fn!r}: this format carries no time axis — pass "
                 "timestep explicitly"
             )
         # Probe the timestep with a single-frame read (each iter_trajectory

@@ -108,3 +108,31 @@ def test_malformed(tmp_path):
         fp.write("")
     with pytest.raises(xyzio.XyzError, match="no frames"):
         xyzio.read_xyz(fn)
+
+
+def test_ct_stage_requires_timestep_for_timeless_formats(tmp_path):
+    """.xyz (like bare .npy and .mdcrd) records no times: the ct stage
+    must refuse to silently assume 1 ps (stages.py time-less guard)."""
+    from spinrelax_tpu.io import pdb as pdbio
+    from spinrelax_tpu.pipeline import stages
+
+    rng = np.random.default_rng(4)
+    top = pdbio.Topology(
+        atom_names=["N", "H"],
+        res_seqs=np.array([2, 2]),
+        res_names=["ALA"] * 2,
+        chain_ids=["A"] * 2,
+        occupancies=np.ones(2),
+        elements=["N", "H"],
+    )
+    ref = str(tmp_path / "ref.pdb")
+    base = rng.normal(size=(1, 2, 3))
+    pdbio.write_pdb(ref, top, base)
+    fn = str(tmp_path / "t.xyz")
+    xyzio.write_xyz(fn, base[0][None].repeat(6, axis=0))
+    with pytest.raises(ValueError, match="no time axis"):
+        stages.stage_ct([fn], [ref], str(tmp_path / "o"), None)
+    # with an explicit timestep the same input is accepted
+    stages.stage_ct(
+        [fn], [ref], str(tmp_path / "o"), 4.0, timestep=2.0
+    )
