@@ -38,12 +38,29 @@ _BINARY_EXTS = (".npz", ".npy", ".trr", ".xtc", ".dcd", ".nc")
 # Formats that record NO time axis: load/iter echo the caller's timestep
 # (or 1.0) back.  Stages that scale physics by dt must refuse these
 # without an explicit timestep instead of silently assuming 1 ps.
-TIMELESS_EXTS = (".npy", ".mdcrd", ".crd", ".xyz")
+# Multi-MODEL .pdb files carry no time axis either.
+TIMELESS_EXTS = (".npy", ".mdcrd", ".crd", ".xyz", ".pdb")
 
 
 def is_timeless(fn: str) -> bool:
-    """True when the format carries no frame times (looks through .gz)."""
-    return fmt_name(fn).endswith(TIMELESS_EXTS)
+    """True when the file carries no frame times (looks through .gz).
+
+    Extension check for the always-timeless formats; .gro files are
+    probed (first title line) for a ``t=`` stamp — GROMACS writes the
+    stamp on every frame or none."""
+    base = fmt_name(fn)
+    if base.endswith(TIMELESS_EXTS):
+        return True
+    if base.endswith(".gro"):
+        from .zopen import topen
+
+        try:
+            with topen(fn) as fp:
+                title = fp.readline()
+        except OSError:
+            return False  # let the real reader raise its own error
+        return " t=" not in title
+    return False
 
 
 def _dispatch_name(fn: str) -> str:

@@ -111,6 +111,12 @@ def write_xyz(
         raise XyzError(
             f"{fn}: {len(elements)} elements for {n_atoms} atoms"
         )
+    # Empty/whitespace element strings (blank PDB cols 77-78, unguessable
+    # .gro names) would render a 3-token row no XYZ reader accepts —
+    # substitute the same 'X' placeholder the elements=None default uses.
+    elements = [
+        e if (e := str(el).strip()) else "X" for el in elements
+    ]
     ang = xyz * 10.0
     with topen(fn, "a" if append else "w") as fp:
         for f in range(n_frames):

@@ -110,6 +110,46 @@ def test_malformed(tmp_path):
         xyzio.read_xyz(fn)
 
 
+def test_empty_elements_written_as_placeholder(tmp_path):
+    """Blank element strings (blank PDB cols 77-78, unguessable .gro
+    names) must not render 3-token rows that no XYZ reader accepts —
+    write_xyz substitutes the 'X' placeholder (ADVICE r3)."""
+    xyz = np.arange(6, dtype=float).reshape(1, 2, 3) / 7.0
+    fn = str(tmp_path / "t.xyz")
+    xyzio.write_xyz(fn, xyz, elements=["", "  "])
+    el, x2 = xyzio.read_xyz(fn)
+    assert el == ["X", "X"]
+    np.testing.assert_allclose(x2, xyz, atol=1e-9)
+
+
+def test_pdb_and_gro_timeless_detection(tmp_path):
+    """Multi-MODEL .pdb never carries times; .gro only when titles have
+    t= stamps — is_timeless must say so (ADVICE r3)."""
+    from spinrelax_tpu.io import gro as groio
+    from spinrelax_tpu.io import pdb as pdbio
+
+    top = pdbio.Topology(
+        atom_names=["N", "H"],
+        res_seqs=np.array([1, 1]),
+        res_names=["ALA"] * 2,
+        chain_ids=["A"] * 2,
+        occupancies=np.ones(2),
+        elements=["N", "H"],
+    )
+    xyz = np.zeros((2, 2, 3))
+    pdb_fn = str(tmp_path / "t.pdb")
+    pdbio.write_pdb(pdb_fn, top, xyz)
+    assert trjio.is_timeless(pdb_fn)
+
+    stamped = str(tmp_path / "stamped.gro")
+    groio.write_gro(stamped, top, xyz, times=np.array([0.0, 2.0]))
+    assert not trjio.is_timeless(stamped)
+
+    bare = str(tmp_path / "bare.gro")
+    groio.write_gro(bare, top, xyz)
+    assert trjio.is_timeless(bare)
+
+
 def test_ct_stage_requires_timestep_for_timeless_formats(tmp_path):
     """.xyz (like bare .npy and .mdcrd) records no times: the ct stage
     must refuse to silently assume 1 ps (stages.py time-less guard)."""
