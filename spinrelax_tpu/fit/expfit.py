@@ -155,6 +155,7 @@ def fit_ct_ladder(
     early_stop: bool = True,
     warm_retry: bool = True,
     n_starts: int = 1,
+    retry_starts: int = 8,
 ) -> CtModelSet:
     """Fit all residues' C(t) and select per-residue model complexity.
 
@@ -188,6 +189,16 @@ def fit_ct_ladder(
         workloads (quality failures are rare; chi-stall breaks are not
         retried — measured ~10x ladder wall when they were).  ``False``
         restores the single-attempt walk.
+    retry_starts : multi-start escalation for the SAME quality-failure
+        gate (default-on robustness): the flagged rows are ALSO refit
+        cold with ``retry_starts`` batched starts (see ``n_starts``) and
+        the best gate-passing candidate of {warm retry, multi-start}
+        wins.  This buys the reference's scipy-TRF selection quality on
+        adjacent-timescale mixes WITHOUT the ~retry_starts x rung cost of
+        a global ``n_starts`` (only quality-failed rows pay, and those
+        are rare on clean workloads).  1 disables; no effect unless it
+        exceeds ``n_starts``; "lm" optimiser only (ignored for varpro,
+        whose amplitudes are closed-form per tau start already).
     early_stop : fit each rung only on the residues whose selection walk
         is still descending the ladder (exact reference semantics — a
         residue that has broken out never consults later rungs,
@@ -399,9 +410,26 @@ def fit_ct_ladder(
                 wfit = _unpack_fit(
                     _packed_fit_warm(dt_arr, *wargs, K, s2_free), K
                 )
-                wfit = {k: v[: retry.size] for k, v in wfit.items()}
-                ok_w = wfit["ok_fit"] & wfit["ok_err"] & wfit["ok_sum"]
-                acc = ok_w & (wfit["chisq"] < sel_chi[retry] * chisq_threshold)
+                resc = {k: v[: retry.size].copy() for k, v in wfit.items()}
+                ok_r = resc["ok_fit"] & resc["ok_err"] & resc["ok_sum"]
+                if optimiser == "lm" and retry_starts > max(n_starts, 1):
+                    # Multi-start escalation on the SAME flagged rows: a
+                    # cold refit from retry_starts deterministic starts
+                    # (the lever that reproduces scipy-TRF selection on
+                    # adjacent-timescale mixes, docs/PERF.md "Ladder
+                    # robustness") — best gate-passing candidate wins.
+                    mfit = _unpack_fit(
+                        _packed_fit(fit_fn, dt_arr, wargs[0], wargs[1],
+                                    K, s2_free, n_starts=retry_starts), K
+                    )
+                    mfit = {k: v[: retry.size] for k, v in mfit.items()}
+                    ok_m = mfit["ok_fit"] & mfit["ok_err"] & mfit["ok_sum"]
+                    use_m = ok_m & (~ok_r | (mfit["chisq"] < resc["chisq"]))
+                    if np.any(use_m):
+                        for k in resc:
+                            resc[k][use_m] = mfit[k][use_m]
+                        ok_r = ok_r | use_m
+                acc = ok_r & (resc["chisq"] < sel_chi[retry] * chisq_threshold)
                 if np.any(acc):
                     rows_acc = retry[acc]
                     for k, v in fit.items():
@@ -410,13 +438,13 @@ def fit_ct_ladder(
                         # so reassigning the value updates the rung.
                         if not v.flags.writeable:
                             v = v.copy()
-                        v[rows_acc] = wfit[k][acc]
+                        v[rows_acc] = resc[k][acc]
                         fit[k] = v
                     pos = np.nonzero(retriable)[0][acc]
                     brk[pos] = False
                     take[pos] = True
                     chi = chi.copy()
-                    chi[pos] = wfit["chisq"][acc]
+                    chi[pos] = resc["chisq"][acc]
             rows = active[take]
             sel_idx[rows] = i
             sel_chi[rows] = chi[take]
@@ -458,6 +486,55 @@ def fit_ct_ladder(
                     f"    ...ladder rung nParams={n_par}: median chisq "
                     f"{np.median(fit['chisq']):.3g}"
                 )
+
+    # Post-walk chisq-outlier escalation (second arm of retry_starts):
+    # a cold single-start LM can land in a bad local minimum that PASSES
+    # the quality gates (collapsed-adjacent-timescale fits with finite
+    # errors) — the walk then keeps the right K but 10-50x the chi of
+    # the reference's TRF solution.  Rows whose SELECTED chisq is an
+    # outlier against the cohort are refit with the same batched
+    # multi-start and adopted only on a strict chisq improvement at the
+    # SAME rung, so model selection is unchanged by construction (a
+    # lower sel_chi can only make the already-taken break at the next
+    # rung harder to un-take).  Clean workloads flag ~nothing.
+    if (not stacked and optimiser == "lm"
+            and retry_starts > max(n_starts, 1) and B > 1):
+        finite = np.isfinite(sel_chi)
+        if np.any(finite):
+            med = float(np.median(sel_chi[finite]))
+            flagged = finite & (sel_chi > 5.0 * med) if med > 0 else \
+                np.zeros(B, bool)
+            for i, (n_par, K, s2_free, fit) in enumerate(rungs):
+                rows = np.nonzero(flagged & (sel_idx == i))[0]
+                if rows.size == 0 or fit is None:
+                    continue
+                bucket = 256
+                while bucket < rows.size:
+                    bucket *= 2
+                bucket = min(bucket, max(B, 256))
+                idx_f = np.concatenate(
+                    [rows, np.full(bucket - rows.size, rows[0])]
+                )
+                fargs = [dec_d[idx_f], sig_d[idx_f]]
+                if mesh is not None:
+                    from ..parallel.mesh import pad_and_shard
+
+                    fargs, _ = pad_and_shard(mesh, fargs)
+                mfit = _unpack_fit(
+                    _packed_fit(fit_multiexp, dt_arr, *fargs, K, s2_free,
+                                n_starts=retry_starts), K
+                )
+                mfit = {k: v[: rows.size] for k, v in mfit.items()}
+                ok_m = mfit["ok_fit"] & mfit["ok_err"] & mfit["ok_sum"]
+                better = ok_m & (mfit["chisq"] < sel_chi[rows])
+                if np.any(better):
+                    rows_b = rows[better]
+                    for k, v in fit.items():
+                        if not v.flags.writeable:
+                            v = v.copy()
+                        v[rows_b] = mfit[k][better]
+                        fit[k] = v
+                    sel_chi[rows_b] = mfit["chisq"][better]
 
     # Per-residue sequential selection (fitting_Ct_functions.py:283-304).
     if not stacked:

@@ -340,6 +340,12 @@ def cmd_fit_ct(argv):
                         "wins (1 = the reference's single cold start; "
                         "8 beats scipy TRF robustness on hard "
                         "adjacent-timescale mixes at ~8x rung compute)")
+    p.add_argument("--retry-starts", type=int, default=8,
+                   dest="retry_starts", metavar="N",
+                   help="multi-start escalation for quality-failed and "
+                        "chisq-outlier rows ONLY (default-on TRF-grade "
+                        "robustness at ~zero clean-workload cost; 1 "
+                        "disables)")
     p.add_argument("--devices", type=int, default=0, metavar="N",
                    help="shard the batched ladder fits over the first N "
                         "local devices (0 = single-device)")
@@ -357,6 +363,7 @@ def cmd_fit_ct(argv):
         use_s2fast=not a.nofast,
         optimiser=a.optimiser,
         n_starts=a.nstarts,
+        retry_starts=a.retry_starts,
         mesh=mesh,
     )
     print(" = = Completed C(t)-fits.")

@@ -604,6 +604,7 @@ def stage_fit_ct(
     force: bool = False,
     optimiser: str = "lm",
     n_starts: int = 1,
+    retry_starts: int = 8,
     mesh=None,
 ) -> CtModelSet:
     out_fn = out_prefix + "_fittedCt.dat"
@@ -653,6 +654,7 @@ def stage_fit_ct(
         n_components=n_components,
         optimiser=optimiser,
         n_starts=n_starts,
+        retry_starts=retry_starts,
         mesh=mesh,
     )
     fctio.write_fittedct(out_fn, model, dt=dt, targets=decays)

@@ -233,6 +233,22 @@ def test_multistart_rejected_for_varpro_and_stacked():
         fit_ct_ladder(["1"], dt, y[None], stacked=True, n_starts=2)
 
 
+def test_retry_escalation_inert_on_clean_data(rng):
+    """The default-on retry_starts escalation fires only on quality-failed
+    or chisq-outlier rows — on clean well-separated curves nothing is
+    flagged, so results are IDENTICAL to retry_starts=1 (the
+    zero-clean-workload-cost contract)."""
+    dt, y = _hetero_curves(rng)
+    names = [str(i) for i in range(y.shape[0])]
+    a = fit_ct_ladder(names, dt, y, retry_starts=1)
+    b = fit_ct_ladder(names, dt, y)  # default retry_starts=8
+    for fld in ("S2", "C", "tau", "mask", "chisq"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, fld)), np.asarray(getattr(b, fld)),
+            err_msg=fld,
+        )
+
+
 @pytest.mark.slow
 def test_multistart_matches_reference_on_hard_mixes(tmp_path):
     """TPU-native robustness: instead of replicating scipy TRF's
@@ -265,7 +281,8 @@ def test_multistart_matches_reference_on_hard_mixes(tmp_path):
     k_ref = np.asarray(ref.mask).sum(1)
     rms_ref = float(np.sqrt(np.mean((np.asarray(ref.eval(dt)) - y_clean) ** 2)))
 
-    ours = fit_ct_ladder(names, dt, y, dy, use_s2fast=False, n_starts=8)
+    ours = fit_ct_ladder(names, dt, y, dy, use_s2fast=False, n_starts=8,
+                         retry_starts=1)
     k_our = np.asarray(ours.mask).sum(1)
     rms_our = float(np.sqrt(np.mean((np.asarray(ours.eval(dt)) - y_clean) ** 2)))
 
@@ -275,7 +292,18 @@ def test_multistart_matches_reference_on_hard_mixes(tmp_path):
     # Fit quality within 2x of the reference against the planted truth.
     assert rms_our <= 2.0 * rms_ref, (rms_our, rms_ref)
 
-    cold = fit_ct_ladder(names, dt, y, dy, use_s2fast=False, n_starts=1)
+    # DEFAULT flags must match too (round-4 verdict): the quality-failure
+    # + chisq-outlier escalation (retry_starts=8) buys the same selection
+    # and truth-rms as the global 8-start sweep, paying only on the
+    # flagged rows.
+    dflt = fit_ct_ladder(names, dt, y, dy, use_s2fast=False)
+    k_dflt = np.asarray(dflt.mask).sum(1)
+    rms_dflt = float(np.sqrt(np.mean((np.asarray(dflt.eval(dt)) - y_clean) ** 2)))
+    assert np.mean(k_ref == k_dflt) >= 0.95, (k_ref, k_dflt)
+    assert rms_dflt <= 2.0 * rms_ref, (rms_dflt, rms_ref)
+
+    cold = fit_ct_ladder(names, dt, y, dy, use_s2fast=False, n_starts=1,
+                         retry_starts=1)
     rms_cold = float(np.sqrt(np.mean((np.asarray(cold.eval(dt)) - y_clean) ** 2)))
     # ... and the cohort actually separates the optimisers: the cold
     # start must be substantially worse, else this test shows nothing.
