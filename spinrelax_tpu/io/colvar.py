@@ -164,8 +164,7 @@ def iter_colvar_chunks(fn: str, chunk_frames: int = 65536):
                                 f"{fn!r}: FIELDS header changed mid-file "
                                 f"({field_names} -> {parts[2:]}); cannot "
                                 "stream across incompatible blocks (a "
-                                "multi-replica colvar needs the in-memory "
-                                "--multi path)"
+                                "multi-replica colvar needs --multi)"
                             )
                         import warnings
 
@@ -191,3 +190,40 @@ def iter_colvar_chunks(fn: str, chunk_frames: int = 65536):
                 rows = []
     if rows:
         yield field_names, np.loadtxt(rows, ndmin=2)
+
+
+def iter_colvar_chunks_multi(fn: str, chunk_frames: int = 65536):
+    """Lazily yield (replica_index, field_names, (n, nFields) array)
+    blocks of a CONCATENATED multi-replica colvar (the aggregate file the
+    reference's run-all builds by appending per-replica colvars,
+    run-all.bash:312-367), never holding more than chunk_frames rows.
+
+    Replica boundaries follow :func:`read_colvar_multi` exactly: EVERY
+    ``FIELDS`` header starts a new replica (identical or not — the
+    in-memory multi reader keeps per-chunk field names), so a yielded
+    block always belongs to one replica.  Feeds the streaming
+    multi-replica Delta-q path (ops.dq.analyse_dq_multi_streamed)."""
+    field_names: List[str] = []
+    rep = -1
+    rows: List[str] = []
+    with topen(fn) as fp:
+        for line in fp:
+            if line.startswith("#"):
+                parts = line.split()
+                if len(parts) > 1 and parts[1] == "FIELDS":
+                    if rows:
+                        yield rep, field_names, np.loadtxt(rows, ndmin=2)
+                        rows = []
+                    field_names = parts[2:]
+                    rep += 1
+                continue
+            if not line.strip() or line[0] in "@&":
+                continue  # '#@&' skip rules, matching read_colvar_multi
+            if rep < 0:
+                raise ValueError(f"{fn}: data before any FIELDS header")
+            rows.append(line)
+            if len(rows) == chunk_frames:
+                yield rep, field_names, np.loadtxt(rows, ndmin=2)
+                rows = []
+    if rows:
+        yield rep, field_names, np.loadtxt(rows, ndmin=2)

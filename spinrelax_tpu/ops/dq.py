@@ -670,6 +670,134 @@ def dq_statistics_streamed(chunk_iter, lags, chunk_len: int,
     return stats, total, hist
 
 
+def dq_statistics_streamed_multi(rep_chunk_iter, lags, chunk_len: int):
+    """Per-REPLICA streamed Delta-q sums over an iterator of
+    (replica_index, (n, 4) quaternion chunk) pairs (constant memory).
+
+    The tail buffer resets at every replica boundary, so no pair spans
+    two replicas — exactly the in-memory multi path's per-replica
+    dq_statistics.  Only per-replica SUMS are kept (O(nRep * L) floats):
+    the pooled means and the whole-replica uncertainty grouping
+    (analyse_dq_multi) are formed from them afterwards, which is why no
+    counting pre-pass is needed (unlike the single-stream sub-chunk
+    blocking, whose nblock depends on the total length up front).
+
+    Returns (rep_sums, rep_lengths) where rep_sums is a list of
+    (s_iso (L,), s_M (L,3,3), cnt (L,)) numpy triples per replica.
+    """
+    lags = np.asarray(lags, dtype=np.int32)
+    L = len(lags)
+    max_lag = int(lags.max())
+    lags_j = jnp.asarray(lags)
+
+    rep_sums = []
+    rep_lengths = []
+    cur_rep = None
+    buf = s_iso = s_M = cnt = buf_len = None
+    n_frames = 0
+
+    def _reset():
+        nonlocal buf, buf_len, s_iso, s_M, cnt, n_frames
+        buf = jnp.zeros((max_lag, 4))
+        buf_len = jnp.asarray(0)
+        s_iso = jnp.zeros((L,))
+        s_M = jnp.zeros((L, 3, 3))
+        cnt = jnp.zeros((L,))
+        n_frames = 0
+
+    def _flush():
+        rep_sums.append(
+            (np.asarray(s_iso), np.asarray(s_M), np.asarray(cnt))
+        )
+        rep_lengths.append(n_frames)
+
+    for rep, chunk in rep_chunk_iter:
+        if rep != cur_rep:
+            if cur_rep is not None:
+                _flush()
+            _reset()
+            cur_rep = rep
+        chunk = np.asarray(chunk, dtype=np.float64)
+        n_frames += chunk.shape[0]
+        for off in range(0, chunk.shape[0], chunk_len):
+            part = chunk[off : off + chunk_len]
+            nv = part.shape[0]
+            if nv < chunk_len:
+                part = np.pad(part, ((0, chunk_len - nv), (0, 0)))
+            out = _dq_chunk_sums(
+                buf, buf_len, jnp.asarray(part), jnp.asarray(nv), lags_j,
+                max_lag, chunk_len, n_chunks=0,
+            )
+            d_iso, d_M, d_cnt, _ic, _mc, _cc, buf, buf_len = out
+            s_iso = s_iso + d_iso
+            s_M = s_M + d_M
+            cnt = cnt + d_cnt
+    if cur_rep is None:
+        raise ValueError("empty multi-replica stream (no chunks)")
+    _flush()
+    return rep_sums, rep_lengths
+
+
+def analyse_dq_multi_streamed(
+    rep_chunk_iter,
+    delta_t: float,
+    min_dt: float,
+    max_dt: float,
+    skip_dt: float,
+    chunk_frames: int = 65536,
+    n_chunks: int = 0,
+) -> DqResult:
+    """analyse_dq_multi over a lazy (replica_index, quaternion chunk)
+    stream (constant memory) — the aggregate multi-replica colvar is
+    precisely the input that outgrows RAM first (the reference's run-all
+    concatenates every replica's colvar, run-all.bash:312-367).
+
+    Pooling follows analyse_dq_multi exactly: per-replica means are
+    recombined weighted by sample counts (equivalently, per-replica sums
+    and counts add), and ``n_chunks`` uncertainty sub-chunks group WHOLE
+    replicas (nReplicas % n_chunks == 0).  Matches the in-memory path to
+    float tolerance on identical input."""
+    lags = _lag_grid(delta_t, min_dt, max_dt, skip_dt, None)
+    rep_sums, rep_lengths = dq_statistics_streamed_multi(
+        rep_chunk_iter, lags, chunk_frames
+    )
+    n_rep = len(rep_sums)
+    n_min = min(rep_lengths)
+    if int(max_dt / delta_t) * delta_t > (n_min - 1) * delta_t / 2.0:
+        raise ValueError(
+            f"max_dt ({max_dt}) exceeds half the shortest replica "
+            f"trajectory length ({(n_min - 1) * delta_t / 2.0})"
+        )
+    if n_chunks > 0 and n_rep % n_chunks != 0:
+        raise ValueError(
+            f"n_chunks ({n_chunks}) must divide nReplicas ({n_rep})"
+        )
+    L = len(lags)
+    S_iso = np.sum([s for s, _m, _c in rep_sums], axis=0)
+    S_M = np.sum([m for _s, m, _c in rep_sums], axis=0)
+    CNT = np.sum([c for _s, _m, c in rep_sums], axis=0)
+    iso = jnp.asarray(S_iso / CNT)
+    M = jnp.asarray(S_M / CNT[:, None, None])
+    if n_chunks > 0:
+        group = n_rep // n_chunks
+        iso_cs, M_cs = [], []
+        for g in range(n_chunks):
+            sel = rep_sums[g * group : (g + 1) * group]
+            sc = np.sum([c for _s, _m, c in sel], axis=0)
+            iso_cs.append(np.sum([s for s, _m, _c in sel], axis=0) / sc)
+            M_cs.append(
+                np.sum([m for _s, m, _c in sel], axis=0)
+                / sc[:, None, None]
+            )
+        iso_c = jnp.asarray(np.stack(iso_cs, axis=1))  # (L, C)
+        M_c = jnp.asarray(np.stack(M_cs, axis=1))  # (L, C, 3, 3)
+    else:
+        iso_c = jnp.zeros((L, 0))
+        M_c = jnp.zeros((L, 0, 3, 3))
+    stats = DqStats(jnp.asarray(lags), iso, M, iso_c, M_c)
+    return _finalise_dq(stats, lags, delta_t, n_chunks)
+
+
 def analyse_dq_streamed(
     chunk_iter,
     delta_t: float,

@@ -168,8 +168,8 @@ def cmd_dq(argv):
     p.add_argument("--stream", type=int, default=0, metavar="FRAMES",
                    help="constant-memory streaming mode: analyse the colvar "
                         "in blocks of FRAMES frames (chunked errors, "
-                        "histograms and the full tensor all supported; "
-                        "--multi still needs the in-memory path)")
+                        "histograms, the full tensor and --multi "
+                        "aggregates all supported)")
     a = p.parse_args(argv)
     from .stages import stage_dq
 

@@ -233,9 +233,10 @@ def stage_dq(
 
     stream_chunk > 0 enables the constant-memory streaming path: the
     colvar is read and analysed in blocks of that many frames.  Chunked
-    uncertainties (n_chunks), per-lag histograms and the full-tensor
-    trace all work in this mode too (uncertainties add one cheap
-    frame-counting pre-pass; only ``multi`` requires in-memory input).
+    uncertainties (n_chunks), per-lag histograms, the full-tensor trace
+    AND multi-replica aggregates all work in this mode (single-colvar
+    uncertainties add one cheap frame-counting pre-pass; the multi path
+    needs none — whole-replica grouping pools per-replica sums).
 
     Resume lives in the orchestrator (runall.stage_is_current over the
     content-hash manifest) — this stage always computes; ``force`` is
@@ -254,9 +255,42 @@ def stage_dq(
         fields, data = colvario.read_colvar(fn)
         return float(data[0, 1] - data[0, 0]), data[1:5].T.astype(np.float64)
 
-    if stream_chunk > 0:
-        if multi:
-            raise ValueError("stream_chunk is incompatible with multi")
+    if stream_chunk > 0 and multi:
+        # Constant-memory multi-replica path: the aggregate colvar (the
+        # reference's run-all concatenates every replica's colvar,
+        # run-all.bash:312-367) is precisely the input that outgrows RAM
+        # first.  Replica boundaries = FIELDS headers, exactly like
+        # read_colvar_multi; per-replica streamed sums pool like
+        # analyse_dq_multi (whole-replica n_chunks grouping included).
+        if colvar_file.endswith((".xvg", ".xvg.gz")):
+            raise ValueError(
+                "--multi reads aggregate PLUMED colvars; gmx-rotmat .xvg "
+                "files are single-trajectory (no replica headers)"
+            )
+        if stream_chunk < 2:
+            raise ValueError("--stream chunk size must be >= 2")
+        it = colvario.iter_colvar_chunks_multi(colvar_file, stream_chunk)
+        try:
+            rep0, _fields0, first = next(it)
+        except StopIteration:
+            raise ValueError(f"{colvar_file!r}: no data rows") from None
+        if first.shape[0] < 2:
+            raise ValueError(
+                f"{colvar_file!r}: need >= 2 data rows in the first "
+                "replica block to infer the timestep"
+            )
+        delta_t = float(first[1, 0] - first[0, 0])
+
+        def rep_chunks():
+            yield rep0, first[:, 1:5]
+            for rep, _f, block in it:
+                yield rep, block[:, 1:5]
+
+        res = dqops.analyse_dq_multi_streamed(
+            rep_chunks(), delta_t, min_dt, max_dt, skip_dt,
+            chunk_frames=stream_chunk, n_chunks=n_chunks,
+        )
+    elif stream_chunk > 0:
         n_total = None
         if colvar_file.endswith((".xvg", ".xvg.gz")):
             delta_t, q_all = _load_q(colvar_file)

@@ -503,3 +503,99 @@ def test_packed_finalise_model_fields_match_eager(qtraj):
         axis=-1,
     )
     np.testing.assert_allclose(res.anis_chunk_samples, expect, rtol=1e-12)
+
+
+def _write_multi_colvar(fn, reps):
+    with open(fn, "w") as fp:
+        for r in reps:
+            fp.write("#! FIELDS time q.w q.x q.y q.z\n")
+            for t in range(r.shape[0]):
+                fp.write(" %.10f %.10f %.10f %.10f %.10f\n" % (t * 1.0, *r[t]))
+
+
+def test_streamed_multi_matches_in_memory(tmp_path, qtraj):
+    """--multi --stream (VERDICT r3 #2): the constant-memory multi-replica
+    aggregate path equals the in-memory --multi results, ragged replica
+    lengths and whole-replica sub-chunk errors included.  Chunk size 700
+    forces blocks that split replicas mid-stream AND replicas shorter
+    than one block."""
+    from spinrelax_tpu.pipeline.stages import stage_dq
+
+    q, _ = qtraj
+    reps = [q[:5000], q[5000:13000], q[13000:16000]]  # ragged lengths
+    fn = str(tmp_path / "colvar-all")
+    _write_multi_colvar(fn, reps)
+
+    kw = dict(multi=True, n_chunks=3, do_full_tensor=True)
+    res_mem = stage_dq(fn, str(tmp_path / "mem"), 5.0, 200.0, 5.0, **kw)
+    res_str = stage_dq(fn, str(tmp_path / "str"), 5.0, 200.0, 5.0,
+                       stream_chunk=700, **kw)
+
+    np.testing.assert_allclose(res_str.iso, res_mem.iso, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(res_str.M), np.asarray(res_mem.M),
+                               atol=1e-10)
+    np.testing.assert_allclose(res_str.iso_chunks, res_mem.iso_chunks,
+                               atol=1e-10)
+    np.testing.assert_allclose(res_str.aniso_chunks, res_mem.aniso_chunks,
+                               atol=1e-10)
+    np.testing.assert_allclose(res_str.aniso_taus, res_mem.aniso_taus,
+                               rtol=1e-6)
+    np.testing.assert_allclose(res_str.iso_tau_chunks,
+                               res_mem.iso_tau_chunks, rtol=1e-6)
+    np.testing.assert_allclose(res_str.aniso_tau_chunks,
+                               res_mem.aniso_tau_chunks, rtol=1e-6)
+    np.testing.assert_allclose(res_str.D_axes, res_mem.D_axes, rtol=1e-6)
+    assert abs(float(np.dot(res_str.q_frame, res_mem.q_frame))) > 1 - 1e-12
+
+
+def test_streamed_multi_boundaries_exact(qtraj):
+    """The streamed multi accumulators must never pair frames across a
+    replica boundary: compare against the closed-form pooled statistics
+    of independent per-replica dq vectors (same oracle as
+    test_multi_replica_pooling)."""
+    q, _ = qtraj
+    reps = [q[:2000], q[2000:5000], q[5000:5600]]
+    lags = np.array([5, 10, 15, 20], dtype=np.int32)
+
+    def chunks():
+        for i, r in enumerate(reps):
+            for off in range(0, r.shape[0], 333):
+                yield i, r[off : off + 333]
+
+    rep_sums, rep_lengths = dq.dq_statistics_streamed_multi(
+        chunks(), lags, 333
+    )
+    assert rep_lengths == [len(r) for r in reps]
+    S = np.sum([s for s, _m, _c in rep_sums], axis=0)
+    C = np.sum([c for _s, _m, c in rep_sums], axis=0)
+    for li, delta in enumerate(lags):
+        vs = []
+        for r in reps:
+            a = r[:-delta] * np.array([1.0, -1, -1, -1])
+            dqs = np_qmult(a, r[delta:])
+            sgn = np.where(dqs[:, 0] >= 0, 1.0, -1.0)
+            vs.append(dqs[:, 1:] * sgn[:, None])
+        v = np.concatenate(vs)
+        assert C[li] == v.shape[0]
+        want = np.mean(1.0 - 2.0 * np.sum(v**2, axis=-1))
+        np.testing.assert_allclose(S[li] / C[li], want, atol=1e-10)
+
+
+def test_streamed_multi_errors(tmp_path, qtraj):
+    from spinrelax_tpu.pipeline.stages import stage_dq
+
+    q, _ = qtraj
+    fn = str(tmp_path / "colvar-all")
+    _write_multi_colvar(fn, [q[:3000], q[3000:6000]])
+    # n_chunks must divide the replica count
+    with pytest.raises(ValueError, match="must divide nReplicas"):
+        stage_dq(fn, str(tmp_path / "o"), 5.0, 100.0, 5.0,
+                 multi=True, n_chunks=3, stream_chunk=700)
+    # max_dt is checked against the SHORTEST replica
+    with pytest.raises(ValueError, match="shortest replica"):
+        stage_dq(fn, str(tmp_path / "o"), 5.0, 2000.0, 5.0,
+                 multi=True, stream_chunk=700)
+    # rotmat .xvg files are single-trajectory
+    with pytest.raises(ValueError, match="single-trajectory"):
+        stage_dq(str(tmp_path / "rot.xvg"), str(tmp_path / "o"),
+                 5.0, 100.0, 5.0, multi=True, stream_chunk=700)
