@@ -44,15 +44,23 @@ _HI = jax.lax.Precision.HIGHEST
 # 16.91 MiB and executes correctly at a 64 MiB limit).  Half the
 # physical VMEM is a safe ceiling that still leaves the scheduler room
 # for double-buffered DMA windows.
+# All three were re-measured under the unlock; all three are now
+# MEASURED negatives, not OOM inferences — lanes=256 (acf_sums_pallas
+# lanes=) runs 13.0 vs 11.0-11.1 ms/step for v10 at nrep=32 in either
+# execution order, identical Ct_err 9.74e-7 (2026-08-20, round 4,
+# tools/exp_acf.py v10_l256; docs/PERF.md).  The wider tile halves the
+# grid but doubles every VMEM working plane, and the deeper DMA/compute
+# windows schedule worse than two independent 128-lane programs.
 VMEM_LIMIT_BYTES = 64 * 1024 * 1024
 
 
 @functools.lru_cache(maxsize=8)
 def _kernel_constants(n_frames: int, n_deltas: int, dtype_name: str,
-                      n1: int = 0):
+                      n1: int = 0, lanes: int = 128):
     """Host numpy constants (lane-broadcast twiddles, (k2, k1)-ordered
     cosine inverse, lag rows padded to a sublane multiple).  ``n1``
-    overrides the near-square radix split (must divide nfft)."""
+    overrides the near-square radix split (must divide nfft);
+    ``lanes`` is the tile's lane width (twiddles broadcast per lane)."""
     dt = np.dtype(dtype_name)
     n_min = n_frames + n_deltas
     nfft = ((n_min + 127) // 128) * 128
@@ -81,8 +89,8 @@ def _kernel_constants(n_frames: int, n_deltas: int, dtype_name: str,
     W1 = np.exp(-2j * np.pi * np.outer(k1, np.arange(K1)) / N1)
     W2 = np.exp(-2j * np.pi * np.outer(np.arange(N2), np.arange(N2)) / N2)
     TW = np.exp(-2j * np.pi * np.outer(k1, np.arange(N2)) / nfft)
-    twr = np.repeat(TW.real, 128, axis=1).astype(dt)
-    twi = np.repeat(TW.imag, 128, axis=1).astype(dt)
+    twr = np.repeat(TW.real, lanes, axis=1).astype(dt)
+    twi = np.repeat(TW.imag, lanes, axis=1).astype(dt)
     d = np.arange(1, n_deltas + 1)
     kk = (np.arange(N1)[None, :] + N1 * np.arange(N2)[:, None]).reshape(-1)
     nd_pad = ((n_deltas + 7) // 8) * 8
@@ -213,9 +221,12 @@ def _tri_dot(tri, x):
 def _acf_kernel2(vx, vy, vz, w1r_ref, w1i_ref, twr_ref, twi_ref, w2rt_ref,
                  w2it_ref, cinv_ref, *, N1, N2, nfft, F, mode,
                  tri_ref=None, nd_pad=None, cinv_mode="same",
-                 pcenter=False, ablate=0, dg2=False):
-    """One 128-bond tile's full chain: (F, 128) component planes ->
-    (nd_pad, 128) lag sums (pure value function; refs only for consts)."""
+                 pcenter=False, ablate=0, dg2=False, lanes=128):
+    """One ``lanes``-bond tile's full chain: (F, lanes) component planes
+    -> (nd_pad, lanes) lag sums (pure value function; refs only for
+    consts).  lanes=128 is the production tile; wider lanes halve the
+    grid-program count at proportionally wider dots (the round-4
+    A/B lever the scoped-VMEM unlock made possible)."""
     f32 = vx.dtype
     pairs1, pairs2, centered = _CAT_MODES.get(
         mode, (None, None, mode == "split3c")
@@ -238,7 +249,7 @@ def _acf_kernel2(vx, vy, vz, w1r_ref, w1i_ref, twr_ref, twi_ref, w2rt_ref,
     # 4=+transpose, 5=+stage2 dots; partial results are sum-reduced into
     # the output so nothing is DCE'd.
     if ablate == -1:
-        return (jnp.zeros((nd_pad, 128), f32)
+        return (jnp.zeros((nd_pad, lanes), f32)
                 + jnp.sum(vx) + jnp.sum(vy) + jnp.sum(vz))
     comp_planes = {0: vx * vx, 1: vy * vy, 2: vz * vz}
     prods = {(0, 1): vx * vy, (1, 2): vy * vz, (0, 2): vx * vz}
@@ -248,7 +259,7 @@ def _acf_kernel2(vx, vy, vz, w1r_ref, w1i_ref, twr_ref, twi_ref, w2rt_ref,
     w2rt, w2it = w2rt_ref[...], w2it_ref[...]
 
     K1 = -(-F // N2)  # stage-1 truncated contraction length
-    zpad = jnp.zeros((K1 * N2 - F, 128), f32)
+    zpad = jnp.zeros((K1 * N2 - F, lanes), f32)
 
     # Mean-centering accumulators (split3c): the bf16-split dots lose
     # ~2^-18 relative per product, amplified by the DC spike of the
@@ -260,22 +271,22 @@ def _acf_kernel2(vx, vy, vz, w1r_ref, w1i_ref, twr_ref, twi_ref, w2rt_ref,
     # restores the uncentered statistics via cheap 1-D corrections: one
     # (nd_pad, 2*nd_pad) triangular matmul for all P/T at once plus
     # per-lane scalar rows.
-    head_acc = jnp.zeros((nd_pad, 128), f32) if centered else None
-    tail_acc = jnp.zeros((nd_pad, 128), f32) if centered else None
-    sc_acc = jnp.zeros((1, 128), f32) if centered else None
-    msq_acc = jnp.zeros((1, 128), f32) if centered else None
+    head_acc = jnp.zeros((nd_pad, lanes), f32) if centered else None
+    tail_acc = jnp.zeros((nd_pad, lanes), f32) if centered else None
+    sc_acc = jnp.zeros((1, lanes), f32) if centered else None
+    msq_acc = jnp.zeros((1, lanes), f32) if centered else None
 
     def component(idx):
         i, j, w = _PAIR_I[idx], _PAIR_J[idx], _PAIR_W[idx]
         base = comp_planes[i] if i == j else prods[(i, j)]
         return w * base  # (F, 128)
 
-    abl_acc = jnp.zeros((nd_pad, 128), f32) if ablate else None
+    abl_acc = jnp.zeros((nd_pad, lanes), f32) if ablate else None
 
     def half_dft(xr, xi):
         nonlocal abl_acc
-        xr = xr.reshape(K1, N2 * 128)
-        xi = xi.reshape(K1, N2 * 128)
+        xr = xr.reshape(K1, N2 * lanes)
+        xi = xi.reshape(K1, N2 * lanes)
         if ablate == 1:
             abl_acc = abl_acc + jnp.sum(xr) + jnp.sum(xi)
             return None
@@ -288,7 +299,7 @@ def _acf_kernel2(vx, vy, vz, w1r_ref, w1i_ref, twr_ref, twi_ref, w2rt_ref,
             xi_rhs = _cat_rhs(xi, pairs1)
         else:
             xr_rhs, xi_rhs = xr, xi
-        n_c = N2 * 128
+        n_c = N2 * lanes
         w1s = jnp.concatenate([w1r, w1i], axis=0)  # (2*N1, K)
         rhs1 = jnp.concatenate([xr_rhs, xi_rhs], axis=1)  # (K, 2*n_c)
         o1 = dot(w1s, rhs1)  # (2*N1, 2*n_c)
@@ -328,18 +339,18 @@ def _acf_kernel2(vx, vy, vz, w1r_ref, w1i_ref, twr_ref, twi_ref, w2rt_ref,
                 )  # (2*N2, N1, 128)
 
             w2s = jnp.concatenate([w2rt, w2it], axis=0)
-            o2r = dg_dot(w2s, br.reshape(N1, N2, 128))
-            o2i = dg_dot(w2s, bi.reshape(N1, N2, 128))
+            o2r = dg_dot(w2s, br.reshape(N1, N2, lanes))
+            o2i = dg_dot(w2s, bi.reshape(N1, N2, lanes))
             if ablate == 5:
                 abl_acc = abl_acc + jnp.sum(o2r) + jnp.sum(o2i)
                 return None
-            xr2 = o2r[:N2] - o2i[N2:]  # (N2, N1, 128)
+            xr2 = o2r[:N2] - o2i[N2:]  # (N2, N1, lanes)
             xi2 = o2i[:N2] + o2r[N2:]
-            # Leading-dim merge (N2, N1, 128) -> (nfft, 128): a free
+            # Leading-dim merge (N2, N1, lanes) -> (nfft, lanes): a free
             # row-major view, flat index k2*N1 + k1 matching CINV's kk.
-            return (xr2 * xr2 + xi2 * xi2).reshape(nfft, 128)
-        brt = jnp.swapaxes(br.reshape(N1, N2, 128), 0, 1).reshape(N2, N1 * 128)
-        bit = jnp.swapaxes(bi.reshape(N1, N2, 128), 0, 1).reshape(N2, N1 * 128)
+            return (xr2 * xr2 + xi2 * xi2).reshape(nfft, lanes)
+        brt = jnp.swapaxes(br.reshape(N1, N2, lanes), 0, 1).reshape(N2, N1 * lanes)
+        bit = jnp.swapaxes(bi.reshape(N1, N2, lanes), 0, 1).reshape(N2, N1 * lanes)
         if ablate == 4:
             abl_acc = abl_acc + jnp.sum(brt) + jnp.sum(bit)
             return None
@@ -348,7 +359,7 @@ def _acf_kernel2(vx, vy, vz, w1r_ref, w1i_ref, twr_ref, twi_ref, w2rt_ref,
             bit_rhs = _cat_rhs(bit, pairs2)
         else:
             brt_rhs, bit_rhs = brt, bit
-        n_c2 = N1 * 128
+        n_c2 = N1 * lanes
         w2s = jnp.concatenate([w2rt, w2it], axis=0)  # (2*N2, K)
         rhs2 = jnp.concatenate([brt_rhs, bit_rhs], axis=1)
         o2 = dot2(w2s, rhs2)  # (2*N2, 2*n_c2)
@@ -357,13 +368,13 @@ def _acf_kernel2(vx, vy, vz, w1r_ref, w1i_ref, twr_ref, twi_ref, w2rt_ref,
         if ablate == 5:
             abl_acc = abl_acc + jnp.sum(xr2) + jnp.sum(xi2)
             return None
-        return xr2 * xr2 + xi2 * xi2  # (N2, N1*128)
+        return xr2 * xr2 + xi2 * xi2  # (N2, N1*lanes)
 
-    power = jnp.zeros((nfft, 128) if dg2 else (N2, N1 * 128), f32)
+    power = jnp.zeros((nfft, lanes) if dg2 else (N2, N1 * lanes), f32)
     for pair in range(3):
         planes = []
         for idx in (2 * pair, 2 * pair + 1):
-            plane = component(idx)  # (F, 128)
+            plane = component(idx)  # (F, lanes)
             if centered:
                 m = jnp.sum(plane, axis=0, keepdims=True) * (1.0 / F)
                 delta = plane - m
@@ -380,7 +391,7 @@ def _acf_kernel2(vx, vy, vz, w1r_ref, w1i_ref, twr_ref, twi_ref, w2rt_ref,
     if ablate:
         return abl_acc
 
-    pf = power if dg2 else power.reshape(nfft, 128)
+    pf = power if dg2 else power.reshape(nfft, lanes)
     if pcenter:
         # CINV rows sum to zero over k (geometric sum), so subtracting
         # the per-lane spectral mean is EXACT — and it removes the
@@ -435,7 +446,8 @@ def acf_sums_pallas(vecs, n_deltas: int, mode: str = "cat64c",
                     n1: int = 0, cinv: str = None, pcenter: bool = None,
                     ablate: int = 0, fuse_transpose: bool = False,
                     tiles: int = 1, transpose_out: bool = True,
-                    pretiled: bool = False, dg2: bool = False):
+                    pretiled: bool = False, dg2: bool = False,
+                    lanes: int = 128):
     """vecs : (..., nFrames, 3) -> (..., n_deltas) lag sums
     sum_t (v(t).v(t+delta))^2 for delta = 1..n_deltas.
 
@@ -463,6 +475,10 @@ def acf_sums_pallas(vecs, n_deltas: int, mode: str = "cat64c",
     ``transpose_out=False`` and slice, e.g. palmer_group_update_pretiled).
     The standard layout slices to B = prod(leading dims) itself.
     """
+    if lanes % 128 != 0 or lanes < 128:
+        raise ValueError(f"lanes must be a positive multiple of 128, got {lanes}")
+    if lanes != 128 and (fuse_transpose or pretiled):
+        raise ValueError("lanes != 128 requires the standard input layout")
     nf_in = vecs.shape[-2]  # F in both layouts
     nd_pad_probe = ((n_deltas + 7) // 8) * 8
     if mode in _CENTERED_MODES and nf_in < nd_pad_probe:
@@ -491,12 +507,12 @@ def acf_sums_pallas(vecs, n_deltas: int, mode: str = "cat64c",
     dtype = jnp.float32
     cinv_mode = cinv
     (nfft, N1, N2, nd_pad, W1r, W1i, twr, twi, W2rt, W2it, CINV) = (
-        _kernel_constants(n_frames, n_deltas, "float32", n1)
+        _kernel_constants(n_frames, n_deltas, "float32", n1, lanes)
     )
     if not pretiled:
         B = int(np.prod(lead)) if lead else 1
-        b_pad = ((B + 127) // 128) * 128
-        n_tiles = b_pad // 128
+        b_pad = ((B + lanes - 1) // lanes) * lanes
+        n_tiles = b_pad // lanes
         v = vecs.reshape(B, n_frames, 3).astype(dtype)
         if b_pad != B:
             v = jnp.concatenate(
@@ -531,10 +547,11 @@ def acf_sums_pallas(vecs, n_deltas: int, mode: str = "cat64c",
             (tiles, 128, n_frames * 3), lambda i: (i, 0, 0)
         )
     else:
-        # (B, F, 3) -> (nTiles, 3, F, 128): contiguous 3*F*128*4B/tile.
-        v = jnp.transpose(v.reshape(n_tiles, 128, n_frames, 3), (0, 3, 2, 1))
+        # (B, F, 3) -> (nTiles, 3, F, lanes): contiguous
+        # 3*F*lanes*4B per tile.
+        v = jnp.transpose(v.reshape(n_tiles, lanes, n_frames, 3), (0, 3, 2, 1))
         v_spec = pl.BlockSpec(
-            (tiles, 3, n_frames, 128), lambda i: (i, 0, 0, 0)
+            (tiles, 3, n_frames, lanes), lambda i: (i, 0, 0, 0)
         )
 
     pairs1, pairs2, _ = _CAT_MODES.get(mode, (None, None, None))
@@ -581,9 +598,9 @@ def acf_sums_pallas(vecs, n_deltas: int, mode: str = "cat64c",
                 vx, vy, vz, w1r, w1i, twr_, twi_, w2rt, w2it, cinv,
                 N1=N1, N2=N2, nfft=nfft, F=n_frames, mode=mode,
                 tri_ref=tri_ref, nd_pad=nd_pad, cinv_mode=cinv_mode,
-                pcenter=pcenter, ablate=ablate, dg2=dg2,
+                pcenter=pcenter, ablate=ablate, dg2=dg2, lanes=lanes,
             )
-            out_ref[:, t * 128 : (t + 1) * 128] = res
+            out_ref[:, t * lanes : (t + 1) * lanes] = res
 
     from jax.experimental.pallas import tpu as pltpu
 
@@ -591,7 +608,7 @@ def acf_sums_pallas(vecs, n_deltas: int, mode: str = "cat64c",
         kernel,
         grid=(n_tiles // tiles,),
         in_specs=[v_spec] + const_specs,
-        out_specs=pl.BlockSpec((nd_pad, tiles * 128), lambda i: (0, i)),
+        out_specs=pl.BlockSpec((nd_pad, tiles * lanes), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((nd_pad, b_pad), dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES

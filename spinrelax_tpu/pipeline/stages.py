@@ -346,6 +346,18 @@ def stage_dq(
         res = dqops.analyse_dq_multi(qs, delta_t, min_dt, max_dt, skip_dt, n_chunks)
     else:
         delta_t, q = _load_q(colvar_file)
+        if q.shape[0] >= 200_000:
+            # The lag-vmapped statistics program over 10^6-frame inputs
+            # takes ~2 min of remote AOT the FIRST time a shape is seen
+            # (docs/PERF.md dq entry); without a notice the stage just
+            # looks hung.  Later processes reuse the persistent compile
+            # cache (utils/compile_cache) and skip straight through.
+            print(
+                f"= = Analysing {q.shape[0]} frames: the first run of "
+                "this shape compiles the statistics program (can take "
+                "minutes on a remote accelerator); subsequent runs reuse "
+                "the persistent compile cache.", flush=True,
+            )
         res = dqops.analyse_dq(q, delta_t, min_dt, max_dt, skip_dt, n_chunks)
 
     iso_hdr, aniso_hdr = _format_dq_headers(res)

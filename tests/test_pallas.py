@@ -81,6 +81,10 @@ def test_vmem_guard():
         # experiment record remains verifiable.
         ("cat64c", dict(cinv="split4", pcenter=True, dg2=True)),
         ("highest", dict(cinv="highest", dg2=True)),
+        # 256-lane tile (round-4 A/B lever): same math, half the grid
+        # programs; B=120 pads to one 256-lane tile.
+        ("cat64c", dict(cinv="split4", pcenter=True, lanes=256)),
+        ("highest", dict(cinv="highest", lanes=256)),
     ],
 )
 def test_pallas_acf_interpret_matches_xla(mode, kw):

@@ -89,6 +89,14 @@ def variants():
         "v10_t2": lambda v, d: acf_sums_pallas2(v, d, mode="cat64c",
                                                 cinv="split4", pcenter=True,
                                                 tiles=2),
+        # 256-lane tile: half the grid programs, double-width dots (the
+        # round-4 lever the 64 MiB VMEM unlock made possible)
+        "v10_l256": lambda v, d: acf_sums_pallas2(v, d, mode="cat64c",
+                                                  cinv="split4",
+                                                  pcenter=True, lanes=256),
+        "v10_l512": lambda v, d: acf_sums_pallas2(v, d, mode="cat64c",
+                                                  cinv="split4",
+                                                  pcenter=True, lanes=512),
         "v10_t4": lambda v, d: acf_sums_pallas2(v, d, mode="cat64c",
                                                 cinv="split4", pcenter=True,
                                                 tiles=4),
