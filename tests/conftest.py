@@ -35,6 +35,36 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Smoke tier (``pytest -m smoke``, tools/ci.sh --smoke): a <5 min
+# fast-signal subset on this 1-core box — unit tests, codec round-trips
+# and the CHEAP live-parity checks.  Excluded below: the heavy
+# live-reference sweeps, fuzz campaigns, e2e orchestration, multihost
+# and the big batched-fit suites (they stay in the default full run,
+# which is unchanged).  Measured 2026-08-20: smoke ~3 min vs 34 min
+# full under load.
+_SMOKE_EXCLUDE = {
+    # live-reference parity sweeps (spawn the reference interpreter)
+    "test_multifield_parity", "test_fitct_parity_sweep",
+    "test_fitct_script_parity", "test_jomega_parity",
+    "test_relax_script_parity", "test_misc_script_parity",
+    # heavy batched-fit / optimiser suites
+    "test_expfit", "test_lm_chol", "test_stacked_lm", "test_globalfit",
+    "test_legacy_expfit", "test_moment_collapse", "test_legacyfit",
+    # e2e orchestration / sharded / multihost / device pipelines
+    "test_runall", "test_runall_multi", "test_parallel",
+    "test_flagship_sharded", "test_multihost_process", "test_cli_misc",
+    "test_review_fixes_r3", "test_dq",
+    # fuzz campaigns
+    "test_parser_fuzz", "test_xtc_fuzz",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod not in _SMOKE_EXCLUDE and "slow" not in item.keywords:
+            item.add_marker(pytest.mark.smoke)
+
 
 @pytest.fixture
 def rng():

@@ -1,12 +1,17 @@
 #!/usr/bin/env bash
 # Local CI: full test suite on the virtual CPU mesh + a bench smoke run.
-# Usage: tools/ci.sh [--fast]   (--fast skips tests marked slow)
+# Usage: tools/ci.sh [--fast|--smoke]
+#   --fast   skips tests marked slow
+#   --smoke  <5 min fast-signal tier only (unit + cheap parity;
+#            see tests/conftest.py _SMOKE_EXCLUDE)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 MARK=()
 if [[ "${1:-}" == "--fast" ]]; then
   MARK=(-m "not slow")
+elif [[ "${1:-}" == "--smoke" ]]; then
+  MARK=(-m "smoke")
 fi
 
 echo "== pytest =="
