@@ -156,6 +156,7 @@ def fit_ct_ladder(
     warm_retry: bool = True,
     n_starts: int = 1,
     retry_starts: int = 8,
+    pipeline_rungs: bool = True,
 ) -> CtModelSet:
     """Fit all residues' C(t) and select per-residue model complexity.
 
@@ -208,6 +209,12 @@ def fit_ct_ladder(
         is batch-composition-independent (lm_solve freezes converged
         lanes).  ``False`` forces the former fit-every-rung-for-everyone
         behaviour (the A/B hook for tests).
+    pipeline_rungs : dispatch rung i+1 speculatively on rung i's active
+        set before rung i's blocking fetch, hiding the per-rung
+        fetch+walk round trip behind device compute.  Selected models
+        are identical (broken rows' speculative fits are discarded
+        unread; LM lanes are batch-composition-independent).  ``False``
+        restores strictly sequential dispatch (the A/B hook).
 
     Returns a CtModelSet padded to the largest selected K.
     """
@@ -296,43 +303,74 @@ def fit_ct_ladder(
         sel_chi = np.full(B, np.inf)
         active = np.arange(B)
         rungs = []
-        for i, (n_par, K, s2_free) in enumerate(specs):
-            if early_stop and active.size == 0:
-                # Every residue's walk has ended; this rung can never be
-                # consulted (the selection below never reaches it).
-                rungs.append((n_par, K, s2_free, None))
-                continue
-            if early_stop and active.size < B:
-                # Gather the active rows, padded to a power-of-two bucket
-                # (copies of the first active row, discarded) so the jit
-                # cache stays bounded at ~log2(B) shapes per rung spec.
-                # The 256 floor keeps the deep-rung shapes STABLE between
-                # runs whose tail counts jitter (a fresh shape is a full
-                # recompile — minutes of remote AOT through the tunnel).
+
+        def _gather_args(act):
+            """(idx, dec_i, sig_i) for a rung fit over the rows in act.
+
+            Active rows gather into a power-of-two bucket (copies of the
+            first active row, discarded) so the jit cache stays bounded
+            at ~log2(B) shapes per rung spec; the 256 floor keeps the
+            deep-rung shapes STABLE between runs whose tail counts
+            jitter (a fresh shape is a full recompile — minutes of
+            remote AOT through the tunnel)."""
+            if early_stop and act.size < B:
                 bucket = 256
-                while bucket < active.size:
+                while bucket < act.size:
                     bucket *= 2
                 bucket = min(bucket, B)
                 idx = np.concatenate(
-                    [active, np.full(bucket - active.size, active[0])]
+                    [act, np.full(bucket - act.size, act[0])]
                 )
                 dec_i, sig_i = dec_d[idx], sig_d[idx]
+                if mesh is not None:
+                    (dec_i, sig_i), _ = pad_and_shard(mesh, [dec_i, sig_i])
             elif mesh is not None:
                 idx = None
                 dec_i, sig_i = sharded_full
             else:
                 idx = None
                 dec_i, sig_i = dec_d, sig_d
-            if idx is not None and mesh is not None:
-                (dec_i, sig_i), _ = pad_and_shard(mesh, [dec_i, sig_i])
-            fit = _unpack_fit(
-                _packed_fit(fit_fn, dt_arr, dec_i, sig_i, K, s2_free,
-                            n_starts=n_starts), K
-            )
-            if idx is None:
+            return idx, dec_i, sig_i
+
+        def _dispatch(j, act):
+            """Enqueue rung j's batched LM over act (async: jax returns
+            before the device finishes) -> (rows_covered, packed)."""
+            _np, Kj, s2fj = specs[j]
+            idx, dec_i, sig_i = _gather_args(act)
+            packed = _packed_fit(fit_fn, dt_arr, dec_i, sig_i, Kj, s2fj,
+                                 n_starts=n_starts)
+            return (act.copy() if idx is not None else None), packed
+
+        # One-deep speculative pipeline over the sequential rung walks:
+        # rung i+1 is dispatched on rung i's active set BEFORE rung i's
+        # blocking fetch, so the device computes rung i+1 while the host
+        # waits on the packed fetch and runs the selection walk (each of
+        # the 5 fetch+walk round trips costs ~30-40 ms through the
+        # relay).  Rows that break at rung i still get a speculative
+        # rung-i+1 fit — discarded unread: the walk never consults them,
+        # and every other row's fit is unchanged because each vmapped LM
+        # lane is batch-composition-independent (the same guarantee
+        # early_stop already relies on).  ``pipeline_rungs=False``
+        # restores strictly sequential dispatch (the A/B hook).
+        pending = {}
+        for i, (n_par, K, s2_free) in enumerate(specs):
+            if early_stop and active.size == 0:
+                # Every residue's walk has ended; this rung can never be
+                # consulted (the selection below never reaches it).  A
+                # speculative dispatch for it is dropped unfetched.
+                pending.pop(i, None)
+                rungs.append((n_par, K, s2_free, None))
+                continue
+            if i not in pending:
+                pending[i] = _dispatch(i, active)
+            if pipeline_rungs and i + 1 < R:
+                pending[i + 1] = _dispatch(i + 1, active)
+            rows_cov, packed = pending.pop(i)
+            fit = _unpack_fit(packed, K)
+            if rows_cov is None:
                 fit = {k: v[:B] for k, v in fit.items()}
             else:
-                # Scatter the active-row results back to full-B arrays;
+                # Scatter the covered-row results back to full-B arrays;
                 # unfitted rows stay NaN/False and are unreachable by the
                 # selection walk (they broke on an earlier rung).
                 scat = {}
@@ -342,7 +380,7 @@ def fit_ct_ladder(
                         False if v.dtype == np.bool_ else np.nan,
                         dtype=v.dtype,
                     )
-                    full[active] = v[: active.size]
+                    full[rows_cov] = v[: rows_cov.size]
                     scat[k] = full
                 fit = scat
             rungs.append((n_par, K, s2_free, fit))

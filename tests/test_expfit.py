@@ -233,6 +233,24 @@ def test_multistart_rejected_for_varpro_and_stacked():
         fit_ct_ladder(["1"], dt, y[None], stacked=True, n_starts=2)
 
 
+def test_pipeline_rungs_identical_selection(rng):
+    """Speculative rung dispatch (pipeline_rungs, round-4 verdict #4)
+    must produce BIT-identical models to strictly sequential dispatch —
+    broken rows' speculative fits are discarded unread, and LM lanes are
+    batch-composition-independent.  _hetero_curves makes the walk break
+    at different rungs per residue, so speculative supersets really do
+    cover discarded rows."""
+    dt, y = _hetero_curves(rng)
+    names = [str(i) for i in range(y.shape[0])]
+    a = fit_ct_ladder(names, dt, y, pipeline_rungs=False)
+    b = fit_ct_ladder(names, dt, y, pipeline_rungs=True)
+    for fld in ("S2", "C", "tau", "mask", "chisq", "dS2", "dC", "dtau"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, fld)), np.asarray(getattr(b, fld)),
+            err_msg=fld,
+        )
+
+
 def test_retry_escalation_inert_on_clean_data(rng):
     """The default-on retry_starts escalation fires only on quality-failed
     or chisq-outlier rows — on clean well-separated curves nothing is
