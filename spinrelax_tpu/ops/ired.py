@@ -49,10 +49,8 @@ def _ired_matrix(vecs):
     ) - 0.5
 
 
-@partial(jax.jit, static_argnames=("n_global",))
-def ired_block_s2(vecs, n_global: int = 5):
-    """S2 from one time block. vecs (nFrames, nRes, 3)."""
-    M = _ired_matrix(vecs)
+def _eig_s2(M, n_global: int):
+    """Eigendecompose one block matrix -> (s2, vals desc, modes desc)."""
     vals, vecs_e = jnp.linalg.eigh(M)  # ascending
     n_res = M.shape[0]
     if n_res <= n_global:
@@ -68,6 +66,12 @@ def ired_block_s2(vecs, n_global: int = 5):
     psi_int = vecs_e[:, : n_res - n_global]  # (nRes, nInternal)
     s2 = 1.0 - jnp.sum(lam_int[None, :] * psi_int**2, axis=1)
     return s2, vals[::-1], vecs_e[:, ::-1]
+
+
+@partial(jax.jit, static_argnames=("n_global",))
+def ired_block_s2(vecs, n_global: int = 5):
+    """S2 from one time block. vecs (nFrames, nRes, 3)."""
+    return _eig_s2(_ired_matrix(vecs), n_global)
 
 
 def calculate_s2_ired(
@@ -108,3 +112,114 @@ def calculate_s2_ired(
 def calculate_s2_wired(vecs, delta_t: float, tau: float, n_global: int = 5) -> IredResult:
     """windowed iRED: 2*tau windows (reference stub :156-167)."""
     return calculate_s2_ired(vecs, delta_t, tau, window_factor=2.0, n_global=n_global)
+
+
+@jax.jit
+def _q_sum_update(acc, seg):
+    """acc += sum_t Q_t Q_t^T for one zero-padded segment (P, nRes, 3).
+
+    Zero-padded frames contribute exactly zero (Q of the zero vector is
+    zero), so every update can run at ONE fixed shape regardless of
+    where block boundaries fall."""
+    P = seg.shape[0]
+    Q = (seg[:, :, :, None] * seg[:, :, None, :]).reshape(P, seg.shape[1], 9)
+    return acc + jnp.einsum(
+        "tic,tjc->ij", Q, Q, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+@partial(jax.jit, static_argnames=("n_global",))
+def _block_finish(acc, n_per_block: float, n_global: int):
+    s2, vals, modes = _eig_s2((1.5 / n_per_block) * acc - 0.5, n_global)
+    return s2, vals, modes
+
+
+class IredStream:
+    """Streaming iRED/wiRED: per-block M accumulation over chunked
+    lab-frame vector streams (constant memory in the frame axis).
+
+    The in-memory path (:func:`calculate_s2_ired`) slices the trajectory
+    into nFrames // W whole blocks of W frames and eigendecomposes each
+    block's M_ij = <P2(v_i . v_j)>.  This class accumulates the same
+    per-block sum incrementally — an (nRes, nRes) running Q-outer-product
+    accumulator, finished with one eigh per completed block — so the
+    streamed C(t) stage (>HBM trajectories) gets iRED eigenmode S2 too,
+    closing the round-3 capability cliff (``--S2mode ired/wired``
+    previously required the in-memory path).  Matches the in-memory
+    result to float tolerance (the only difference is summation order).
+
+    Trailing frames short of a full block are dropped, exactly like the
+    in-memory ``n_frames // W``.  ``keep_modes=False`` (default) drops
+    the (nBlocks, nRes, nRes) eigenvector stacks — unbounded over a long
+    stream — and returns an empty modes array.
+    """
+
+    def __init__(self, n_res: int, n_per_block: int, n_global: int = 5,
+                 keep_modes: bool = False):
+        if n_per_block < 2:
+            raise ValueError(f"block length must be >= 2, got {n_per_block}")
+        self.n_res = int(n_res)
+        self.W = int(n_per_block)
+        self.n_global = int(n_global)
+        self.keep_modes = keep_modes
+        self._acc = None  # lazily dtyped from the first chunk
+        self._in_block = 0
+        self._pad = None  # fixed segment shape (first update's length)
+        self._s2 = []
+        self._vals = []
+        self._modes = []
+
+    def update(self, vecs):
+        """Feed (c, nRes, 3) lab-frame vectors (any chunk length)."""
+        vecs = jnp.asarray(vecs)
+        c = vecs.shape[0]
+        if self._pad is None:
+            self._pad = max(int(c), 1)
+        if self._acc is None:
+            self._acc = jnp.zeros((self.n_res, self.n_res), vecs.dtype)
+        off = 0
+        while off < c:
+            take = min(self.W - self._in_block, c - off, self._pad)
+            seg = vecs[off : off + take]
+            if take < self._pad:
+                seg = jnp.concatenate(
+                    [seg, jnp.zeros((self._pad - take,) + seg.shape[1:],
+                                    seg.dtype)], axis=0
+                )
+            self._acc = _q_sum_update(self._acc, seg)
+            self._in_block += take
+            off += take
+            if self._in_block == self.W:
+                s2, vals, modes = _block_finish(
+                    self._acc, float(self.W), self.n_global
+                )
+                self._s2.append(s2)
+                self._vals.append(vals)
+                if self.keep_modes:
+                    self._modes.append(modes)
+                self._acc = jnp.zeros_like(self._acc)
+                self._in_block = 0
+
+    def result(self) -> IredResult:
+        """Block statistics, identical conventions to calculate_s2_ired
+        (sqrt(nBlocks)-1 SEM; single block -> NaN dS2)."""
+        n_blocks = len(self._s2)
+        if n_blocks < 1:
+            raise ValueError(
+                f"stream too short: no complete iRED window of "
+                f"{self.W} frames"
+            )
+        s2 = jnp.stack(self._s2)
+        vals = jnp.stack(self._vals)
+        S2 = jnp.mean(s2, axis=0)
+        denom = jnp.sqrt(jnp.asarray(float(n_blocks), s2.dtype)) - 1.0
+        dS2 = jnp.where(
+            denom > 0,
+            jnp.std(s2, axis=0) / jnp.where(denom > 0, denom, 1.0),
+            jnp.nan,
+        )
+        modes = (
+            jnp.stack(self._modes) if self._modes
+            else jnp.zeros((0, self.n_res, self.n_res), s2.dtype)
+        )
+        return IredResult(S2, dS2, vals, modes)

@@ -270,12 +270,6 @@ def cmd_ct(argv):
             sys.exit("= = = ERROR: --S2mode ired/wired needs a tumbling "
                      "estimate; pass -t/--tau.")
     if a.split_groups > 0:
-        if a.S2mode != "outer":
-            sys.exit(
-                "= = = ERROR: --S2mode ired/wired needs the in-memory "
-                "path (drop --split): the streamed stage computes "
-                "outer-product S2 only."
-            )
         mesh = None
         if a.devices > 0:
             from ..parallel.mesh import make_mesh
@@ -285,7 +279,7 @@ def cmd_ct(argv):
             a.infn, a.topfn, a.outpref, a.tau,
             chunk_groups=a.split_groups, timestep=a.timestep,
             q_rot=q_rot, h_sel=a.Hsel, x_sel=a.Xsel, fit_sel=a.fitsel,
-            zeta=a.zeta, do_ct=a.do_ct, do_s2=a.do_s2,
+            zeta=a.zeta, do_ct=a.do_ct, do_s2=a.do_s2, s2_mode=a.S2mode,
             do_vec_dist=(a.do_vec or a.do_hist), do_vec_avg=a.do_avg,
             vec_storage=storage, hist_bins=a.histBin, mesh=mesh,
         )

