@@ -180,6 +180,20 @@ def print_sxylist(fn: str, legend, x, ylist, header: Sequence[str] = ()):
         from . import native
 
         fast = native.format_sxy  # resolved once; None lib -> row fallback
+    elif ylist.ndim == 3 and ylist.size > 1_000_000:
+        import warnings
+
+        # The per-scalar numpy formatter below is ~60x slower than the
+        # native renderer — at production scale that is MINUTES per
+        # artefact (907 s of a 1146 s streamed stage before the f32
+        # lag-grid slip was pinned, round 4).  Large blocks falling off
+        # the fast path deserve a loud trace, not a silent crawl.
+        warnings.warn(
+            f"print_sxylist({fn!r}): large block "
+            f"({ylist.shape}) is using the slow per-scalar formatter — "
+            f"x dtype {np.asarray(x).dtype} (fast path needs float64) "
+            "or non-default numpy printoptions"
+        )
     with topen(fn, "w") as fp:
         for line in header:
             print(line, file=fp)

@@ -633,9 +633,19 @@ def ct_palmer_direct(vecs):
 
 def lag_times(delta_t: float, tau_memory: float):
     """The lag-time grid matching calculate_dt
-    (calculate-Ct-from-traj.py:240-243)."""
+    (calculate-Ct-from-traj.py:240-243).
+
+    Host float64, like the reference's Python floats: a device array
+    would canonicalise to f32 in production (x64 off), and f32 lag
+    times both mis-print the grid AND silently knock the C(t) artefact
+    writers off the native fast path (print_sxylist requires f64 x) —
+    measured 907 s of a 1146 s streamed northstar stage spent in
+    numpy's per-scalar formatter before this was pinned (round 4,
+    docs/PERF.md file-fed attribution)."""
+    import numpy as np
+
     n_pts = int(0.5 * tau_memory / delta_t)
-    return (jnp.arange(n_pts) + 1.0) * delta_t
+    return (np.arange(n_pts, dtype=np.float64) + 1.0) * delta_t
 
 
 def reformat_by_tau(vec_list, delta_t: float, tau_memory: float):

@@ -289,6 +289,31 @@ def main():
           f"({n_frames / decode_s:.0f} frames/s, "
           f"{info['file_bytes'] / decode_s / 1e6:.0f} MB/s)")
 
+    # --- host-prep pass (attribution): decode + bond_obs_host, no device
+    # work at all — everything stage_ct_streamed does on the host before
+    # its async dispatches.  wall(ct_stream) - prep_s is then the cost
+    # the device path adds ON TOP of host prep (transfer serialisation +
+    # dispatch + any non-overlapped compute), which is the honest test of
+    # the decode-overlaps-compute claim.
+    from spinrelax_tpu.io import pdb as pdbio
+    from spinrelax_tpu.ops import orient
+
+    top, ref_xyz = pdbio.read_structure(ref_pdb)
+    idx_h, idx_x, _res = pdbio.bond_indices(
+        top, "name H", "name N and not resname PRO"
+    )
+    w_fit = np.asarray(top.occupancies) > 0
+    t0 = time.time()
+    sink = 0.0
+    for chunk, _, _ in native.iter_xtc(xtc, 2000, threads=a.threads):
+        raw_diff, S = orient.bond_obs_host(
+            chunk, ref_xyz[0], idx_h, idx_x, w_fit.astype(float)
+        )
+        sink += float(raw_diff[0, 0, 0]) + float(S[0, 0, 0])
+    prep_s = time.time() - t0
+    print(f"= = decode+bond_obs (host prep, no device): {prep_s:.2f} s "
+          f"({n_frames / prep_s:.0f} frames/s)")
+
     # --- the timed end-to-end: streamed ct -> ladder fit -> rates.
     from spinrelax_tpu.models import Diffusion
     from spinrelax_tpu.pipeline import stages
@@ -329,6 +354,7 @@ def main():
         "n_atoms": info["n_atoms"],
         "file_MB": round(info["file_bytes"] / 1e6, 1),
         "decode_only_s": round(decode_s, 2),
+        "host_prep_s": round(prep_s, 2),
         "ct_stream_s": round(t_ct, 2),
         "fit_ladder_s": round(t_fit, 2),
         "relax_s": round(t_relax, 2),
