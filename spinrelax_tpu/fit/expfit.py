@@ -156,7 +156,7 @@ def fit_ct_ladder(
     warm_retry: bool = True,
     n_starts: int = 1,
     retry_starts: int = 8,
-    pipeline_rungs: bool = True,
+    pipeline_rungs: bool = False,
 ) -> CtModelSet:
     """Fit all residues' C(t) and select per-residue model complexity.
 
@@ -194,12 +194,18 @@ def fit_ct_ladder(
         gate (default-on robustness): the flagged rows are ALSO refit
         cold with ``retry_starts`` batched starts (see ``n_starts``) and
         the best gate-passing candidate of {warm retry, multi-start}
-        wins.  This buys the reference's scipy-TRF selection quality on
-        adjacent-timescale mixes WITHOUT the ~retry_starts x rung cost of
-        a global ``n_starts`` (only quality-failed rows pay, and those
-        are rare on clean workloads).  1 disables; no effect unless it
-        exceeds ``n_starts``; "lm" optimiser only (ignored for varpro,
-        whose amplitudes are closed-form per tau start already).
+        wins.  A second arm re-fits rows whose SELECTED chisq is a
+        >5x-median outlier (weighted fits only — unweighted chisq is not
+        comparable across residues), adopted only on strict improvement
+        at the same rung so selection never changes.  This buys the
+        reference's scipy-TRF selection quality on adjacent-timescale
+        mixes WITHOUT the ~retry_starts x rung cost of a global
+        ``n_starts``: only ISOLATED flagged rows pay (quality failures
+        affecting > max(256, B/8) rows are the ladder's natural
+        complexity ceiling and are not escalated).  1 disables; no
+        effect unless it exceeds ``n_starts``; "lm" optimiser only
+        (ignored for varpro, whose amplitudes are closed-form per tau
+        start already).
     early_stop : fit each rung only on the residues whose selection walk
         is still descending the ladder (exact reference semantics — a
         residue that has broken out never consults later rungs,
@@ -210,11 +216,16 @@ def fit_ct_ladder(
         lanes).  ``False`` forces the former fit-every-rung-for-everyone
         behaviour (the A/B hook for tests).
     pipeline_rungs : dispatch rung i+1 speculatively on rung i's active
-        set before rung i's blocking fetch, hiding the per-rung
-        fetch+walk round trip behind device compute.  Selected models
-        are identical (broken rows' speculative fits are discarded
-        unread; LM lanes are batch-composition-independent).  ``False``
-        restores strictly sequential dispatch (the A/B hook).
+        set before rung i's blocking fetch.  Selected models are
+        identical (broken rows' speculative fits are discarded unread;
+        LM lanes are batch-composition-independent) — but through the
+        remote-TPU relay this is a MEASURED NEGATIVE and defaults OFF:
+        the device executes its queue in order, so rung i's packed
+        fetch waits behind the whole speculative rung i+1 (and any
+        retry dispatches queue behind that too) — 13.2e3 -> 12.8e3
+        res/s alone, 2.4e3 with retries firing (docs/PERF.md round 4).
+        The hook stays for locally-attached hardware, where fetches
+        can overlap execution.
 
     Returns a CtModelSet padded to the largest selected K.
     """
@@ -341,17 +352,15 @@ def fit_ct_ladder(
                                  n_starts=n_starts)
             return (act.copy() if idx is not None else None), packed
 
-        # One-deep speculative pipeline over the sequential rung walks:
-        # rung i+1 is dispatched on rung i's active set BEFORE rung i's
-        # blocking fetch, so the device computes rung i+1 while the host
-        # waits on the packed fetch and runs the selection walk (each of
-        # the 5 fetch+walk round trips costs ~30-40 ms through the
-        # relay).  Rows that break at rung i still get a speculative
-        # rung-i+1 fit — discarded unread: the walk never consults them,
-        # and every other row's fit is unchanged because each vmapped LM
-        # lane is batch-composition-independent (the same guarantee
-        # early_stop already relies on).  ``pipeline_rungs=False``
-        # restores strictly sequential dispatch (the A/B hook).
+        # Optional one-deep speculative pipeline over the sequential
+        # rung walks (pipeline_rungs; DEFAULT OFF — measured negative
+        # through the remote-TPU relay, see the docstring): rung i+1
+        # dispatched on rung i's active set before rung i's blocking
+        # fetch.  Rows that break at rung i still get a speculative
+        # rung-i+1 fit — discarded unread: the walk never consults
+        # them, and every other row's fit is unchanged because each
+        # vmapped LM lane is batch-composition-independent (the same
+        # guarantee early_stop already relies on).
         pending = {}
         for i, (n_par, K, s2_free) in enumerate(specs):
             if early_stop and active.size == 0:
@@ -416,7 +425,18 @@ def fit_ct_ladder(
             # never halve chi — the cold fit already converged into the
             # same basin it would restart near.
             retriable = brk & ~ok
+            # ... and only ISOLATED failures (<= max(256, B/8) rows).
+            # When a large fraction of the cohort fails a rung's gates
+            # the data has hit its natural complexity ceiling (e.g.
+            # every 2-exp residue collapsing the 3rd component): those
+            # breaks are CORRECT, the retries almost never pass the
+            # chi-halving gate, and the extra rung-sized refits doubled
+            # the 1e4-residue ladder wall (8.0e3 vs 14.7e3 res/s
+            # measured round 4, docs/PERF.md).  The local-minimum
+            # accidents the retry exists for are sparse by nature
+            # (hard-mix cohort: ~15% of rows).
             if warm_retry and i > 0 and np.any(retriable) \
+                    and int(retriable.sum()) <= max(256, B // 8) \
                     and rungs[i - 1][3] is not None:
                 # Second chance for quality-failed rows: refit from the
                 # previous rung's solution (their sel_idx is i-1 by
@@ -428,17 +448,23 @@ def fit_ct_ladder(
                 beg = np.zeros((B, n_beg))
                 from ..parallel.mesh import fetch as _fetch
 
-                beg[retry] = _fetch(dec_d[retry, :n_beg])
-                C0, tau0, S20 = _warm_p0(
-                    rungs[i - 1][3], retry, K_p, K, s2_free, beg,
-                    float(np.mean(dt_arr[1:] - dt_arr[:-1])),
-                )
                 bucket = 256
                 while bucket < retry.size:
                     bucket *= 2
                 bucket = min(bucket, max(B, 256))
                 pad = bucket - retry.size
                 idx_w = np.concatenate([retry, np.full(pad, retry[0])])
+                # Gather with the BUCKETED index (stable pow-2 shapes):
+                # the raw retry-sized gather changed shape every call as
+                # the retriable count jittered, and each fresh eager-op
+                # shape costs ~3.5 s of remote AOT — 3 rungs of that
+                # dominated the whole warm ladder call (round 4,
+                # docs/PERF.md ladder series).
+                beg[retry] = _fetch(dec_d[idx_w, :n_beg])[: retry.size]
+                C0, tau0, S20 = _warm_p0(
+                    rungs[i - 1][3], retry, K_p, K, s2_free, beg,
+                    float(np.mean(dt_arr[1:] - dt_arr[:-1])),
+                )
                 wargs = [dec_d[idx_w], sig_d[idx_w],
                          np.concatenate([C0, np.repeat(C0[:1], pad, 0)]),
                          np.concatenate([tau0, np.repeat(tau0[:1], pad, 0)]),
@@ -450,7 +476,17 @@ def fit_ct_ladder(
                 )
                 resc = {k: v[: retry.size].copy() for k, v in wfit.items()}
                 ok_r = resc["ok_fit"] & resc["ok_err"] & resc["ok_sum"]
-                if optimiser == "lm" and retry_starts > max(n_starts, 1):
+                # Escalate only ISOLATED quality failures (<= max(256,
+                # B/8) rows): when a large fraction of the cohort fails a
+                # rung's gates, that is the ladder's natural complexity
+                # ceiling (e.g. every 2-exp residue collapsing the 3rd
+                # component) — correct breaks, not missed optima — and a
+                # bulk 8-start refit would multiply the rung cost for
+                # retries that cannot pass (measured 20x ladder wall on
+                # the 1e4-residue bench before this cap).  The hard-mix
+                # regime this escalation exists for flags ~15% of rows.
+                if (optimiser == "lm" and retry_starts > max(n_starts, 1)
+                        and retry.size <= max(256, B // 8)):
                     # Multi-start escalation on the SAME flagged rows: a
                     # cold refit from retry_starts deterministic starts
                     # (the lever that reproduces scipy-TRF selection on
@@ -534,8 +570,13 @@ def fit_ct_ladder(
     # multi-start and adopted only on a strict chisq improvement at the
     # SAME rung, so model selection is unchanged by construction (a
     # lower sel_chi can only make the already-taken break at the next
-    # rung harder to un-take).  Clean workloads flag ~nothing.
-    if (not stacked and optimiser == "lm"
+    # rung harder to un-take).  WEIGHTED fits only (ddecays given):
+    # without per-point sigmas chisq is a raw SSR whose magnitude
+    # varies legitimately across residues, so the cross-residue median
+    # rule would flag thousands of perfectly-converged rows (measured
+    # on the unweighted 1e4-residue bench).  Clean weighted workloads
+    # flag ~nothing.
+    if (not stacked and optimiser == "lm" and ddecays is not None
             and retry_starts > max(n_starts, 1) and B > 1):
         finite = np.isfinite(sel_chi)
         if np.any(finite):
