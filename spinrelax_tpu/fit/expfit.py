@@ -471,31 +471,27 @@ def fit_ct_ladder(
                          np.concatenate([S20, np.repeat(S20[:1], pad)])]
                 if mesh is not None:
                     wargs, _ = pad_and_shard(mesh, wargs)
-                wfit = _unpack_fit(
-                    _packed_fit_warm(dt_arr, *wargs, K, s2_free), K
+                # Both retry arms dispatch back-to-back BEFORE either
+                # blocking fetch, so the relay round trips overlap the
+                # device work instead of serialising after it.
+                escalate = (
+                    optimiser == "lm" and retry_starts > max(n_starts, 1)
                 )
+                packed_w = _packed_fit_warm(dt_arr, *wargs, K, s2_free)
+                packed_m = _packed_fit(
+                    fit_fn, dt_arr, wargs[0], wargs[1], K, s2_free,
+                    n_starts=retry_starts,
+                ) if escalate else None
+                wfit = _unpack_fit(packed_w, K)
                 resc = {k: v[: retry.size].copy() for k, v in wfit.items()}
                 ok_r = resc["ok_fit"] & resc["ok_err"] & resc["ok_sum"]
-                # Escalate only ISOLATED quality failures (<= max(256,
-                # B/8) rows): when a large fraction of the cohort fails a
-                # rung's gates, that is the ladder's natural complexity
-                # ceiling (e.g. every 2-exp residue collapsing the 3rd
-                # component) — correct breaks, not missed optima — and a
-                # bulk 8-start refit would multiply the rung cost for
-                # retries that cannot pass (measured 20x ladder wall on
-                # the 1e4-residue bench before this cap).  The hard-mix
-                # regime this escalation exists for flags ~15% of rows.
-                if (optimiser == "lm" and retry_starts > max(n_starts, 1)
-                        and retry.size <= max(256, B // 8)):
+                if escalate:
                     # Multi-start escalation on the SAME flagged rows: a
                     # cold refit from retry_starts deterministic starts
                     # (the lever that reproduces scipy-TRF selection on
                     # adjacent-timescale mixes, docs/PERF.md "Ladder
                     # robustness") — best gate-passing candidate wins.
-                    mfit = _unpack_fit(
-                        _packed_fit(fit_fn, dt_arr, wargs[0], wargs[1],
-                                    K, s2_free, n_starts=retry_starts), K
-                    )
+                    mfit = _unpack_fit(packed_m, K)
                     mfit = {k: v[: retry.size] for k, v in mfit.items()}
                     ok_m = mfit["ok_fit"] & mfit["ok_err"] & mfit["ok_sum"]
                     use_m = ok_m & (~ok_r | (mfit["chisq"] < resc["chisq"]))

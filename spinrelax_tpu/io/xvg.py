@@ -174,13 +174,21 @@ def print_sxylist(fn: str, legend, x, ylist, header: Sequence[str] = ()):
     ylist = np.asarray(ylist)
     fast = None
     xarr = None
+    fallback_why = None
     if (ylist.ndim == 3 and _default_printoptions()
             and np.asarray(x).dtype == np.float64):
         xarr = np.ascontiguousarray(x, dtype=np.float64)
         from . import native
 
         fast = native.format_sxy  # resolved once; None lib -> row fallback
-    elif ylist.ndim == 3 and ylist.size > 1_000_000:
+        if not native.available():
+            fallback_why = "native fastio library unavailable"
+    elif ylist.ndim == 3:
+        fallback_why = (
+            f"x dtype {np.asarray(x).dtype} (fast path needs float64) "
+            "or non-default numpy printoptions"
+        )
+    if fallback_why is not None and ylist.size > 1_000_000:
         import warnings
 
         # The per-scalar numpy formatter below is ~60x slower than the
@@ -191,8 +199,7 @@ def print_sxylist(fn: str, legend, x, ylist, header: Sequence[str] = ()):
         warnings.warn(
             f"print_sxylist({fn!r}): large block "
             f"({ylist.shape}) is using the slow per-scalar formatter — "
-            f"x dtype {np.asarray(x).dtype} (fast path needs float64) "
-            "or non-default numpy printoptions"
+            + fallback_why
         )
     with topen(fn, "w") as fp:
         for line in header:

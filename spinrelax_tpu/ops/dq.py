@@ -634,13 +634,9 @@ def dq_statistics_streamed(chunk_iter, lags, chunk_len: int,
                     )
                     hist[i] += h.astype(np.int64)
                 np_tail = ext_np[-max_lag:]
-            if nv < chunk_len:
-                part = np.pad(part, ((0, chunk_len - nv), (0, 0)))
-            part_j = jnp.asarray(part)
-            nv_j = jnp.asarray(nv)
-            out = _dq_chunk_sums(
-                buf, buf_len, part_j, nv_j, lags_j,
-                max_lag, chunk_len, n_chunks=n_chunks, nblock=nblock_j,
+            out = _padded_chunk_sums(
+                buf, buf_len, part, lags_j, max_lag, chunk_len,
+                n_chunks=n_chunks, nblock=nblock_j,
                 global_start=jnp.asarray(global_pos),
             )
             d_iso, d_M, d_cnt, d_iso_c, d_M_c, d_cnt_c, buf, buf_len = out
@@ -668,6 +664,22 @@ def dq_statistics_streamed(chunk_iter, lags, chunk_len: int,
         M_c = jnp.zeros((L, 0, 3, 3))
     stats = DqStats(lags_j, iso, M, iso_c, M_c)
     return stats, total, hist
+
+
+def _padded_chunk_sums(buf, buf_len, part, lags_j, max_lag: int,
+                       chunk_len: int, n_chunks: int = 0, nblock=None,
+                       global_start=0):
+    """Zero-pad one sub-chunk to the fixed ``chunk_len`` shape and run
+    :func:`_dq_chunk_sums` — the single home of the pad-and-invoke step
+    both streamed drivers (single-colvar and multi-replica) share."""
+    nv = part.shape[0]
+    if nv < chunk_len:
+        part = np.pad(part, ((0, chunk_len - nv), (0, 0)))
+    return _dq_chunk_sums(
+        buf, buf_len, jnp.asarray(part), jnp.asarray(nv), lags_j,
+        max_lag, chunk_len, n_chunks=n_chunks, nblock=nblock,
+        global_start=global_start,
+    )
 
 
 def dq_statistics_streamed_multi(rep_chunk_iter, lags, chunk_len: int):
@@ -720,13 +732,9 @@ def dq_statistics_streamed_multi(rep_chunk_iter, lags, chunk_len: int):
         chunk = np.asarray(chunk, dtype=np.float64)
         n_frames += chunk.shape[0]
         for off in range(0, chunk.shape[0], chunk_len):
-            part = chunk[off : off + chunk_len]
-            nv = part.shape[0]
-            if nv < chunk_len:
-                part = np.pad(part, ((0, chunk_len - nv), (0, 0)))
-            out = _dq_chunk_sums(
-                buf, buf_len, jnp.asarray(part), jnp.asarray(nv), lags_j,
-                max_lag, chunk_len, n_chunks=0,
+            out = _padded_chunk_sums(
+                buf, buf_len, chunk[off : off + chunk_len], lags_j,
+                max_lag, chunk_len,
             )
             d_iso, d_M, d_cnt, _ic, _mc, _cc, buf, buf_len = out
             s_iso = s_iso + d_iso

@@ -174,7 +174,12 @@ class IredStream:
         vecs = jnp.asarray(vecs)
         c = vecs.shape[0]
         if self._pad is None:
-            self._pad = max(int(c), 1)
+            # Segment shape = min(first chunk, block length): a segment
+            # never exceeds W frames (the take below), so padding to the
+            # full chunk length would zero-pad every W-frame slice of a
+            # multi-block chunk to the whole group — ~chunk/W x wasted
+            # einsum FLOPs on exactly the >HBM streams this class is for.
+            self._pad = max(min(int(c), self.W), 1)
         if self._acc is None:
             self._acc = jnp.zeros((self.n_res, self.n_res), vecs.dtype)
         off = 0

@@ -133,11 +133,16 @@ def cmd_orient(argv):
     p.add_argument("-s", "--refpdb", required=True, help="reference PDB (occupancy marks fit atoms)")
     p.add_argument("-o", "--outfn", default="colvar-qorient", help="output colvar file")
     p.add_argument("--fitsel", default="occupancy > 0", help="fit atom selection")
+    p.add_argument("--timestep", type=float, default=None,
+                   help="frame spacing [ps]: required for formats with no "
+                        "time axis (the colvar's time column defines the "
+                        "dq stage's delta_t)")
     p.add_argument("--force", action="store_true")
     a = p.parse_args(argv)
     from .stages import stage_orientation
 
-    out = stage_orientation(a.infn, a.refpdb, a.outfn, fit_sel=a.fitsel, force=a.force)
+    out = stage_orientation(a.infn, a.refpdb, a.outfn, fit_sel=a.fitsel,
+                            force=a.force, timestep=a.timestep)
     print(f"= = Wrote {out}")
 
 

@@ -62,17 +62,31 @@ def stage_orientation(
     out_colvar: str,
     fit_sel: str = "occupancy > 0",
     force: bool = False,
+    timestep: Optional[float] = None,
 ) -> str:
     """Compute q(t) of each trajectory vs the reference structure and write
     a PLUMED-format colvar (concatenated for multiple trajectories, as
-    run-all.bash:366 does with `cat`)."""
+    run-all.bash:366 does with `cat`).
+
+    ``timestep`` overrides the frame spacing — REQUIRED for formats with
+    no time axis (.pdb/.xyz/bare .npy/...): the colvar's time column is
+    what `spinrelax dq` later reads delta_t from, so silently stamping
+    1 ps here would mis-scale every downstream lag time and D tensor."""
     if os.path.exists(out_colvar) and not force:
         return out_colvar
     top, ref_xyz = pdbio.read_structure(ref_pdb)
     weights = _fit_weights(top, fit_sel)
     mode = "w"
     for fn in traj_files:
+        if timestep is None and trajio.is_timeless(fn):
+            raise ValueError(
+                f"{fn!r}: this format carries no time axis — pass "
+                "timestep explicitly (the colvar's time column defines "
+                "the dq stage's delta_t)"
+            )
         xyz, dt = trajio.load_trajectory(fn, top_fn=ref_pdb)
+        if timestep is not None:
+            dt = timestep
         q = np.asarray(
             orient.orientation_quats(
                 jnp.asarray(xyz), jnp.asarray(ref_xyz[0]), jnp.asarray(weights)

@@ -176,3 +176,36 @@ def test_ct_stage_requires_timestep_for_timeless_formats(tmp_path):
     stages.stage_ct(
         [fn], [ref], str(tmp_path / "o"), 4.0, timestep=2.0
     )
+
+
+def test_orient_stage_requires_timestep_for_timeless_formats(tmp_path):
+    """stage_orientation writes the colvar TIME column that `spinrelax
+    dq` later reads delta_t from — silently stamping 1 ps for a
+    time-less trajectory would mis-scale every downstream lag time
+    (round-4 review finding)."""
+    from spinrelax_tpu.io import pdb as pdbio
+    from spinrelax_tpu.pipeline import stages
+
+    rng = np.random.default_rng(6)
+    top = pdbio.Topology(
+        atom_names=["N", "H"],
+        res_seqs=np.array([2, 2]),
+        res_names=["ALA"] * 2,
+        chain_ids=["A"] * 2,
+        occupancies=np.ones(2),
+        elements=["N", "H"],
+    )
+    ref = str(tmp_path / "ref.pdb")
+    base = rng.normal(size=(4, 2, 3))
+    pdbio.write_pdb(ref, top, base[:1])
+    fn = str(tmp_path / "t.xyz")
+    xyzio.write_xyz(fn, base)
+    out = str(tmp_path / "colvar-q")
+    with pytest.raises(ValueError, match="no time axis"):
+        stages.stage_orientation([fn], ref, out)
+    # explicit timestep: accepted, and the time column carries it
+    stages.stage_orientation([fn], ref, out, timestep=2.5)
+    from spinrelax_tpu.io import colvar as colvario
+
+    _f, data = colvario.read_colvar(out)
+    np.testing.assert_allclose(np.diff(data[0]), 2.5, atol=1e-9)
