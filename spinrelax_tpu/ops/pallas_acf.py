@@ -259,7 +259,13 @@ def _acf_kernel2(vx, vy, vz, w1r_ref, w1i_ref, twr_ref, twi_ref, w2rt_ref,
     w2rt, w2it = w2rt_ref[...], w2it_ref[...]
 
     K1 = -(-F // N2)  # stage-1 truncated contraction length
-    zpad = jnp.zeros((K1 * N2 - F, lanes), f32)
+    # No zero-row pad when F is an exact multiple of N2: Mosaic rejects
+    # 0-sized vector constants ("positive constant sizes but got 0, N"),
+    # so the flagship forward failed to compile ON TPU for exactly those
+    # shapes (latent since round 1 — the CPU-backend driver check passes
+    # because XLA:CPU tolerates the empty broadcast; found round 4).
+    n_zpad = K1 * N2 - F
+    zpad = jnp.zeros((n_zpad, lanes), f32) if n_zpad else None
 
     # Mean-centering accumulators (split3c): the bf16-split dots lose
     # ~2^-18 relative per product, amplified by the DC spike of the
@@ -384,7 +390,10 @@ def _acf_kernel2(vx, vy, vz, w1r_ref, w1i_ref, twr_ref, twi_ref, w2rt_ref,
                 sc_acc = sc_acc + m * (2.0 * s_tot)
                 msq_acc = msq_acc + m * m
                 plane = delta
-            planes.append(jnp.concatenate([plane, zpad], axis=0))
+            planes.append(
+                plane if zpad is None
+                else jnp.concatenate([plane, zpad], axis=0)
+            )
         p = half_dft(planes[0], planes[1])
         if p is not None:
             power = power + p

@@ -156,3 +156,19 @@ def test_tiny_chunks_fall_back_to_uncentered(rng):
         got = np.asarray(pallas_acf.acf_sums_pallas(jnp.asarray(v), 3))
     want = np.asarray(ac._acf_sums_xla(jnp.asarray(v), 3))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_no_zpad_shape_compiles_and_matches():
+    """F an exact multiple of N2 needs NO stage-1 zero pad; the former
+    unconditional 0-row pad constant compiled on the CPU interpreter but
+    was rejected by the TPU Mosaic lowering ("positive constant sizes
+    but got 0, N") — the flagship entry() forward hit exactly this shape
+    (latent since round 1, found round 4).  F=128, nd=16 -> nfft=256,
+    N2=16, K1=8, K1*N2 == F."""
+    rng = np.random.default_rng(9)
+    v = rng.normal(size=(2, 128, 24, 3)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    with interpreted_pallas():
+        got = np.asarray(pallas_acf.acf_sums_pallas(jnp.asarray(v), 16))
+    want = np.asarray(ac._acf_sums_xla(jnp.asarray(v), 16))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
