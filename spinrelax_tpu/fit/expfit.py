@@ -133,6 +133,28 @@ def _warm_p0(prev_fit, retry, K_p: int, K: int, s2_free: bool,
     return C0, tau0, S20
 
 
+def _chisq_outlier_rows(sel_chi: np.ndarray, cap: int) -> np.ndarray:
+    """Rows whose selected chisq is a >5x-median outlier — the trigger of
+    the post-walk escalation arm — subject to the same isolated-rows
+    ceiling as the warm-retry arm: when MORE than ``cap`` rows are
+    "outliers" the sigmas are systematically mis-scaled (heavy-tailed
+    but converged chisq) rather than sparse local-minimum accidents, and
+    retry_starts-sized refits of that many rows would reproduce the
+    wall-time blowup the warm-retry cap exists to prevent, for adoptions
+    that almost never fire — so nothing is flagged (ADVICE round 4)."""
+    B = sel_chi.shape[0]
+    finite = np.isfinite(sel_chi)
+    if not np.any(finite):
+        return np.zeros(B, bool)
+    med = float(np.median(sel_chi[finite]))
+    if med <= 0:
+        return np.zeros(B, bool)
+    flagged = finite & (sel_chi > 5.0 * med)
+    if int(flagged.sum()) > cap:
+        return np.zeros(B, bool)
+    return flagged
+
+
 def _rung_spec(n_params: int):
     """nParams -> (K, s2_free) following set_nParams
     (fitting_Ct_functions.py:376-382)."""
@@ -574,11 +596,8 @@ def fit_ct_ladder(
     # flag ~nothing.
     if (not stacked and optimiser == "lm" and ddecays is not None
             and retry_starts > max(n_starts, 1) and B > 1):
-        finite = np.isfinite(sel_chi)
-        if np.any(finite):
-            med = float(np.median(sel_chi[finite]))
-            flagged = finite & (sel_chi > 5.0 * med) if med > 0 else \
-                np.zeros(B, bool)
+        flagged = _chisq_outlier_rows(sel_chi, max(256, B // 8))
+        if np.any(flagged):
             for i, (n_par, K, s2_free, fit) in enumerate(rungs):
                 rows = np.nonzero(flagged & (sel_idx == i))[0]
                 if rows.size == 0 or fit is None:

@@ -36,7 +36,14 @@ class GroError(ValueError):
     pass
 
 
-_TIME_RE = re.compile(r"\bt\s*=\s*([-+0-9.eE]+)")
+# The GROMACS title-line time stamp, ``t= <float>``.  The group must be
+# a PARSEABLE float (not just float-alphabet characters): a free-text
+# title like "run at t=equilibrium" must neither crash float() here nor
+# defeat the is_timeless probe in io.trajectory, which keys on this
+# same regex.
+_TIME_RE = re.compile(
+    r"\bt\s*=\s*([-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?)"
+)
 
 
 def _parse_floats(rest: str, fn: str, lineno: int) -> List[float]:

@@ -52,6 +52,7 @@ def is_timeless(fn: str) -> bool:
     if base.endswith(TIMELESS_EXTS):
         return True
     if base.endswith(".gro"):
+        from .gro import _TIME_RE
         from .zopen import topen
 
         try:
@@ -59,7 +60,12 @@ def is_timeless(fn: str) -> bool:
                 title = fp.readline()
         except OSError:
             return False  # let the real reader raise its own error
-        return " t=" not in title
+        # Probe with the READER's stamp grammar (t= followed by a
+        # parseable float), not a substring: a free-text title that
+        # merely contains " t=" (e.g. "run at t=equilibrium") carries
+        # no parseable frame times and must not bypass the
+        # explicit-timestep guard.
+        return _TIME_RE.search(title) is None
     return False
 
 

@@ -682,7 +682,9 @@ def _padded_chunk_sums(buf, buf_len, part, lags_j, max_lag: int,
     )
 
 
-def dq_statistics_streamed_multi(rep_chunk_iter, lags, chunk_len: int):
+def dq_statistics_streamed_multi(rep_chunk_iter, lags, chunk_len: int,
+                                 min_rep_len: int = 0,
+                                 short_replica_msg=None):
     """Per-REPLICA streamed Delta-q sums over an iterator of
     (replica_index, (n, 4) quaternion chunk) pairs (constant memory).
 
@@ -693,6 +695,13 @@ def dq_statistics_streamed_multi(rep_chunk_iter, lags, chunk_len: int):
     (analyse_dq_multi) are formed from them afterwards, which is why no
     counting pre-pass is needed (unlike the single-stream sub-chunk
     blocking, whose nblock depends on the total length up front).
+
+    ``min_rep_len`` > 0 fails FAST at the first replica flush shorter
+    than that many frames (message from ``short_replica_msg(n_frames)``
+    when given): the in-memory path errors on a too-large max_dt before
+    any work via _lag_grid, but this path targets aggregate colvars
+    whose full streaming pass costs minutes of I/O — validating only
+    after the stream is consumed burned all of it before erroring.
 
     Returns (rep_sums, rep_lengths) where rep_sums is a list of
     (s_iso (L,), s_M (L,3,3), cnt (L,)) numpy triples per replica.
@@ -718,6 +727,12 @@ def dq_statistics_streamed_multi(rep_chunk_iter, lags, chunk_len: int):
         n_frames = 0
 
     def _flush():
+        if n_frames < min_rep_len:
+            raise ValueError(
+                short_replica_msg(n_frames) if short_replica_msg
+                else f"replica {cur_rep} has {n_frames} frames; the lag "
+                     f"grid needs >= {min_rep_len}"
+            )
         rep_sums.append(
             (np.asarray(s_iso), np.asarray(s_M), np.asarray(cnt))
         )
@@ -766,8 +781,22 @@ def analyse_dq_multi_streamed(
     replicas (nReplicas % n_chunks == 0).  Matches the in-memory path to
     float tolerance on identical input."""
     lags = _lag_grid(delta_t, min_dt, max_dt, skip_dt, None)
+    max_int = int(max_dt / delta_t)
+
+    def _short_msg(n):
+        # Same wording as the post-stream backstop below (the half-length
+        # quoted is the FIRST short replica's, detected at its flush).
+        return (
+            f"max_dt ({max_dt}) exceeds half the shortest replica "
+            f"trajectory length ({(n - 1) * delta_t / 2.0})"
+        )
+
+    # max_int*dt > (n-1)*dt/2  <=>  n < 2*max_int + 1: fail at the first
+    # short replica FLUSH instead of after the whole (minutes-long)
+    # streaming pass (the in-memory path errors up front via _lag_grid).
     rep_sums, rep_lengths = dq_statistics_streamed_multi(
-        rep_chunk_iter, lags, chunk_frames
+        rep_chunk_iter, lags, chunk_frames,
+        min_rep_len=2 * max_int + 1, short_replica_msg=_short_msg,
     )
     n_rep = len(rep_sums)
     n_min = min(rep_lengths)

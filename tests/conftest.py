@@ -66,6 +66,50 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.smoke)
 
 
+# --- Smoke-tier growth guard (VERDICT round 4 #7) -----------------------
+# _SMOKE_EXCLUDE is a manually-maintained list; without a structural
+# check, a new heavy test that forgets to join it (or to mark itself
+# slow) silently rots the 2-minute tier.  During a ``-m smoke`` run,
+# any test whose own wall time exceeds the per-test budget FAILS THE
+# RUN at session end with instructions.  The budget is generous (the
+# smoke mean is ~0.5 s/test; first-jit tests reach a few seconds on
+# this loaded 1-core box) so it only trips on genuinely heavy tests.
+_SMOKE_BUDGET_S = float(os.environ.get("SPINRELAX_SMOKE_BUDGET_S", "20"))
+_IN_SMOKE_RUN = False
+_smoke_offenders: list = []
+
+
+def pytest_configure(config):
+    global _IN_SMOKE_RUN
+    _IN_SMOKE_RUN = "smoke" in (config.getoption("-m", default="") or "")
+
+
+def pytest_runtest_logreport(report):
+    if (_IN_SMOKE_RUN and report.when == "call"
+            and report.duration > _SMOKE_BUDGET_S):
+        _smoke_offenders.append((report.nodeid, report.duration))
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if _IN_SMOKE_RUN and _smoke_offenders:
+        lines = "\n".join(
+            f"  {d:7.1f}s  {n}" for n, d in sorted(
+                _smoke_offenders, key=lambda x: -x[1])
+        )
+        print(
+            f"\nSMOKE-TIER BUDGET EXCEEDED (> {_SMOKE_BUDGET_S:.0f}s per "
+            f"test):\n{lines}\n"
+            "Speed the test up, mark it @pytest.mark.slow, or add its "
+            "module to tests/conftest.py _SMOKE_EXCLUDE (and re-check "
+            "the smoke tier stays < 3 min)."
+        )
+        # pytest 8.x: Exit raised from this hook is the supported way to
+        # override the session exit status (wrap_session catches it and
+        # adopts the returncode; plain attribute assignment here is
+        # read-after-write too late).
+        pytest.exit("smoke-tier per-test budget exceeded", returncode=1)
+
+
 @pytest.fixture
 def rng():
     # Deterministic by default; SPINRELAX_TEST_SEED turns every

@@ -599,3 +599,28 @@ def test_streamed_multi_errors(tmp_path, qtraj):
     with pytest.raises(ValueError, match="single-trajectory"):
         stage_dq(str(tmp_path / "rot.xvg"), str(tmp_path / "o"),
                  5.0, 100.0, 5.0, multi=True, stream_chunk=700)
+
+
+def test_streamed_multi_short_replica_fails_fast(qtraj):
+    """An invalid max_dt must error at the FIRST short replica's flush,
+    not after the entire (minutes-long on real aggregates) streaming
+    pass (ADVICE round 4): the generator below would yield ~1000 more
+    chunks if the stream were consumed to the end."""
+    q, _ = qtraj
+    consumed = []
+
+    def chunks():
+        # Replica 0 is too short for max_dt=100 at dt=1 (needs 201
+        # frames); replica 1 would stream 1000 further chunks.
+        consumed.append((0, 0))
+        yield 0, q[:100]
+        for i in range(1000):
+            consumed.append((1, i))
+            yield 1, q[:512]
+
+    with pytest.raises(ValueError, match="shortest replica"):
+        dq.analyse_dq_multi_streamed(chunks(), 1.0, 5.0, 100.0, 5.0,
+                                     chunk_frames=512)
+    # The failure fired at replica 0's boundary flush (triggered by the
+    # first replica-1 chunk) -- nothing beyond that was pulled.
+    assert len(consumed) <= 2, consumed

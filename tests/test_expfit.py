@@ -326,3 +326,37 @@ def test_multistart_matches_reference_on_hard_mixes(tmp_path):
     # ... and the cohort actually separates the optimisers: the cold
     # start must be substantially worse, else this test shows nothing.
     assert rms_cold > 3.0 * rms_our, (rms_cold, rms_our)
+
+
+def test_chisq_outlier_rows_capped():
+    """The post-walk escalation's trigger (ADVICE round 4): isolated
+    >5x-median outliers flag; a mass-flagged cohort (systematically
+    mis-scaled sigmas) flags NOTHING -- the same isolated-rows ceiling
+    the warm-retry arm applies, preventing retry_starts-sized refits of
+    thousands of converged rows."""
+    from spinrelax_tpu.fit.expfit import _chisq_outlier_rows
+
+    # Isolated outliers flag.
+    chi = np.ones(1000)
+    chi[[3, 500, 997]] = 100.0
+    got = _chisq_outlier_rows(chi, max(256, chi.size // 8))
+    assert np.array_equal(np.nonzero(got)[0], [3, 500, 997])
+
+    # NaN/inf rows never flag (and do not poison the median).
+    chi2 = np.ones(1000)
+    chi2[0] = np.nan
+    chi2[1] = np.inf  # inf IS finite==False -> not flagged
+    assert not _chisq_outlier_rows(chi2, 256).any()
+
+    # Mass outliers (more than the cap) -> empty flag set.
+    chi3 = np.ones(4000)
+    chi3[: 1000] = 1000.0  # 1000 > max(256, 4000//8) = 500
+    assert not _chisq_outlier_rows(chi3, max(256, chi3.size // 8)).any()
+    # ... but at/below the cap they still flag.
+    chi4 = np.ones(4000)
+    chi4[: 400] = 1000.0
+    assert _chisq_outlier_rows(chi4, max(256, chi4.size // 8)).sum() == 400
+
+    # All-NaN and zero-median cohorts flag nothing.
+    assert not _chisq_outlier_rows(np.full(8, np.nan), 256).any()
+    assert not _chisq_outlier_rows(np.zeros(8), 256).any()

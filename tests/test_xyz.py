@@ -209,3 +209,36 @@ def test_orient_stage_requires_timestep_for_timeless_formats(tmp_path):
 
     _f, data = colvario.read_colvar(out)
     np.testing.assert_allclose(np.diff(data[0]), 2.5, atol=1e-9)
+
+
+def test_gro_freetext_t_equals_title_is_timeless(tmp_path):
+    """A free-text title containing 't=' with no parseable float (e.g.
+    'run at t=equilibrium') carries no frame times: is_timeless must say
+    True (ADVICE round 4 -- the old substring probe said False, silently
+    bypassing the explicit-timestep guard), and read_gro must not crash
+    float()-ing the non-numeric match."""
+    from spinrelax_tpu.io import gro as groio
+
+    fn = str(tmp_path / "freetext.gro")
+    with open(fn, "w") as fp:
+        fp.write("run at t=equilibrium\n")
+        fp.write("    2\n")
+        fp.write("    1ALA      N    1   0.000   0.000   0.000\n")
+        fp.write("    1ALA      H    2   0.100   0.000   0.000\n")
+        fp.write("   1.00000   1.00000   1.00000\n")
+    assert trjio.is_timeless(fn)
+    _top, xyz, _boxes, times = groio.read_gro(fn)
+    assert times is None  # no parseable stamp -> unstamped
+    assert xyz.shape == (1, 2, 3)
+
+    # A genuinely stamped title still reads its time and probes False.
+    fn2 = str(tmp_path / "stamped2.gro")
+    with open(fn2, "w") as fp:
+        fp.write("protein in water t=  125.00000 step= 250\n")
+        fp.write("    2\n")
+        fp.write("    1ALA      N    1   0.000   0.000   0.000\n")
+        fp.write("    1ALA      H    2   0.100   0.000   0.000\n")
+        fp.write("   1.00000   1.00000   1.00000\n")
+    assert not trjio.is_timeless(fn2)
+    _top, _xyz, _boxes, times2 = groio.read_gro(fn2)
+    assert times2 is not None and times2[0] == 125.0
