@@ -179,6 +179,7 @@ def fit_ct_ladder(
     n_starts: int = 1,
     retry_starts: int = 8,
     pipeline_rungs: bool = False,
+    in_graph="auto",
 ) -> CtModelSet:
     """Fit all residues' C(t) and select per-residue model complexity.
 
@@ -237,6 +238,19 @@ def fit_ct_ladder(
         is batch-composition-independent (lm_solve freezes converged
         lanes).  ``False`` forces the former fit-every-rung-for-everyone
         behaviour (the A/B hook for tests).
+    in_graph : "auto" (default) / True / False.  When active (requires
+        optimiser="lm", stacked=False), the ENTIRE ladder — every rung's
+        cold batched LM and the per-residue selection walk — runs as ONE
+        jitted device program with one packed fetch (fit.walk), instead
+        of one dispatch + ~30-40 ms fetch + host selection pass PER RUNG
+        (five sequential relay round trips, round-4 measured
+        unhideable).  Lanes whose walk has ended enter later rungs
+        frozen.  The rare data-dependent escalations (warm retry /
+        multi-start / chisq outliers) stay host-side: the walk flags
+        quality-failure rows and the host re-runs the per-rung walk on
+        just those rows with the full-cohort caps, reproducing the host
+        path's semantics exactly (pinned by tests/test_walk.py).
+        ``False`` forces the former per-rung host walk.
     pipeline_rungs : dispatch rung i+1 speculatively on rung i's active
         set before rung i's blocking fetch.  Selected models are
         identical (broken rows' speculative fits are discarded unread;
@@ -295,6 +309,21 @@ def fit_ct_ladder(
     Kmax_l = max(K for _, K, _ in specs)
     R = len(specs)
     dt_arr = np.asarray(dt, dtype=float)
+
+    use_walk = (
+        in_graph is True
+        or (in_graph == "auto" and optimiser == "lm" and not stacked)
+    )
+    if use_walk and in_graph is True and (optimiser != "lm" or stacked):
+        raise ValueError("in_graph=True requires optimiser='lm', "
+                         "stacked=False")
+    if use_walk:
+        return _ladder_via_walk(
+            names, dt_arr, dec_d, sig_d, specs, Kmax_l,
+            chisq_threshold=chisq_threshold, zeta=zeta, verbose=verbose,
+            mesh=mesh, warm_retry=warm_retry, n_starts=n_starts,
+            retry_starts=retry_starts, weighted=ddecays is not None,
+        )
     if stacked:
         # tau0 grid / stack size: consumed only by the stacked solves
         # (host-side numpy: the stacked branches tile on the host).
@@ -718,3 +747,261 @@ def fit_ct_ladder(
 
 def jax_to_np(fit):
     return {k: np.asarray(v) for k, v in fit._asdict().items()}
+
+
+def _ladder_via_walk(names, dt_arr, dec_d, sig_d, specs, Kmax_l, *,
+                     chisq_threshold, zeta, verbose, mesh, warm_retry,
+                     n_starts, retry_starts, weighted):
+    """fit_ct_ladder's in-graph path: one walk dispatch + one packed
+    fetch (fit.walk.fit_ct_walk), then a RESUME-style host escalation on
+    exactly the rows the walk flags.
+
+    The resume escalation replaces a full host re-walk of the flagged
+    rows (round-5 first cut: ~600 ms of relay round trips per call —
+    more than the whole walk program).  Key observation: a warm retry at
+    rung i needs only the row's PREVIOUS accepted solution — which IS
+    the walk's selected output for a row that broke at rung i — plus the
+    decay-head mean (packed by the walk).  So:
+
+    - generation-0 retries (one group per first-qfail rung) are mutually
+      independent: all their warm + multi-start fits dispatch
+      back-to-back before any blocking fetch (relay RTs overlap);
+    - only rows whose retry is ACCEPTED (rare) keep walking: their
+      later-rung cold fits run as small bucketed host fits, and a
+      second-generation quality failure joins that rung's retriable
+      set, exactly like the host walk's single pass would;
+    - cap semantics are host-exact: the retriable count at rung i is
+      gen-0 first-failures (identical to the host walk's — a lane's
+      first failure happens at the same rung in both) plus
+      resumed-lane re-failures (reproduced lane-for-lane), and the
+      cap/skip decision is taken on the combined count.
+
+    Parity with the pure host path is pinned by tests/test_walk.py.
+    """
+    import jax.numpy as jnp
+
+    from ..parallel.mesh import fetch
+    from .walk import fit_ct_walk, unpack_walk
+
+    B = dec_d.shape[0]
+    R = len(specs)
+    sp = tuple((K, s2f) for _, K, s2f in specs)
+    dec_i, sig_i = dec_d, sig_d
+    if mesh is not None:
+        from ..parallel.mesh import pad_and_shard
+
+        (dec_i, sig_i), _ = pad_and_shard(mesh, [dec_d, sig_d])
+    packed = fit_ct_walk(dt_arr, dec_i, sig_i, chisq_threshold, sp,
+                         Kmax_l, n_starts)
+    w = unpack_walk(np.asarray(fetch(packed))[:B], Kmax_l, R)
+    sel_idx = w["sel_idx"].astype(int)
+    sel_chi = np.array(w["sel_chi"])
+    selected = {
+        k: np.array(w[k])
+        for k in ("C", "tau", "dC", "dtau", "mask", "S2", "dS2", "chisq",
+                  "s2fast")
+    }
+    if verbose:
+        for i, (n_par, _K, _s) in enumerate(specs):
+            act = w["act_rungs"][:, i] > 0
+            if act.any():
+                print(
+                    f"    ...ladder rung nParams={n_par}: "
+                    f"{int(act.sum())}/{B} residues active, median chisq "
+                    f"{np.median(w['chi_rungs'][act, i]):.3g}"
+                )
+
+    cap = max(256, B // 8)
+    escalate = retry_starts > max(n_starts, 1)
+    qf = w["qfail"].astype(int)
+    if warm_retry and np.any(qf >= 1):
+        step = float(np.mean(dt_arr[1:] - dt_arr[:-1]))
+        n_beg = min(10, dec_d.shape[1])
+        beg_full = np.repeat(w["beg_mean"][:, None], n_beg, axis=1)
+
+        def _dispatch(i, retry):
+            """Enqueue warm + multi-start retry fits for rung i over the
+            rows in ``retry`` (async; same bucketing/programs as the
+            host path's arm)."""
+            _np_, K, s2f = specs[i]
+            K_p = specs[i - 1][1]
+            bucket = 256
+            while bucket < retry.size:
+                bucket *= 2
+            bucket = min(bucket, max(B, 256))
+            pad = bucket - retry.size
+            idx_w = np.concatenate([retry, np.full(pad, retry[0])])
+            prev = {"C": selected["C"], "tau": selected["tau"],
+                    "S2": selected["S2"]}
+            C0, tau0, S20 = _warm_p0(prev, retry, K_p, K, s2f, beg_full,
+                                     step)
+            wargs = [dec_d[idx_w], sig_d[idx_w],
+                     np.concatenate([C0, np.repeat(C0[:1], pad, 0)]),
+                     np.concatenate([tau0, np.repeat(tau0[:1], pad, 0)]),
+                     np.concatenate([S20, np.repeat(S20[:1], pad)])]
+            if mesh is not None:
+                from ..parallel.mesh import pad_and_shard
+
+                wargs, _ = pad_and_shard(mesh, wargs)
+            packed_w = _packed_fit_warm(dt_arr, *wargs, K, s2f)
+            packed_m = _packed_fit(
+                fit_multiexp, dt_arr, wargs[0], wargs[1], K, s2f,
+                n_starts=retry_starts,
+            ) if escalate else None
+            return retry, packed_w, packed_m
+
+        def _resolve(handle, K):
+            """Blocking fetch + best-gate-passer merge of the two arms
+            (host path's resc/ok_r rules verbatim)."""
+            retry, packed_w, packed_m = handle
+            wfit = _unpack_fit(packed_w, K)
+            resc = {k: v[: retry.size].copy() for k, v in wfit.items()}
+            ok_r = resc["ok_fit"] & resc["ok_err"] & resc["ok_sum"]
+            if packed_m is not None:
+                mfit = _unpack_fit(packed_m, K)
+                mfit = {k: v[: retry.size] for k, v in mfit.items()}
+                ok_m = mfit["ok_fit"] & mfit["ok_err"] & mfit["ok_sum"]
+                use_m = ok_m & (~ok_r | (mfit["chisq"] < resc["chisq"]))
+                if np.any(use_m):
+                    for k in resc:
+                        resc[k][use_m] = mfit[k][use_m]
+                    ok_r = ok_r | use_m
+            return resc, ok_r
+
+        def _adopt(rows, vals, mask_rows, i):
+            """Adopt rung i's values (a fit dict sliced to ``rows``) as
+            these rows' selected model."""
+            _np_, K, s2f = specs[i]
+            sub = np.zeros((rows.size, Kmax_l), selected["C"].dtype)
+            sub[:, :K] = vals["C"][mask_rows]
+            selected["C"][rows] = sub
+            sub = np.ones((rows.size, Kmax_l), selected["C"].dtype)
+            sub[:, :K] = vals["tau"][mask_rows]
+            selected["tau"][rows] = sub
+            sub = np.zeros((rows.size, Kmax_l), selected["C"].dtype)
+            sub[:, :K] = vals["dC"][mask_rows]
+            selected["dC"][rows] = sub
+            sub = np.zeros((rows.size, Kmax_l), selected["C"].dtype)
+            sub[:, :K] = vals["dtau"][mask_rows]
+            selected["dtau"][rows] = sub
+            sub = np.zeros((rows.size, Kmax_l), selected["C"].dtype)
+            sub[:, :K] = 1.0
+            selected["mask"][rows] = sub
+            selected["S2"][rows] = vals["S2"][mask_rows]
+            selected["dS2"][rows] = vals["dS2"][mask_rows]
+            selected["chisq"][rows] = vals["chisq"][mask_rows]
+            selected["s2fast"][rows] = float(s2f)
+            sel_idx[rows] = i
+            sel_chi[rows] = vals["chisq"][mask_rows]
+
+        # Phase A: pre-dispatch every generation-0 group within the cap
+        # (independent of each other; RTs overlap on the relay).
+        pend = {i: np.nonzero(qf == i)[0] for i in range(1, R)
+                if np.any(qf == i)}
+        handles = {i: _dispatch(i, rows) for i, rows in pend.items()
+                   if rows.size <= cap}
+
+        # Phase B: rung-order resolution with (rare) continuation.
+        cont = np.empty(0, dtype=int)
+        for i in range(1, R):
+            _np_, K, s2f = specs[i]
+            cont_fail = np.empty(0, dtype=int)
+            if cont.size:
+                # Resumed rows need rung i's cold fit (bucketed).
+                bucket = 256
+                while bucket < cont.size:
+                    bucket *= 2
+                bucket = min(bucket, max(B, 256))
+                idx_c = np.concatenate(
+                    [cont, np.full(bucket - cont.size, cont[0])]
+                )
+                fargs = [dec_d[idx_c], sig_d[idx_c]]
+                if mesh is not None:
+                    from ..parallel.mesh import pad_and_shard
+
+                    fargs, _ = pad_and_shard(mesh, fargs)
+                cfit = _unpack_fit(
+                    _packed_fit(fit_multiexp, dt_arr, *fargs, K, s2f,
+                                n_starts=n_starts), K
+                )
+                cfit = {k: v[: cont.size] for k, v in cfit.items()}
+                ok_c = cfit["ok_fit"] & cfit["ok_err"] & cfit["ok_sum"]
+                chi_c = cfit["chisq"]
+                brk_c = ~ok_c | (chi_c >= sel_chi[cont] * chisq_threshold)
+                take_c = ok_c & ~brk_c
+                if np.any(take_c):
+                    _adopt(cont[take_c], cfit, take_c, i)
+                cont_fail = cont[brk_c & ~ok_c]
+                cont = cont[take_c]
+            g0 = pend.get(i, np.empty(0, dtype=int))
+            retri = np.concatenate([g0, cont_fail])
+            if retri.size == 0 or retri.size > cap:
+                continue  # over-cap: natural complexity ceiling, no retry
+            if cont_fail.size or i not in handles:
+                handle = _dispatch(i, retri)
+            else:
+                handle = handles[i]
+            resc, ok_r = _resolve(handle, K)
+            retry = handle[0]
+            acc = ok_r & (resc["chisq"] < sel_chi[retry] * chisq_threshold)
+            if np.any(acc):
+                rows_acc = retry[acc]
+                _adopt(rows_acc, resc, acc, i)
+                cont = np.concatenate([cont, rows_acc])
+
+    # chisq-outlier escalation over the merged cohort (same trigger,
+    # cap, adoption rule and refit program as the host path's arm).
+    if weighted and escalate and B > 1:
+        flagged = _chisq_outlier_rows(sel_chi, max(256, B // 8))
+        for i, (_n_par, K, s2f) in enumerate(specs):
+            rows = np.nonzero(flagged & (sel_idx == i))[0]
+            if rows.size == 0:
+                continue
+            bucket = 256
+            while bucket < rows.size:
+                bucket *= 2
+            bucket = min(bucket, max(B, 256))
+            idx_f = np.concatenate(
+                [rows, np.full(bucket - rows.size, rows[0])]
+            )
+            fargs = [dec_d[idx_f], sig_d[idx_f]]
+            if mesh is not None:
+                from ..parallel.mesh import pad_and_shard
+
+                fargs, _ = pad_and_shard(mesh, fargs)
+            mfit = _unpack_fit(
+                _packed_fit(fit_multiexp, dt_arr, *fargs, K, s2f,
+                            n_starts=retry_starts), K
+            )
+            mfit = {k: v[: rows.size] for k, v in mfit.items()}
+            ok_m = mfit["ok_fit"] & mfit["ok_err"] & mfit["ok_sum"]
+            better = ok_m & (mfit["chisq"] < sel_chi[rows])
+            if np.any(better):
+                rows_b = rows[better]
+                # Same rung -> same K: the padding slots beyond K are
+                # already the rung's (zero-C / one-tau) padding.
+                selected["C"][rows_b, :K] = mfit["C"][better]
+                selected["tau"][rows_b, :K] = mfit["tau"][better]
+                selected["dC"][rows_b, :K] = mfit["dC"][better]
+                selected["dtau"][rows_b, :K] = mfit["dtau"][better]
+                selected["S2"][rows_b] = mfit["S2"][better]
+                selected["dS2"][rows_b] = mfit["dS2"][better]
+                selected["chisq"][rows_b] = mfit["chisq"][better]
+                sel_chi[rows_b] = mfit["chisq"][better]
+
+    # Assembly: identical layout to the host path's (pad width = max
+    # SELECTED K, tau padding 1, zero C/mask padding).
+    Kmax_out = max(specs[i][1] for i in set(sel_idx.tolist()))
+    return CtModelSet(
+        S2=jnp.asarray(selected["S2"]),
+        C=jnp.asarray(selected["C"][:, :Kmax_out]),
+        tau=jnp.asarray(selected["tau"][:, :Kmax_out]),
+        mask=jnp.asarray(selected["mask"][:, :Kmax_out]),
+        zeta=jnp.asarray(float(zeta)),
+        s2fast=jnp.asarray(selected["s2fast"]),
+        dS2=jnp.asarray(selected["dS2"]),
+        dC=jnp.asarray(selected["dC"][:, :Kmax_out]),
+        dtau=jnp.asarray(selected["dtau"][:, :Kmax_out]),
+        chisq=jnp.asarray(selected["chisq"]),
+        names=[str(x) for x in names],
+    )

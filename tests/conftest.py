@@ -50,6 +50,7 @@ _SMOKE_EXCLUDE = {
     # heavy batched-fit / optimiser suites
     "test_expfit", "test_lm_chol", "test_stacked_lm", "test_globalfit",
     "test_legacy_expfit", "test_moment_collapse", "test_legacyfit",
+    "test_walk",
     # e2e orchestration / sharded / multihost / device pipelines
     "test_runall", "test_runall_multi", "test_parallel",
     "test_flagship_sharded", "test_multihost_process", "test_cli_misc",
