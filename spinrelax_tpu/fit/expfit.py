@@ -41,7 +41,11 @@ def _packed_fit(fit_fn, dt_arr, dec, sig, K: int, s2_free: bool,
     import jax
     import jax.numpy as jnp
 
-    key = (fit_fn, K, s2_free, n_starts)
+    from .engine import impl_token
+
+    # impl_token in the key: the traced program captures the LM backend
+    # routing, so an LM_IMPL flip must land in a fresh wrapper jit.
+    key = (fit_fn, K, s2_free, n_starts, impl_token())
     if key not in _PACKED_CACHE:
         kw = {"n_starts": n_starts} if n_starts > 1 else {}
 
@@ -791,8 +795,10 @@ def _ladder_via_walk(names, dt_arr, dec_d, sig_d, specs, Kmax_l, *,
         from ..parallel.mesh import pad_and_shard
 
         (dec_i, sig_i), _ = pad_and_shard(mesh, [dec_d, sig_d])
+    from .engine import impl_token
+
     packed = fit_ct_walk(dt_arr, dec_i, sig_i, chisq_threshold, sp,
-                         Kmax_l, n_starts)
+                         Kmax_l, n_starts, impl=impl_token())
     w = unpack_walk(np.asarray(fetch(packed))[:B], Kmax_l, R)
     sel_idx = w["sel_idx"].astype(int)
     sel_chi = np.array(w["sel_chi"])

@@ -545,7 +545,6 @@ def _fit_one_dense(dt, y, sg, K: int, s2_free: bool, n_starts: int = 1,
     )
 
 
-@partial(jax.jit, static_argnames=("K", "s2_free", "n_starts"))
 def fit_multiexp(dt, decay, sigma, K: int, s2_free: bool,
                  n_starts: int = 1) -> MultiExpFit:
     """Fit a batch of decay curves with K transient components.
@@ -578,6 +577,22 @@ def fit_multiexp(dt, decay, sigma, K: int, s2_free: bool,
     decay = jnp.asarray(decay)
     sigma = jnp.asarray(sigma)
 
+    from .engine import fit_multiexp_engine, use_engine
+
+    if use_engine(decay.dtype):
+        # Production TPU f32 path: the fused-kernel batched engine (the
+        # per-iteration H/g/cost evaluation never materialises the
+        # Jacobian in HBM; ~6x per iteration at the ladder workload).
+        # Semantics match to f32 rounding; CPU/f64/multi-chip keep the
+        # vmapped XLA path below (byte-pinned by the parity suites).
+        return fit_multiexp_engine(dt, decay, sigma, K, s2_free,
+                                   n_starts=n_starts)
+    return _fit_multiexp_xla(dt, decay, sigma, K, s2_free, n_starts)
+
+
+@partial(jax.jit, static_argnames=("K", "s2_free", "n_starts"))
+def _fit_multiexp_xla(dt, decay, sigma, K: int, s2_free: bool,
+                      n_starts: int = 1) -> MultiExpFit:
     out = jax.vmap(
         lambda y, sg: _fit_one_dense(dt, y, sg, K, s2_free, n_starts)
     )(decay, sigma)

@@ -38,17 +38,9 @@ from .lm import _fit_one_dense
 __all__ = ["fit_ct_walk", "unpack_walk"]
 
 
-def _pad_k(x, Kmax: int, fill: float):
-    """(K,) -> (Kmax,) padded with ``fill`` (static K)."""
-    k = x.shape[0]
-    if k == Kmax:
-        return x
-    return jnp.concatenate([x, jnp.full((Kmax - k,), fill, x.dtype)])
-
-
-@partial(jax.jit, static_argnames=("specs", "Kmax", "n_starts"))
+@partial(jax.jit, static_argnames=("specs", "Kmax", "n_starts", "impl"))
 def fit_ct_walk(dt, decays, sigma, chisq_threshold, specs, Kmax: int,
-                n_starts: int = 1):
+                n_starts: int = 1, impl=None):
     """Run the full ladder walk in-graph.
 
     dt      : (T,) lag times.
@@ -57,6 +49,9 @@ def fit_ct_walk(dt, decays, sigma, chisq_threshold, specs, Kmax: int,
     specs   : static tuple of (K, s2_free) per rung, walk order.
     Kmax    : static max K over specs (selected-model padding width).
     n_starts: batched multi-start per rung (see fit_multiexp).
+    impl    : pass fit.engine.impl_token() — a static cache-buster so a
+              mid-process LM_IMPL flip retraces this program (the trace
+              captures the engine-vs-XLA rung routing).
 
     Returns ONE (B, 5*Kmax + 8 + 2*R) array; decode with
     :func:`unpack_walk`.  Column groups:
@@ -89,91 +84,114 @@ def fit_ct_walk(dt, decays, sigma, chisq_threshold, specs, Kmax: int,
     decays = jnp.asarray(decays)
     sigma = jnp.asarray(sigma)
     R = len(specs)
+    B = decays.shape[0]
+    dtype = decays.dtype
 
-    def walk_one(y, sg):
-        zK = jnp.zeros((Kmax,), y.dtype)
-        sel = dict(
-            C=zK, tau=jnp.ones((Kmax,), y.dtype), dC=zK, dtau=zK, mask=zK,
-            S2=jnp.zeros((), y.dtype), dS2=jnp.zeros((), y.dtype),
-            chisq=jnp.zeros((), y.dtype), s2fast=jnp.zeros((), y.dtype),
+    from .engine import fit_multiexp_engine, use_engine
+
+    use_eng = use_engine(dtype)
+
+    def rung_fit(K, s2f, act):
+        """One rung's batched fit with broken lanes frozen — the fused
+        Pallas engine on the TPU f32 path, the vmapped XLA lane function
+        (the HOST walk's exact math: byte-parity pinned) elsewhere."""
+        if use_eng:
+            f = fit_multiexp_engine(dt, decays, sigma, K, s2f,
+                                    n_starts=n_starts, skip=~act)
+            return (f.C, f.tau, f.S2, f.dC, f.dtau, f.dS2, f.chisq,
+                    f.ok_fit, f.ok_err, f.ok_sum)
+        return jax.vmap(
+            lambda y, sg, sk: _fit_one_dense(dt, y, sg, K, s2f,
+                                             n_starts=n_starts, skip=sk)
+        )(decays, sigma, ~act)
+
+    def padB(x, fill):  # (B, K) -> (B, Kmax)
+        k = x.shape[1]
+        if k == Kmax:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((B, Kmax - k), fill, x.dtype)], axis=1
         )
-        # Fallback track: the host walk's np.nanargmin over all rungs'
-        # chisq for rows that never pass a rung's checks (they never
-        # break, so every rung is fitted for them).  fb_cmp is +inf
-        # until a FINITE chisq arrives (strict < keeps the first
-        # minimum, NaN never wins — exactly nanargmin); fb_* hold rung
-        # 0 unconditionally so the all-NaN case degrades to rung 0.
-        fb = {k: v for k, v in sel.items()}
-        fb_cmp = jnp.asarray(jnp.inf, y.dtype)
-        fb_idx = jnp.zeros((), y.dtype)
-        sel_idx = jnp.asarray(-1.0, y.dtype)
-        sel_chi = jnp.asarray(jnp.inf, y.dtype)
-        act = jnp.asarray(True)
-        qfail = jnp.asarray(-1.0, y.dtype)
-        chi_rungs = []
-        act_rungs = []
 
-        for i, (K, s2f) in enumerate(specs):
-            act_rungs.append(act.astype(y.dtype))
-            (C, tau, S2, dC, dtau, dS2, chi,
-             ok_fit, ok_err, ok_sum) = _fit_one_dense(
-                dt, y, sg, K, s2f, n_starts=n_starts, skip=~act,
-            )
-            chi_rungs.append(jnp.where(act, chi, jnp.nan))
-            rung = dict(
-                C=_pad_k(C, Kmax, 0.0), tau=_pad_k(tau, Kmax, 1.0),
-                dC=_pad_k(dC, Kmax, 0.0), dtau=_pad_k(dtau, Kmax, 0.0),
-                mask=_pad_k(jnp.ones((K,), y.dtype), Kmax, 0.0),
-                S2=S2, dS2=dS2, chisq=chi,
-                s2fast=jnp.asarray(float(s2f), y.dtype),
-            )
-            # fitting_Ct_functions.py:283-304 selection rules (identical
-            # to the host walk's vectorisation incl. NaN comparison
-            # semantics: NaN >= x is False, so a finite-params/NaN-chisq
-            # rung is adopted).
-            ok = ok_fit & ok_err & ok_sum
-            unset = sel_idx < 0
-            brk = act & ~unset & (~ok | (chi >= sel_chi * chisq_threshold))
-            take = act & ok & ~brk
-            for k in sel:
-                sel[k] = jnp.where(take, rung[k], sel[k])
-            sel_idx = jnp.where(take, jnp.asarray(float(i), y.dtype), sel_idx)
-            sel_chi = jnp.where(take, chi, sel_chi)
-            qfail = jnp.where(
-                (qfail < 0) & brk & ~ok, jnp.asarray(float(i), y.dtype),
-                qfail,
-            )
-            act = act & ~brk
-            # Fallback: strict improvement over the best finite chisq so
-            # far (rung 0 seeds the params unconditionally).
-            better = chi < fb_cmp
-            first = i == 0
-            for k in fb:
-                fb[k] = jnp.where(better | first, rung[k], fb[k])
-            fb_idx = jnp.where(better, jnp.asarray(float(i), y.dtype), fb_idx)
-            fb_cmp = jnp.where(better, chi, fb_cmp)
+    zB = jnp.zeros((B,), dtype)
+    zBK = jnp.zeros((B, Kmax), dtype)
+    sel = dict(
+        C=zBK, tau=jnp.ones((B, Kmax), dtype), dC=zBK, dtau=zBK, mask=zBK,
+        S2=zB, dS2=zB, chisq=zB, s2fast=zB,
+    )
+    # Fallback track: the host walk's np.nanargmin over all rungs' chisq
+    # for rows that never pass a rung's checks (they never break, so
+    # every rung is fitted for them).  fb_cmp is +inf until a FINITE
+    # chisq arrives (strict < keeps the first minimum, NaN never wins —
+    # exactly nanargmin); fb_* hold rung 0 unconditionally so the
+    # all-NaN case degrades to rung 0.
+    fb = dict(sel)
+    fb_cmp = jnp.full((B,), jnp.inf, dtype)
+    fb_idx = zB
+    sel_idx = jnp.full((B,), -1.0, dtype)
+    sel_chi = jnp.full((B,), jnp.inf, dtype)
+    act = jnp.ones((B,), bool)
+    qfail = jnp.full((B,), -1.0, dtype)
+    chi_rungs = []
+    act_rungs = []
 
-        use_fb = sel_idx < 0
-        cols = [
-            jnp.where(use_fb, fb["C"], sel["C"]),
-            jnp.where(use_fb, fb["tau"], sel["tau"]),
-            jnp.where(use_fb, fb["dC"], sel["dC"]),
-            jnp.where(use_fb, fb["dtau"], sel["dtau"]),
-            jnp.where(use_fb, fb["mask"], sel["mask"]),
-            jnp.where(use_fb, fb["S2"], sel["S2"])[None],
-            jnp.where(use_fb, fb["dS2"], sel["dS2"])[None],
-            jnp.where(use_fb, fb["chisq"], sel["chisq"])[None],
-            jnp.where(use_fb, fb_idx, sel_idx)[None],
-            sel_chi[None],
-            jnp.where(use_fb, fb["s2fast"], sel["s2fast"])[None],
-            qfail[None],
-            jnp.stack(chi_rungs),
-            jnp.stack(act_rungs),
-            jnp.mean(y[: min(10, y.shape[0])])[None],
-        ]
-        return jnp.concatenate(cols)
+    for i, (K, s2f) in enumerate(specs):
+        act_rungs.append(act.astype(dtype))
+        (C, tau, S2, dC, dtau, dS2, chi,
+         ok_fit, ok_err, ok_sum) = rung_fit(K, s2f, act)
+        chi_rungs.append(jnp.where(act, chi, jnp.nan))
+        rung = dict(
+            C=padB(C, 0.0), tau=padB(tau, 1.0),
+            dC=padB(dC, 0.0), dtau=padB(dtau, 0.0),
+            mask=padB(jnp.ones((B, K), dtype), 0.0),
+            S2=S2, dS2=dS2, chisq=chi,
+            s2fast=jnp.full((B,), float(s2f), dtype),
+        )
+        # fitting_Ct_functions.py:283-304 selection rules (identical to
+        # the host walk's vectorisation incl. NaN comparison semantics:
+        # NaN >= x is False, so a finite-params/NaN-chisq rung is
+        # adopted).
+        ok = ok_fit & ok_err & ok_sum
+        unset = sel_idx < 0
+        brk = act & ~unset & (~ok | (chi >= sel_chi * chisq_threshold))
+        take = act & ok & ~brk
+        for k in sel:
+            w = take[:, None] if sel[k].ndim == 2 else take
+            sel[k] = jnp.where(w, rung[k], sel[k])
+        sel_idx = jnp.where(take, float(i), sel_idx)
+        sel_chi = jnp.where(take, chi, sel_chi)
+        qfail = jnp.where((qfail < 0) & brk & ~ok, float(i), qfail)
+        act = act & ~brk
+        # Fallback: strict improvement over the best finite chisq so far
+        # (rung 0 seeds the params unconditionally).
+        better = chi < fb_cmp
+        upd = better if i else jnp.ones_like(better)
+        for k in fb:
+            w = upd[:, None] if fb[k].ndim == 2 else upd
+            fb[k] = jnp.where(w, rung[k], fb[k])
+        fb_idx = jnp.where(better, float(i), fb_idx)
+        fb_cmp = jnp.where(better, chi, fb_cmp)
 
-    return jax.vmap(walk_one)(decays, sigma)
+    use_fb = sel_idx < 0
+    ufb2 = use_fb[:, None]
+    cols = [
+        jnp.where(ufb2, fb["C"], sel["C"]),
+        jnp.where(ufb2, fb["tau"], sel["tau"]),
+        jnp.where(ufb2, fb["dC"], sel["dC"]),
+        jnp.where(ufb2, fb["dtau"], sel["dtau"]),
+        jnp.where(ufb2, fb["mask"], sel["mask"]),
+        jnp.where(use_fb, fb["S2"], sel["S2"])[:, None],
+        jnp.where(use_fb, fb["dS2"], sel["dS2"])[:, None],
+        jnp.where(use_fb, fb["chisq"], sel["chisq"])[:, None],
+        jnp.where(use_fb, fb_idx, sel_idx)[:, None],
+        sel_chi[:, None],
+        jnp.where(use_fb, fb["s2fast"], sel["s2fast"])[:, None],
+        qfail[:, None],
+        jnp.stack(chi_rungs, axis=1),
+        jnp.stack(act_rungs, axis=1),
+        jnp.mean(decays[:, : min(10, decays.shape[1])], axis=1)[:, None],
+    ]
+    return jnp.concatenate(cols, axis=1)
 
 
 def unpack_walk(packed, Kmax: int, R: int) -> dict:

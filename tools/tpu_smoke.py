@@ -260,6 +260,25 @@ def _dq_multi(jax, jnp):
     return f"2 replicas x {n}, chunk 2048"
 
 
+@check("lm_engine")
+def _lm_engine(jax, jnp):
+    # Fused Pallas LM engine vs the vmapped XLA path ON the chip (the
+    # interpret-mode parity test runs on CPU; this is the Mosaic arm).
+    import spinrelax_tpu.fit.engine as eng
+
+    dt, y, dy = _ladder_cohort(B=1024)
+    a = eng.fit_multiexp_engine(dt, y, dy, K=2, s2_free=True)
+    import spinrelax_tpu.fit.lm as lm
+
+    b = lm._fit_multiexp_xla(jnp.asarray(dt, jnp.float32), jnp.asarray(y),
+                             jnp.asarray(dy), K=2, s2_free=True)
+    ca, cb = np.asarray(a.chisq), np.asarray(b.chisq)
+    assert np.all(np.isfinite(ca))
+    rel = np.abs(ca - cb) / np.maximum(cb, 1e-12)
+    assert np.median(rel) < 1e-4, np.median(rel)
+    return f"engine vs XLA on-chip, B=1024 K=2 (median rel {np.median(rel):.1e})"
+
+
 def _ladder_cohort(B=512, T=500):
     rng = np.random.default_rng(int(time.time()) % 2**31 + 7)
     dt = np.arange(1, T + 1, dtype=float)
