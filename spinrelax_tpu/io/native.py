@@ -251,6 +251,31 @@ def _load_xtc():
             lib._has_mt = False
         lib.xtc_close.argtypes = [ctypes.c_void_p]
         lib.xtc_close.restype = None
+        try:
+            lib.xtc_next_obs.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+                ctypes.c_long,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_long, ctypes.c_int,
+            ]
+            lib.xtc_next_obs.restype = ctypes.c_long
+            lib.xtc_reduce_obs.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+                ctypes.c_long,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int,
+            ]
+            lib.xtc_reduce_obs.restype = None
+            lib._has_obs = True
+        except AttributeError:
+            lib._has_obs = False  # prebuilt .so predating the fused ingest
         _xtc_lib = lib
     except Exception:
         _xtc_lib = None
@@ -414,3 +439,119 @@ def write_xtc(fn: str, xyz, times=None, boxes=None, precision: float = 1000.0,
         )
     if rc != 0:
         raise OSError(f"xtc_write failed on {fn!r} (code {rc})")
+
+
+def xtc_obs_available() -> bool:
+    """True when the loaded codec has the fused decode->bond-observable
+    reader (xtc_next_obs; a prebuilt .so may predate it)."""
+    lib = _load_xtc()
+    return lib is not None and getattr(lib, "_has_obs", False)
+
+
+def iter_xtc_obs(fn: str, chunk_frames: int, idx_h, idx_x, A,
+                 threads: int = 1, out_dtype=np.float32):
+    """Stream an .xtc reduced to bond observables — the fused ingest of
+    stage_ct_streamed (ops/orient.bond_obs_host computed IN the decoder;
+    the full (frames, natoms, 3) coordinate block never materialises).
+
+    idx_h, idx_x : (nBonds,) atom indices of each bond's H and X ends.
+    A            : (3, natoms) f64 weighted-centred reference correlation
+                   matrix (ops/orient.bond_obs_matrix).
+    threads      : worker threads per chunk (0 = one per core); output
+                   is bit-identical for any value.
+
+    Yields (raw_diff (c, nBonds, 3) out_dtype, S (c, 3, 3) out_dtype,
+    times (c,)) — exactly bond_obs_host's contract on an f32 chunk (S is
+    accumulated in f64 and cast, like the host slab reduction).
+    """
+    lib = _load_xtc()
+    if lib is None or not getattr(lib, "_has_obs", False):
+        raise OSError("native fused XTC ingest unavailable")
+    n_threads = _xtc_threads(lib, threads)
+    natoms = ctypes.c_int()
+    handle = lib.xtc_open(fn.encode(), ctypes.byref(natoms))
+    if not handle:
+        raise OSError(f"xtc_open failed on {fn!r}")
+    na = natoms.value
+    idx_h = np.ascontiguousarray(idx_h, dtype=np.int64)
+    idx_x = np.ascontiguousarray(idx_x, dtype=np.int64)
+    A = np.ascontiguousarray(A, dtype=np.float64)
+    if A.shape != (3, na):
+        lib.xtc_close(handle)
+        raise ValueError(f"A shape {A.shape} != (3, {na})")
+    if idx_h.size and (
+        max(idx_h.max(), idx_x.max()) >= na
+        or min(idx_h.min(), idx_x.min()) < 0
+    ):
+        lib.xtc_close(handle)
+        raise ValueError("bond indices out of range for this trajectory")
+    nb = idx_h.size
+    try:
+        while True:
+            raw = np.empty((chunk_frames, nb, 3), dtype=np.float32)
+            S = np.empty((chunk_frames, 3, 3), dtype=np.float64)
+            times = np.empty(chunk_frames, dtype=np.float32)
+            got = lib.xtc_next_obs(
+                handle,
+                idx_h.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+                idx_x.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+                nb,
+                A.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                raw.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                S.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                times.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                chunk_frames, n_threads,
+            )
+            if got < 0:
+                why = {-3: "frame natoms mismatch",
+                       -4: "mid-file decode failure / truncation"}
+                raise OSError(
+                    f"xtc_next_obs failed on {fn!r}: "
+                    f"{why.get(got, f'code {got}')}"
+                )
+            if got == 0:
+                break
+            yield (
+                raw[:got].astype(out_dtype, copy=False),
+                S[:got].astype(out_dtype, copy=False),
+                times[:got],
+            )
+            if got < chunk_frames:
+                break
+    finally:
+        lib.xtc_close(handle)
+
+
+def reduce_obs_mem(xyz, idx_h, idx_x, A, threads: int = 1):
+    """Native in-memory bond-observable reduction over a decoded f32
+    chunk — the same per-frame loop as the fused .xtc reader, so both
+    produce bit-identical observables (ops/orient.bond_obs_host routes
+    its f32 fast path here).  Returns (raw_diff f32, S f64) or None when
+    the native codec (or the obs entry point) is unavailable or the
+    input is not an f32 (F, natoms, 3) block."""
+    lib = _load_xtc()
+    if lib is None or not getattr(lib, "_has_obs", False):
+        return None
+    xyz = np.asarray(xyz)
+    if xyz.dtype != np.float32 or xyz.ndim != 3 or xyz.shape[2] != 3:
+        return None
+    xyz = np.ascontiguousarray(xyz)
+    nf, na, _ = xyz.shape
+    idx_h = np.ascontiguousarray(idx_h, dtype=np.int64)
+    idx_x = np.ascontiguousarray(idx_x, dtype=np.int64)
+    A = np.ascontiguousarray(A, dtype=np.float64)
+    if A.shape != (3, na):
+        raise ValueError(f"A shape {A.shape} != (3, {na})")
+    nb = idx_h.size
+    raw = np.empty((nf, nb, 3), dtype=np.float32)
+    S = np.empty((nf, 3, 3), dtype=np.float64)
+    lib.xtc_reduce_obs(
+        xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), nf, na,
+        idx_h.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        idx_x.ctypes.data_as(ctypes.POINTER(ctypes.c_long)), nb,
+        A.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        raw.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        S.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        _xtc_threads(lib, threads),
+    )
+    return raw, S

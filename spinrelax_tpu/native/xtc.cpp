@@ -860,6 +860,182 @@ void xtc_close(void* handle) {
     delete s;
 }
 
+// ---------------------------------------------------------------------
+// Fused decode -> bond-observable reduction (the streamed C(t) ingest).
+//
+// stage_ct_streamed consumes a decoded chunk ONLY through
+//   raw_diff[f,b,:] = frm[idx_h[b]] - frm[idx_x[b]]      (f32)
+//   S[f][i][j]      = sum_a A[i][a] * frm[a][j]          (f64 accum)
+// (ops/orient.bond_obs_host; A is the weighted-centred reference's
+// (3, natoms) correlation matrix, translation-invariant by
+// construction).  Decoding into a full (frames, natoms, 3) numpy chunk
+// that Python immediately reduces cost ~120 s of single-core bond_obs
+// plus the cache pressure of materialising the whole 12 GB northstar
+// trajectory through RAM (docs/PERF.md round 4).  Here each frame is
+// decoded into a thread-local scratch and reduced in place — the full
+// coordinate block never exists.
+
+static void reduce_frame(const float* frm, int natoms,
+                         const long* idx_h, const long* idx_x,
+                         long n_bonds, const double* A,
+                         float* raw_out, double* S_out) {
+    for (long b = 0; b < n_bonds; b++) {
+        const float* h = frm + (size_t)idx_h[b] * 3;
+        const float* x = frm + (size_t)idx_x[b] * 3;
+        raw_out[b * 3 + 0] = h[0] - x[0];
+        raw_out[b * 3 + 1] = h[1] - x[1];
+        raw_out[b * 3 + 2] = h[2] - x[2];
+    }
+    const double* A0 = A;
+    const double* A1 = A + natoms;
+    const double* A2 = A + 2 * (size_t)natoms;
+    double s00 = 0, s01 = 0, s02 = 0, s10 = 0, s11 = 0, s12 = 0,
+           s20 = 0, s21 = 0, s22 = 0;
+    for (int a = 0; a < natoms; a++) {
+        double x = frm[(size_t)a * 3 + 0];
+        double y = frm[(size_t)a * 3 + 1];
+        double z = frm[(size_t)a * 3 + 2];
+        double a0 = A0[a], a1 = A1[a], a2 = A2[a];
+        s00 += a0 * x; s01 += a0 * y; s02 += a0 * z;
+        s10 += a1 * x; s11 += a1 * y; s12 += a1 * z;
+        s20 += a2 * x; s21 += a2 * y; s22 += a2 * z;
+    }
+    S_out[0] = s00; S_out[1] = s01; S_out[2] = s02;
+    S_out[3] = s10; S_out[4] = s11; S_out[5] = s12;
+    S_out[6] = s20; S_out[7] = s21; S_out[8] = s22;
+}
+
+// In-memory bond-observable reduction over an already-decoded f32
+// coordinate block — the SAME per-frame reduction as xtc_next_obs, so
+// the host path (ops/orient.bond_obs_host on npz/trr/dcd/... chunks)
+// and the fused .xtc ingest produce BIT-IDENTICAL observables (numpy's
+// BLAS dgemm sums S in a different f64 order, which flips occasional
+// f32-cast ulps and breaks artefact byte-parity between the paths).
+void xtc_reduce_obs(const float* xyz, long n_frames, int natoms,
+                    const long* idx_h, const long* idx_x, long n_bonds,
+                    const double* A, float* raw_diff, double* S,
+                    int n_threads) {
+    if (n_threads <= 1 || n_frames < 2) {
+        for (long f = 0; f < n_frames; f++)
+            reduce_frame(xyz + (size_t)f * natoms * 3, natoms, idx_h,
+                         idx_x, n_bonds, A,
+                         raw_diff + (size_t)f * n_bonds * 3,
+                         S + (size_t)f * 9);
+        return;
+    }
+    int T = n_threads;
+    if ((long)T > n_frames) T = (int)n_frames;
+    long per = (n_frames + T - 1) / T;
+    std::vector<std::thread> workers;
+    for (int t = 0; t < T; t++) {
+        long b0 = (long)t * per;
+        long b1 = b0 + per < n_frames ? b0 + per : n_frames;
+        if (b0 >= b1) break;
+        workers.emplace_back([=]() {
+            for (long f = b0; f < b1; f++)
+                reduce_frame(xyz + (size_t)f * natoms * 3, natoms, idx_h,
+                             idx_x, n_bonds, A,
+                             raw_diff + (size_t)f * n_bonds * 3,
+                             S + (size_t)f * 9);
+        });
+    }
+    for (auto& w : workers) w.join();
+}
+
+// Chunked fused reader: same stream/threading/error semantics as
+// xtc_next_mt (offset scan + disjoint frame blocks per worker over
+// /proc/self/fd reopens; identical output for any n_threads), but each
+// frame lands in a thread-local scratch and only the reduced
+// observables are written out.
+long xtc_next_obs(void* handle,
+                  const long* idx_h, const long* idx_x, long n_bonds,
+                  const double* A,
+                  float* raw_diff,   // (max_frames, n_bonds, 3)
+                  double* S,         // (max_frames, 3, 3)
+                  float* times, long max_frames, int n_threads) {
+    XtcStream* s = (XtcStream*)handle;
+    int natoms = s->natoms;
+    if (n_threads <= 1) {
+        Reader rd{s->fp};
+        FrameHeader h{};
+        std::vector<float> frm((size_t)natoms * 3);
+        long f = 0;
+        while (f < max_frames && !rd.eof()) {
+            if (!read_frame(rd, h, frm.data(), natoms))
+                return h.natoms > 0 && h.natoms != natoms ? -3 : -4;
+            reduce_frame(frm.data(), natoms, idx_h, idx_x, n_bonds, A,
+                         raw_diff + (size_t)f * n_bonds * 3,
+                         S + (size_t)f * 9);
+            times[f] = h.time;
+            f++;
+        }
+        return f;
+    }
+
+    std::vector<long> offs;
+    offs.reserve((size_t)max_frames);
+    Reader rd{s->fp};
+    FrameHeader h{};
+    long scan_end = 0;
+    {
+        long pos = ftell(s->fp);
+        if (pos < 0) return -4;
+        while ((long)offs.size() < max_frames && !rd.eof()) {
+            offs.push_back(pos);
+            if (!read_frame(rd, h, nullptr)) return -4;
+            pos = ftell(s->fp);
+            if (pos < 0) return -4;
+        }
+        scan_end = pos;
+    }
+    long n = (long)offs.size();
+    if (n == 0) return 0;
+    int T = n_threads;
+    if ((long)T > n) T = (int)n;
+    std::vector<long> status((size_t)T, 0);
+    std::vector<std::thread> workers;
+    const char* path = s->path.data();
+    char fdpath[64];
+    snprintf(fdpath, sizeof fdpath, "/proc/self/fd/%d", fileno(s->fp));
+    long per = (n + T - 1) / T;
+    for (int t = 0; t < T; t++) {
+        long b0 = (long)t * per;
+        long b1 = b0 + per < n ? b0 + per : n;
+        if (b0 >= b1) break;
+        workers.emplace_back([=, &offs, &status]() {
+            FILE* fp = fopen(fdpath, "rb");
+            if (!fp) fp = fopen(path, "rb");
+            if (!fp) { status[t] = -4; return; }
+            Reader wrd{fp};
+            FrameHeader wh{};
+            std::vector<float> frm((size_t)natoms * 3);
+            for (long f = b0; f < b1; f++) {
+                if (f == b0 || ftell(fp) != offs[f]) {
+                    if (fseek(fp, offs[f], SEEK_SET) != 0) {
+                        status[t] = -4;
+                        break;
+                    }
+                }
+                if (!read_frame(wrd, wh, frm.data(), natoms)) {
+                    status[t] = wh.natoms > 0 && wh.natoms != natoms
+                                    ? -3 : -4;
+                    break;
+                }
+                reduce_frame(frm.data(), natoms, idx_h, idx_x, n_bonds, A,
+                             raw_diff + (size_t)f * n_bonds * 3,
+                             S + (size_t)f * 9);
+                times[f] = wh.time;
+            }
+            fclose(fp);
+        });
+    }
+    for (auto& w : workers) w.join();
+    for (int t = 0; t < T; t++)
+        if (status[t] != 0) return status[t];
+    if (fseek(s->fp, scan_end, SEEK_SET) != 0) return -4;
+    return n;
+}
+
 int xtc_write(const char* path, const float* xyz, const float* times,
               const float* boxes, long n_frames, int natoms, float precision) {
     FILE* fp = fopen(path, "wb");

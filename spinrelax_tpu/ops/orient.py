@@ -134,6 +134,25 @@ def bond_vectors(frames, reference, idx_h, idx_x, fit_weights=None):
     return BondVectors(raw, fitted)
 
 
+def bond_obs_matrix(reference, fit_weights=None):
+    """The (3, nAtoms) f64 weighted-centred reference correlation matrix
+    A with S_f = A @ frame — the single home of the reduction both
+    :func:`bond_obs_host` (numpy slabs) and the fused native ingest
+    (io.native.iter_xtc_obs; reduction inside the decoder) apply.
+    A's weighted columns sum to zero, so A @ frame is translation-
+    invariant without per-frame centring."""
+    import numpy as np
+
+    reference = np.asarray(reference, dtype=np.float64)
+    if fit_weights is None:
+        w = np.ones(reference.shape[0])
+    else:
+        w = np.asarray(fit_weights, dtype=np.float64)
+    w = w / w.sum()
+    ref_c = reference - (w[:, None] * reference).sum(0)
+    return (w[:, None] * ref_c).T
+
+
 def bond_obs_host(xyz, reference, idx_h, idx_x, fit_weights=None,
                   frame_slab_bytes=1 << 23):
     """Host-side sufficient statistics for :func:`bond_vectors_from_obs`.
@@ -160,14 +179,19 @@ def bond_obs_host(xyz, reference, idx_h, idx_x, fit_weights=None,
     out_dtype = jax.dtypes.canonicalize_dtype(
         np.result_type(xyz.dtype, np.float32)
     )
-    reference = np.asarray(reference, dtype=np.float64)
-    if fit_weights is None:
-        w = np.ones(reference.shape[0])
-    else:
-        w = np.asarray(fit_weights, dtype=np.float64)
-    w = w / w.sum()
-    ref_c = reference - (w[:, None] * reference).sum(0)
-    A = (w[:, None] * ref_c).T  # (3, nAtoms): S_f[i, j] = A @ frm_c_f
+    A = bond_obs_matrix(reference, fit_weights)
+    if xyz.dtype == np.float32:
+        # f32 chunks (every binary trajectory codec) reduce through the
+        # NATIVE per-frame loop — the same code the fused .xtc ingest
+        # runs inside the decoder, so host-reduced and decoder-reduced
+        # observables are BIT-identical (numpy's BLAS dgemm sums S in a
+        # different f64 order, flipping occasional f32-cast ulps).
+        from ..io import native as natio
+
+        out = natio.reduce_obs_mem(xyz, idx_h, idx_x, A)
+        if out is not None:
+            raw_diff, S64 = out
+            return raw_diff, S64.astype(out_dtype)
 
     raw_diff = (xyz[:, idx_h, :] - xyz[:, idx_x, :]).astype(
         out_dtype, copy=False

@@ -1395,22 +1395,43 @@ def stage_ct_streamed(
             )
 
         group_frames = fpc * chunk_groups
-        for xyz_chunk, _ in trajio.iter_trajectory(
-            trj_fn, chunk_frames=group_frames, top_fn=ref_fn,
-            timestep=delta_t,
-        ):
+
+        def _obs_chunks():
+            """Stream (raw_diff, S) group observables.  Plain .xtc input
+            with the fused native reader routes the bond_obs reduction
+            INTO the decoder (io.native.iter_xtc_obs): the full
+            (F, nAtoms, 3) coordinate block never materialises — at the
+            12 GB northstar scale the separate decode-then-bond_obs
+            passes cost ~120 s of single-core numpy plus the cache
+            pressure of pushing the whole trajectory through RAM
+            (docs/PERF.md rounds 4-5).  Everything else decodes full
+            chunks and reduces via bond_obs_host (identical contract).
+            """
+            from ..io import native as natio
+
+            if trj_fn.endswith(".xtc") and natio.xtc_obs_available():
+                A = orient.bond_obs_matrix(ref0, w)
+                for raw_diff, S, _times in natio.iter_xtc_obs(
+                    trj_fn, group_frames, idx_h, idx_x, A, threads=0,
+                ):
+                    yield raw_diff, S
+                return
+            for xyz_chunk, _ in trajio.iter_trajectory(
+                trj_fn, chunk_frames=group_frames, top_fn=ref_fn,
+                timestep=delta_t,
+            ):
+                yield orient.bond_obs_host(xyz_chunk, ref0, idx_h, idx_x, w)
+
+        for raw_diff, S in _obs_chunks():
             # Host-reduced observables: only the (F, nBonds, 3) NH diffs
             # + (F, 3, 3) Horn correlations cross host->device — NOT the
             # full (F, nAtoms, 3) coordinate block the decoder produced
             # (~17x less transfer at ubiquitin scale; the measured
             # file-fed bottleneck on remote links, docs/PERF.md).
-            raw_diff, S = orient.bond_obs_host(
-                xyz_chunk, ref0, idx_h, idx_x, w
-            )
             bv = orient.bond_vectors_from_obs(
                 jnp.asarray(raw_diff), jnp.asarray(S)
             )
-            n_full = (xyz_chunk.shape[0] // fpc) * fpc
+            n_full = (raw_diff.shape[0] // fpc) * fpc
             if n_full == 0:
                 continue  # tail shorter than one Palmer chunk: dropped
             g = n_full // fpc
