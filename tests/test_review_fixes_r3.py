@@ -14,8 +14,25 @@ Each test pins one fixed behaviour:
 import os
 
 import jax.numpy as jnp
+
 import numpy as np
 import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_jit_state():
+    """Free the process's accumulated compiled-executable state before
+    this module (round-5 finding): after ~700 tests in one process the
+    XLA:CPU JIT segfaulted inside backend_compile_and_load compiling
+    ct_palmer here — reproducibly at this module, never in isolation or
+    in module-pair runs, with the new native code ASAN-clean — i.e. an
+    upstream compiler crash under accumulated code-space state.
+    Clearing jax's caches re-traces a handful of programs (seconds) and
+    sidesteps the edge."""
+    import jax
+
+    jax.clear_caches()
+
 
 from spinrelax_tpu.core import quaternion as qt
 from spinrelax_tpu.core.geometry import lambert_histogram
